@@ -1,0 +1,126 @@
+"""Changelog-algebra query plans (SURVEY.md §7 Phase 3).
+
+A deterministic synthetic changelog is derived from the base tables *inside the
+query* (inserts of every row, duplicate inserts of keys ≡0 mod 5, deletes of
+keys ≡0 mod 7) so the DuckDB oracle can construct the identical changelog with
+plain SQL — no side-channel files. This exercises exactly the semantics the
+reference's insert/delete path intends (DataFlow.java:86,95,103,112 →
+aggregate add/retract), including the duplicate-row multiset case its
+set-based state mishandled (SURVEY.md §8 B1/B4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..operators.changelog import apply_changelog, delta_agg_sum
+from ..registry import register
+from ..tables import load
+
+_CHANGELOG_SQL = """
+    SELECT *, 1 AS weight FROM {t}
+    UNION ALL SELECT *, 1 AS weight FROM {t} WHERE {k} % 5 = 0
+    UNION ALL SELECT *, -1 AS weight FROM {t} WHERE {k} % 7 = 0
+"""
+
+
+def synth_changelog(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFrame:
+    """Deterministic changelog: +1 all rows, +1 dup for key%5==0, −1 for key%7==0."""
+    t = load(spark, sf_dir, table)
+    ins = t.withColumn("weight", F.lit(1))
+    dups = t.filter(F.col(key) % 5 == 0).withColumn("weight", F.lit(1))
+    dels = t.filter(F.col(key) % 7 == 0).withColumn("weight", F.lit(-1))
+    return ins.unionByName(dups).unionByName(dels)
+
+
+def changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-state materialization of an insert/delete/duplicate stream of orders."""
+    return apply_changelog(synth_changelog(spark, sf_dir, "orders", "o_orderkey"))
+
+
+register(
+    "changelog_apply",
+    changelog_apply,
+    f"""WITH changelog AS ({_CHANGELOG_SQL.format(t="orders", k="o_orderkey")})
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+              o_orderpriority, sum(weight)::BIGINT AS multiplicity
+       FROM changelog
+       GROUP BY ALL
+       HAVING sum(weight) > 0""",
+)
+
+
+def delta_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental grouped SUM with retraction over a lineitem changelog —
+    the corrected Q10AggregateProcessFunction semantics."""
+    cl = synth_changelog(spark, sf_dir, "lineitem", "l_orderkey")
+    return delta_agg_sum(
+        cl,
+        ["l_returnflag", "l_linestatus"],
+        dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount")),
+        "net_revenue",
+    )
+
+
+register(
+    "delta_agg_incremental",
+    delta_agg_incremental,
+    f"""WITH changelog AS ({_CHANGELOG_SQL.format(t="lineitem", k="l_orderkey")})
+       SELECT l_returnflag, l_linestatus,
+              sum(weight * l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS net_revenue
+       FROM changelog
+       GROUP BY l_returnflag, l_linestatus
+       HAVING sum(weight) > 0""",
+)
+
+
+def changelog_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 over changelogs of lineitem AND orders: weights multiply across the
+    join, revenue = SUM(w_li * w_o * expr), groups kept while support > 0.
+    This is the reference's whole program (continuous Q10 over inserts/deletes)
+    as one declarative weighted plan."""
+    li = synth_changelog(spark, sf_dir, "lineitem", "l_orderkey").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = synth_changelog(spark, sf_dir, "orders", "o_orderkey").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    li = li.withColumnRenamed("weight", "w_li")
+    o = o.withColumnRenamed("weight", "w_o")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("weight", F.col("w_li") * F.col("w_o"))
+    )
+    return delta_agg_sum(
+        joined,
+        ["c_custkey", "c_name", "c_acctbal", "n_name"],
+        dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount")),
+        "revenue",
+    )
+
+
+register(
+    "changelog_q10",
+    changelog_q10,
+    f"""WITH li AS ({_CHANGELOG_SQL.format(t="lineitem", k="l_orderkey")}),
+            o AS ({_CHANGELOG_SQL.format(t="orders", k="o_orderkey")})
+       SELECT c_custkey, c_name, c_acctbal, n_name,
+              sum(li.weight * o.weight * l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS revenue
+       FROM li JOIN o ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1995-10-01'
+         AND o_orderdate <  TIMESTAMP '1996-01-01'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       HAVING sum(li.weight * o.weight) > 0""",
+)

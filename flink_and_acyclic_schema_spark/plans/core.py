@@ -1,0 +1,788 @@
+"""Core batch relational operator suite (SURVEY.md §2.2 / §2.3).
+
+Each function is one `queries()` entry generalizing a reference capability —
+scan/project (DataFlow.java:88-116), filters (Q10OrdersProcessFunction.java:41-45,
+Q10LineitemProcessFunction.java:38-41), the FK join chain (DataFlow.java:45-57),
+and the grouped aggregate (Q10AggregateProcessFunction.java:43-52) — plus the
+standard relational surface the reference lacks (outer/semi/anti/non-equi joins,
+agg variants, rollup/cube, window functions, top-k, set ops, scalar functions,
+JSON). All built-in Catalyst expressions; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import davg, dec, dsum
+from ..registry import register
+from ..tables import load
+
+
+# --- scan / project (ref op #1/#4: parse-time projection) ------------------
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed scan + projection; Catalyst prunes the parquet ReadSchema to 3 cols."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+register(
+    "scan_project",
+    scan_project,
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+)
+
+
+# --- filters (ref ops #8 and #10) ------------------------------------------
+def filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+
+
+register(
+    "filter_date_range",
+    filter_date_range,
+    """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1995-10-01' AND o_orderdate < TIMESTAMP '1996-01-01'""",
+)
+
+
+def filter_string_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
+
+
+register(
+    "filter_string_eq",
+    filter_string_eq,
+    "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'R'",
+)
+
+
+# --- joins (ref ops #7/#9/#11 generalized) ----------------------------------
+def join_fk_2way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation on nationkey — nation broadcast (25 rows at any SF)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner").select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+register(
+    "join_fk_2way",
+    join_fk_2way,
+    "SELECT c_custkey, c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey",
+)
+
+
+def join_fk_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .select("o_orderkey", "c_custkey", "n_name", "o_totalprice")
+    )
+
+
+register(
+    "join_fk_3way",
+    join_fk_3way,
+    """SELECT o_orderkey, c_custkey, n_name, o_totalprice
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey""",
+)
+
+
+def join_fk_4way_acyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full acyclic FK join tree (DataFlow.java:45-57), unfiltered."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .select("l_orderkey", "l_linenumber", "c_custkey", "n_name", "l_extendedprice")
+    )
+
+
+register(
+    "join_fk_4way_acyclic",
+    join_fk_4way_acyclic,
+    """SELECT l_orderkey, l_linenumber, c_custkey, n_name, l_extendedprice
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey""",
+)
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with their order counts, keeping order-less customers (count 0)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+register(
+    "join_left_outer",
+    join_left_outer,
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey, c_name""",
+)
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that placed at least one urgent order (left semi — the batch
+    analog of the reference's alive-propagation, SURVEY.md §4.1)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+register(
+    "join_semi",
+    join_semi,
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+)
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (left anti = the 'Dead' side of the tree)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+register(
+    "join_anti",
+    join_anti,
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)
+
+
+def join_theta_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + theta mix: lineitems priced above their part's retail price."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return li.join(
+        p, (li.l_partkey == p.p_partkey) & (li.l_extendedprice > p.p_retailprice), "inner"
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice", "p_retailprice")
+
+
+register(
+    "join_theta_nonequi",
+    join_theta_nonequi,
+    """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice, p_retailprice
+       FROM lineitem JOIN part
+       ON l_partkey = p_partkey AND l_extendedprice > p_retailprice""",
+)
+
+
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: lineitems shipped within 30 days of their order date."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "inner",
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+
+
+register(
+    "join_range_interval",
+    join_range_interval,
+    """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+       FROM lineitem JOIN orders
+       ON l_orderkey = o_orderkey
+       AND l_shipdate >= o_orderdate
+       AND l_shipdate < o_orderdate + INTERVAL 30 DAY""",
+)
+
+
+# --- aggregations (ref op #12 generalized) ----------------------------------
+def agg_sum_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the full agg-function sweep with
+    map-side partial aggregation (sum/avg/min/max/count)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec("l_quantity")).alias("sum_qty"),
+            dsum(dec("l_extendedprice")).alias("sum_base_price"),
+            dsum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            dsum(
+                dec("l_extendedprice")
+                * dec(F.lit(1.0) - F.col("l_discount"))
+                * dec(F.lit(1.0) + F.col("l_tax"))
+            ).alias("sum_charge"),
+            davg(dec("l_quantity")).alias("avg_qty"),
+            davg(dec("l_extendedprice")).alias("avg_price"),
+            davg(dec("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+register(
+    "agg_sum_groupby",
+    agg_sum_groupby,
+    """SELECT l_returnflag, l_linestatus,
+              sum(l_quantity::DECIMAL(12,4))::DOUBLE AS sum_qty,
+              sum(l_extendedprice::DECIMAL(12,4))::DOUBLE AS sum_base_price,
+              sum(l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS sum_disc_price,
+              sum(l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4)
+                  * (1 + l_tax)::DECIMAL(12,4))::DOUBLE AS sum_charge,
+              sum(l_quantity::DECIMAL(12,4))::DOUBLE / count(*) AS avg_qty,
+              sum(l_extendedprice::DECIMAL(12,4))::DOUBLE / count(*) AS avg_price,
+              sum(l_discount::DECIMAL(12,4))::DOUBLE / count(*) AS avg_disc,
+              count(*) AS count_order,
+              min(l_extendedprice) AS min_price,
+              max(l_extendedprice) AS max_price
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under the hood)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+register(
+    "agg_count_distinct",
+    agg_count_distinct,
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+       FROM orders GROUP BY o_orderstatus""",
+)
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region -> nation with grouping-set totals."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        dsum(dec("c_acctbal")).alias("sum_acctbal"),
+    )
+
+
+register(
+    "agg_rollup",
+    agg_rollup,
+    """SELECT r_name, n_name, count(*) AS n_custs,
+              sum(c_acctbal::DECIMAL(12,4))::DOUBLE AS sum_acctbal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)""",
+)
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dec("o_totalprice")).alias("sum_price"),
+    )
+
+
+register(
+    "agg_cube",
+    agg_cube,
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+              sum(o_totalprice::DECIMAL(12,4))::DOUBLE AS sum_price
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+
+
+# --- window functions --------------------------------------------------------
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() per nation by account balance (deterministic tie-break in rank itself)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", "c_nationkey", "c_acctbal", F.row_number().over(w).alias("bal_rank")
+    )
+
+
+register(
+    "window_rank",
+    window_rank,
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+              row_number() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+       FROM customer""",
+)
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of order value per customer over time (rows frame)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+register(
+    "window_running_sum",
+    window_running_sum,
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+              sum(o_totalprice::DECIMAL(12,4)) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS running_total
+       FROM orders""",
+)
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap in seconds (lag) and next event type (lead)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        # epoch micros via pure NTZ integer arithmetic (no session-tz dependence)
+        "ep_us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.floor((F.col("ep_us") - F.lag("ep_us").over(w)) / F.lit(1000000.0))
+        .cast("long")
+        .alias("gap_sec"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+register(
+    "window_lag_lead",
+    window_lag_lead,
+    """SELECT event_id, user_id,
+              CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS BIGINT) AS gap_sec,
+              lead(event_type) OVER w AS next_type
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders by value per customer (window + filter — the distributed
+    top-k the reference's dropped LIMIT would need)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+register(
+    "topk_per_group",
+    topk_per_group,
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders) WHERE rk <= 2""",
+)
+
+
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 orders — TakeOrderedAndProject, not a full sort."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+register(
+    "sort_limit_topk",
+    sort_limit_topk,
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+)
+
+
+# --- set operations ----------------------------------------------------------
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two customer segments' nation keys."""
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return a.union(b).distinct()
+
+
+register(
+    "set_union",
+    set_union,
+    """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION
+       SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""",
+)
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations having both BUILDING and AUTOMOBILE customers."""
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return a.intersect(b)
+
+
+register(
+    "set_intersect",
+    set_intersect,
+    """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT
+       SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""",
+)
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custkeys that ordered in 1995 but never in 1996."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.subtract(b)
+
+
+register(
+    "set_except",
+    set_except,
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""",
+)
+
+
+def distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact row dedup (ref nation op #6's set-dedup, done right — SURVEY.md §8 B1)."""
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+register(
+    "distinct_dedup",
+    distinct_dedup,
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+
+
+# --- scalar functions ---------------------------------------------------------
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function sweep: substring/split (used by the ref parser,
+    DataFlow.java:70-71) plus upper/lower/trim/concat/regexp."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.regexp_extract("c_name", r"(\d+)$", 1).alias("name_num"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_word"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+    )
+
+
+register(
+    "scalar_string_funcs",
+    scalar_string_funcs,
+    r"""SELECT c_custkey,
+              upper(c_name) AS name_upper,
+              lower(c_mktsegment) AS seg_lower,
+              substring(c_name, 1, 8) AS name_prefix,
+              length(c_name) AS name_len,
+              concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+              coalesce(regexp_extract(c_name, '(\d+)$', 1), '') AS name_num,
+              string_split(c_name, '#')[1] AS name_word,
+              trim('  pad  ') AS trimmed
+       FROM customer""",
+)
+
+
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function sweep mirroring the ref's SimpleDateFormat handling
+    (DataFlow.java:64,99) with proper engine-side date arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date_str"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_eoy"),
+    )
+
+
+register(
+    "scalar_date_funcs",
+    scalar_date_funcs,
+    """SELECT o_orderkey,
+              year(o_orderdate)::INT AS o_year,
+              month(o_orderdate)::INT AS o_month,
+              day(o_orderdate)::INT AS o_day,
+              quarter(o_orderdate)::INT AS o_quarter,
+              strftime(o_orderdate, '%Y-%m-%d') AS o_date_str,
+              o_orderdate + INTERVAL 90 DAY AS due_date,
+              date_diff('day', o_orderdate::DATE, DATE '1998-12-31')::INT AS days_to_eoy
+       FROM orders""",
+)
+
+
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math sweep over the ref's revenue expression (Q10AggregateProcessFunction.java:37-39)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount")))
+        .cast("double")
+        .alias("disc_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+register(
+    "scalar_math_funcs",
+    scalar_math_funcs,
+    """SELECT l_orderkey, l_linenumber,
+              (l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS disc_price,
+              abs(l_discount - 0.05) AS disc_dev,
+              floor(l_quantity)::BIGINT AS qty_floor,
+              ceil(l_quantity)::BIGINT AS qty_ceil,
+              sqrt(l_extendedprice) AS price_sqrt,
+              l_orderkey % 7 AS key_mod7,
+              greatest(l_discount, l_tax) AS max_rate,
+              least(l_discount, l_tax) AS min_rate
+       FROM lineitem""",
+)
+
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from events.props (semi-structured column support)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+register(
+    "json_extract",
+    json_extract,
+    """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS prop_k FROM events""",
+)
+
+
+def case_when_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions (CASE WHEN / coalesce / nullif)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_label"),
+    )
+
+
+register(
+    "case_when_expr",
+    case_when_expr,
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 200000 THEN 'high'
+                   WHEN o_totalprice > 100000 THEN 'mid'
+                   ELSE 'low' END AS price_band,
+              coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label
+       FROM orders""",
+)
+
+
+# --- additional TPC-H-shaped plans (headline bench queries) -------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both join sides + top-10."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-06-15").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-06-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+register(
+    "q3_shipping_priority",
+    q3_shipping_priority,
+    """SELECT l_orderkey,
+              sum(l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1995-06-15'
+         AND l_shipdate > TIMESTAMP '1995-06-15'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join incl. region + same-nation predicate."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+register(
+    "q5_local_supplier",
+    q5_local_supplier,
+    """SELECT n_name,
+              sum(l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name""",
+)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate (pushdown showcase)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(dec("l_extendedprice") * dec("l_discount")).alias("revenue"))
+    return out
+
+
+register(
+    "q6_forecast_revenue",
+    q6_forecast_revenue,
+    """SELECT sum(l_extendedprice::DECIMAL(12,4) * l_discount::DECIMAL(12,4))::DOUBLE AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg subquery as a semi-join filter."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .select("l_orderkey", "total_qty")
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+register(
+    "q18_large_volume",
+    q18_large_volume,
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+       FROM (SELECT l_orderkey, sum(l_quantity::DECIMAL(12,4))::DOUBLE AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(l_quantity::DECIMAL(12,4))::DOUBLE > 150) big
+       JOIN orders ON big.l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey""",
+)

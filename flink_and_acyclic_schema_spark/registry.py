@@ -1,0 +1,44 @@
+"""Query registry — the single source of truth for the driver contract.
+
+``QUERIES`` maps name -> (spark, sf_dir) -> DataFrame; ``ORACLES`` maps the
+same name -> equivalent DuckDB SQL (omitted for non-SQL-expressible ops, which
+the driver then checks rows-only). ``__spark_entry__.py`` re-exports these.
+
+Every computed column is aliased identically in the Spark plan and the oracle
+SQL — the driver sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans import q10 as q10_mod
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+# --- flagship -------------------------------------------------------------
+register("q10_flagship", q10_mod.q10, q10_mod.Q10_ORACLE)
+
+
+def _register_all() -> None:
+    """Import every plan module for its registration side effects."""
+    from .plans import core  # noqa: F401
+    from .plans import changelog_plans  # noqa: F401
+    from .plans import windows  # noqa: F401
+    from .plans import llm  # noqa: F401
+    from .plans import streaming_plans  # noqa: F401
+
+
+_register_all()
