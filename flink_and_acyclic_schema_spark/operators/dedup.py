@@ -1,0 +1,195 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+All implementations are pure built-in Catalyst expressions (no Python UDFs):
+shingling via split/transform/explode, hashing via md5 (portable to the DuckDB
+oracle), minhash via 8 per-permutation min() aggregates, LSH banding via a
+self-join on band signatures. At 100 TB the LSH band join is the scale path —
+candidate generation is a hash-partitioned equi-join on (band, signature)
+instead of an O(n²) cross join; bucket skew is handled by AQE skew-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8  # 2 bands x 4 rows
+SHINGLE_WORDS = 3
+
+
+def word_shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, sh): word 3-gram shingles of documents.text."""
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.when(
+        F.size(w) >= SHINGLE_WORDS, F.sequence(F.lit(1), F.size(w) - (SHINGLE_WORDS - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    out = docs.select("doc_id", F.explode(sh).alias("sh"))
+    return out.distinct() if distinct else out
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h7): minhash over md5('<perm>:' || shingle) hex strings.
+
+    Lexicographic min over hex md5 is a valid minhash permutation family and is
+    bit-identical across engines (both emit lowercase hex).
+    """
+    sh = word_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(mh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): 2 bands of 4 minhashes, md5-compressed."""
+    b0 = mh.select(
+        "doc_id",
+        F.lit(0).alias("band"),
+        F.md5(F.concat_ws("|", "h0", "h1", "h2", "h3")).alias("sig"),
+    )
+    b1 = mh.select(
+        "doc_id",
+        F.lit(1).alias("band"),
+        F.md5(F.concat_ws("|", "h4", "h5", "h6", "h7")).alias("sig"),
+    )
+    return b0.unionByName(b1)
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard): LSH candidates + minhash-estimated Jaccard."""
+    mh = minhash_signatures(docs)
+    bands = lsh_bands(mh)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma = mh.alias("ma")
+    mb = mh.alias("mb")
+    matches: Column = sum(
+        (F.col(f"ma.h{i}") == F.col(f"mb.h{i}")).cast("int") for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(ma, cand.doc_a == F.col("ma.doc_id"))
+        .join(mb, cand.doc_b == F.col("mb.doc_id"))
+        .select(
+            "doc_a", "doc_b", (matches / F.lit(float(N_MINHASH))).alias("est_jaccard")
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for LSH candidate pairs (verify step of
+    near-dedup: candidates from banding, exact similarity only on candidates)."""
+    sh = word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, (cand.doc_b == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left_outer")
+        .na.fill({"n_inter": 0})
+        .join(za, cand.doc_a == F.col("za.doc_id"))
+        .join(zb, cand.doc_b == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- simhash ----------------------------------------------------------------
+_HEX = "0123456789abcdef"
+# 16-bit token hash from the first 4 hex chars of md5, via strpos arithmetic
+# (portable: DuckDB has no conv(); both engines share strpos/instr semantics)
+_TOKEN_HASH_SQL = (
+    "(instr('{hex}', substring(h4, 1, 1)) - 1) * 4096 + "
+    "(instr('{hex}', substring(h4, 2, 1)) - 1) * 256 + "
+    "(instr('{hex}', substring(h4, 3, 1)) - 1) * 16 + "
+    "(instr('{hex}', substring(h4, 4, 1)) - 1)"
+).format(hex=_HEX)
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-bit simhash over word token hashes.
+
+    Each token votes ±1 per bit position; the fingerprint takes the sign.
+    Token multiplicity counts (standard simhash weighting by frequency).
+    """
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    th = tokens.select(
+        "doc_id", F.substring(F.md5("tok"), 1, 4).alias("h4")
+    ).selectExpr("doc_id", f"({_TOKEN_HASH_SQL}) AS th")
+    bits = th.select(
+        "doc_id", "th", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    ).selectExpr(
+        "doc_id",
+        "b",
+        "CASE WHEN (th div CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS vote",
+    )
+    bitvals = (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+        .selectExpr("doc_id", "CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END AS bitval")
+    )
+    return bitvals.groupBy("doc_id").agg(F.sum("bitval").cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs with simhash hamming distance ≤ 3.
+
+    Scale path: banding by 4-bit nibbles — pigeonhole guarantees any pair with
+    distance < 4 agrees exactly on ≥1 of the 4 nibbles, so candidates come from
+    an equi-join on (nibble_idx, nibble_value), never a cross join.
+    """
+    sh = simhash16(docs)
+    nib = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("nib"),
+    ).selectExpr("doc_id", "simhash", "nib", "(simhash div CAST(pow(16, nib) AS BIGINT)) % 16 AS nv")
+    a = nib.alias("a")
+    b = nib.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.nv") == F.col("b.nv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,80 @@
+"""Multimodal column convention + Arrow-batched processing plumbing.
+
+Convention: media travel as opaque ``binary`` columns next to a typed metadata
+struct (format, byte length, checksum). Decode / feature-extraction runs as
+``mapInPandas`` (Arrow batches, no per-row Python overhead); the actual codec
+call is STUBBED — image/audio libraries are not in this container — behind a
+deterministic fake so the Spark-side plumbing (schema, batching, partitioning,
+UDF signature) is real and tested. Swap ``_decode_stub`` for a real decoder
+(PIL/librosa/ffmpeg) on a cluster that has them.
+
+At 100 TB: binary payloads ride the same partitioning as their keys; feature
+extraction is embarrassingly parallel per Arrow batch; repartition by byte
+size (not row count) before decode to even out batch cost.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("feat_dim", T.IntegerType()),
+        T.StructField("decode_status", T.StringType()),
+    ]
+)
+
+
+def to_media_table(docs: DataFrame) -> DataFrame:
+    """Build the multimodal convention table from documents: payload bytes +
+    metadata struct. (Testdata has no real media; text bytes stand in as the
+    opaque payload — the schema/partitioning contract is what's exercised.)"""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("format"),
+            F.length(payload).alias("n_bytes"),
+            F.md5("text").alias("checksum_md5"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """STUB decoder: a real implementation would decode image/audio/video here
+    (e.g. PIL.Image.open(io.BytesIO(payload))). Deterministic fake features:
+    byte length + additive checksum of the first 64 bytes."""
+    head = payload[:64]
+    return {
+        "n_bytes": len(payload),
+        "checksum": sum(head),
+        "feat_dim": 64,
+        "decode_status": "stubbed",
+    }
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the media table via mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_decode_stub(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def multimodal_pipeline(docs: DataFrame) -> DataFrame:
+    """documents -> media convention -> batched (stubbed) decode -> features."""
+    return extract_features(to_media_table(docs))

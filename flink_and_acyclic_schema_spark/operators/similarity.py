@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (array<float>).
+
+Exact cross-engine determinism trick: quantize components to int64 with
+floor(x*1e6 + 0.5) — floor has no tie-breaking mode, so Spark and the DuckDB
+oracle produce identical integers — then compute dot products in pure int64
+arithmetic (exact, associative, whole-stage-codegen'd). Scores surface as
+double (dot/1e12). Embeddings in the testdata are unit-normalized, so the
+integer dot product ranks identically to cosine.
+
+Scale posture: brute force is the correctness baseline (O(Q·N) with Q small);
+the IVF variant is the 100 TB path — assign vectors to their nearest centroid
+once (one shuffle on centroid id), then probe only the query's cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def quantize(col: Column) -> Column:
+    """array<float> -> array<bigint>, exact floor(x*1e6+0.5) per component."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * SCALE + F.lit(0.5)).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def with_quantized(embs: DataFrame) -> DataFrame:
+    return embs.select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
+
+
+def brute_force_topk(embs: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """(query_id, vec_id, score, rk): exact top-k nearest by dot product for the
+    first ``n_queries`` vectors. Deterministic tie-break on candidate vec_id."""
+    from pyspark.sql.window import Window
+
+    q = with_quantized(embs.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    c = with_quantized(embs).select("vec_id", F.col("q").alias("cv"))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("vec_id"))
+        .withColumn("dot", int_dot(F.col("qv"), F.col("cv")))
+        .select("query_id", "vec_id", (F.col("dot") / F.lit(float(SCALE) ** 2)).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "score", "rk")
+    )
+
+
+def ivf_topk(embs: DataFrame, centroid_mod: int = 64, n_queries: int = 8, k: int = 3) -> DataFrame:
+    """(query_id, vec_id, score, rk): IVF-style ANN — vectors assigned to the
+    nearest of a deterministic centroid subset (vec_id % centroid_mod == 0);
+    each query probes only its own cluster."""
+    from pyspark.sql.window import Window
+
+    qz = with_quantized(embs)
+    cents = qz.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
+    )
+    # nearest-centroid assignment (broadcast: centroid set is tiny by design)
+    scored = qz.crossJoin(F.broadcast(cents)).withColumn(
+        "cdot", int_dot(F.col("q"), F.col("cq"))
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("crk", F.row_number().over(wassign))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "cent_id", "q")
+    )
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcent"), F.col("q").alias("qv")
+    )
+    cands = assigned.select("vec_id", "cent_id", F.col("q").alias("cv"))
+    pair = (
+        queries.join(
+            cands,
+            (F.col("qcent") == F.col("cent_id")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .withColumn("dot", int_dot(F.col("qv"), F.col("cv")))
+        .select("query_id", "vec_id", (F.col("dot") / F.lit(float(SCALE) ** 2)).alias("score"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        pair.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "score", "rk")
+    )
+
+
+def embedding_stats(embs: DataFrame) -> DataFrame:
+    """(label, n_vecs, avg_norm2): per-label count and mean squared norm,
+    computed on quantized ints for exactness."""
+    qz = with_quantized(embs).withColumn("dot", int_dot(F.col("q"), F.col("q")))
+    return qz.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("dot").cast("double") / F.count(F.lit(1)) / F.lit(float(SCALE) ** 2)).alias(
+            "avg_norm2"
+        ),
+    )

@@ -1,5 +1,324 @@
-"""LLM training-data pipeline operators over documents/embeddings.
+"""LLM training-data pipeline plans over documents/embeddings (SURVEY.md §7
+Phase 6, judge-graded as first-class components).
 
-Filled in progressively; see operators/dedup.py, operators/similarity.py,
-operators/text.py.
+Every operator has a DuckDB oracle. Cross-engine determinism conventions:
+- hashing: md5 (lowercase hex in both engines)
+- embeddings: quantized int64 dot products (operators/similarity.py) — exact
+  in Spark longs AND in DuckDB doubles (values < 2^53)
+- ratios: int/int double division (bit-identical)
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..registry import register
+from ..tables import load
+
+# shared oracle CTEs -----------------------------------------------------------
+_SHINGLES_CTE = r"""
+words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM words),
+mh AS (
+  SELECT doc_id,
+    min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+    min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
+    min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
+    min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+  FROM shingles GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS sig FROM mh
+  UNION ALL
+  SELECT doc_id, 1, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM mh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+"""
+
+_QUANT_CTE = """
+qe AS (SELECT vec_id, label,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)) AS q
+       FROM embeddings)
+"""
+
+
+# --- dedup -------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup: one representative (min doc_id) per md5(text)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+register(
+    "dedup_exact",
+    dedup_exact,
+    """SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id,
+              count(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+register(
+    "dedup_minhash_lsh",
+    dedup_minhash_lsh,
+    f"""WITH {_SHINGLES_CTE}
+       SELECT doc_a, doc_b,
+              ((ma.h0 = mb.h0)::INT + (ma.h1 = mb.h1)::INT + (ma.h2 = mb.h2)::INT
+               + (ma.h3 = mb.h3)::INT + (ma.h4 = mb.h4)::INT + (ma.h5 = mb.h5)::INT
+               + (ma.h6 = mb.h6)::INT + (ma.h7 = mb.h7)::INT) / 8.0 AS est_jaccard
+       FROM cand JOIN mh ma ON cand.doc_a = ma.doc_id
+       JOIN mh mb ON cand.doc_b = mb.doc_id""",
+)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+register(
+    "dedup_ngram_jaccard",
+    dedup_ngram_jaccard,
+    f"""WITH {_SHINGLES_CTE},
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       inter AS (
+         SELECT doc_a, doc_b, count(*) AS n_inter
+         FROM cand JOIN shingles sa ON cand.doc_a = sa.doc_id
+         JOIN shingles sb ON cand.doc_b = sb.doc_id AND sa.sh = sb.sh
+         GROUP BY doc_a, doc_b)
+       SELECT cand.doc_a, cand.doc_b,
+              coalesce(n_inter, 0) / CAST(za.n_sh + zb.n_sh - coalesce(n_inter, 0) AS DOUBLE)
+                AS jaccard
+       FROM cand LEFT JOIN inter ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+       JOIN sizes za ON cand.doc_a = za.doc_id
+       JOIN sizes zb ON cand.doc_b = zb.doc_id""",
+)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(load(spark, sf_dir, "documents"))
+
+
+_SIMHASH_CTE = r"""
+tokens AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+th AS (
+  SELECT doc_id,
+         (instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096
+       + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256
+       + (instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) AS th
+  FROM tokens),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN (th // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+  FROM th, range(0, 16) t(b)),
+bitvals AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(vote) > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END AS bitval
+  FROM bits GROUP BY doc_id, b),
+sh16 AS (
+  SELECT doc_id, sum(bitval)::BIGINT AS simhash FROM bitvals GROUP BY doc_id)
+"""
+
+register(
+    "dedup_simhash",
+    dedup_simhash,
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh16",
+)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(load(spark, sf_dir, "documents"))
+
+
+register(
+    "dedup_simhash_pairs",
+    dedup_simhash_pairs,
+    f"""WITH {_SIMHASH_CTE}
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       FROM sh16 a JOIN sh16 b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+
+
+# --- text analysis -----------------------------------------------------------
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load(spark, sf_dir, "documents"))
+
+
+register(
+    "text_stats",
+    text_stats_q,
+    r"""WITH w AS (
+         SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks,
+                length(text) AS total_chars
+         FROM documents)
+       SELECT doc_id,
+              len(toks) AS n_tokens,
+              CAST(total_chars - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len,
+              CAST(total_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                / total_chars AS punct_ratio,
+              CAST(len(list_filter(toks, x -> x IN
+                ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                / len(toks) AS stopword_ratio,
+              CAST(total_chars - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                / total_chars AS upper_ratio
+       FROM w""",
+)
+
+
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count_bpe(load(spark, sf_dir, "documents"))
+
+
+register(
+    "token_count_bpe",
+    token_count_q,
+    r"""SELECT doc_id,
+              len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+       FROM documents""",
+)
+
+
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load(spark, sf_dir, "documents"))
+
+
+register(
+    "lang_id",
+    lang_id_q,
+    r"""WITH sc AS (
+         SELECT doc_id, lang,
+           len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x IN ('the','a','of','and','is'))) AS s_en,
+           len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x IN ('der','die','das','und','ist'))) AS s_de,
+           len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x IN ('el','la','los','de','es'))) AS s_es,
+           len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x IN ('le','la','les','et','est'))) AS s_fr,
+           len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x IN ('de','shi','le','bu','wo'))) AS s_zh
+         FROM documents)
+       SELECT doc_id, lang,
+              CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+                   WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                   WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                   WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                   ELSE 'zh' END AS lang_pred
+       FROM sc""",
+)
+
+
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(load(spark, sf_dir, "documents"))
+
+
+register(
+    "doc_fingerprint",
+    doc_fingerprint_q,
+    f"""WITH {_SHINGLES_CTE}
+       SELECT doc_id, min(md5(sh)) AS fingerprint, count(*) AS n_shingles
+       FROM shingles GROUP BY doc_id""",
+)
+
+
+# --- similarity search -------------------------------------------------------
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(load(spark, sf_dir, "embeddings"))
+
+
+register(
+    "sim_brute_topk",
+    sim_brute_topk,
+    f"""WITH {_QUANT_CTE},
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id,
+                list_dot_product(q.q, c.q) / 1000000000000.0 AS score
+         FROM qe q JOIN qe c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+       SELECT query_id, vec_id, score, rk FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rk
+         FROM scored) WHERE rk <= 5""",
+)
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
+register(
+    "sim_ivf_topk",
+    sim_ivf_topk,
+    f"""WITH {_QUANT_CTE},
+       cents AS (SELECT vec_id AS cent_id, q AS cq FROM qe WHERE vec_id % 64 = 0),
+       assigned AS (
+         SELECT vec_id, cent_id, q FROM (
+           SELECT qe.vec_id, cents.cent_id, qe.q,
+                  row_number() OVER (PARTITION BY qe.vec_id
+                    ORDER BY list_dot_product(qe.q, cents.cq) DESC, cents.cent_id) AS crk
+           FROM qe CROSS JOIN cents) WHERE crk = 1),
+       pair AS (
+         SELECT a.vec_id AS query_id, c.vec_id,
+                list_dot_product(a.q, c.q) / 1000000000000.0 AS score
+         FROM assigned a JOIN assigned c
+           ON a.cent_id = c.cent_id AND a.vec_id < 8 AND a.vec_id <> c.vec_id)
+       SELECT query_id, vec_id, score, rk FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rk
+         FROM pair) WHERE rk <= 3""",
+)
+
+
+# --- multimodal --------------------------------------------------------------
+def multimodal_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload convention + Arrow-batched (stubbed) decode via
+    mapInPandas — the one deliberately non-pure-SQL operator; the oracle
+    replicates the deterministic stub arithmetic (texts are ASCII)."""
+    from ..operators.multimodal import multimodal_pipeline
+
+    return multimodal_pipeline(load(spark, sf_dir, "documents"))
+
+
+register(
+    "multimodal_pipeline",
+    multimodal_pipeline_q,
+    """SELECT doc_id,
+              length(text)::BIGINT AS n_bytes,
+              list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                       i -> ascii(substring(text, i, 1))))::BIGINT AS checksum,
+              64 AS feat_dim,
+              'stubbed' AS decode_status
+       FROM documents""",
+)
+
+
+def embedding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_stats(load(spark, sf_dir, "embeddings"))
+
+
+register(
+    "embedding_stats",
+    embedding_stats_q,
+    f"""WITH {_QUANT_CTE}
+       SELECT label, count(*) AS n_vecs,
+              sum(list_dot_product(q, q))::DOUBLE / count(*) / 1000000000000.0 AS avg_norm2
+       FROM qe GROUP BY label""",
+)
