@@ -1,4 +1,253 @@
-"""Structured Streaming plans (incremental Q10, watermarked windows).
+"""Structured Streaming plans (SURVEY.md §7 Phases 4-5).
 
-Filled in progressively; see streaming/ package.
+Each entry runs a REAL streaming query (readStream file source, micro-batches,
+checkpointing, availableNow trigger) to completion and returns the final state
+as a batch DataFrame, so the driver's oracle comparison applies unchanged. The
+flagship is ``incremental_q10_stream``: the reference's continuous Q10 over an
+insert/delete changelog (its entire program) with the final maintained state
+oracle-checked against a from-scratch SQL recompute over the net rows — the
+Cquirrel prefix-correctness property as a hash equality.
+
+Scratch state/checkpoints live under .scratch/ (gitignored).
 """
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..schemas import SCHEMAS
+from ..tables import load
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", os.path.join(_REPO_ROOT, ".scratch"))
+_uniq = itertools.count()
+
+
+def _scratch(tag: str, sf_dir: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(SCRATCH, f"{tag}_{sf}_{os.getpid()}_{next(_uniq)}")
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    return d
+
+
+# --- flagship: incremental Q10 over a changelog stream -----------------------
+def incremental_q10_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.changelog_source import generate_changelog_files
+    from ..streaming.incremental import run_incremental_q10_stream
+
+    scratch = _scratch("ivm_q10", sf_dir)
+    changelog_dir = generate_changelog_files(
+        spark, sf_dir, os.path.join(scratch, "changelog"), n_chunks=4
+    )
+    return run_incremental_q10_stream(spark, changelog_dir, scratch)
+
+
+register(
+    "incremental_q10_stream",
+    incremental_q10_stream,
+    # net-rows recompute: multiplicities mirror generate_changelog_files exactly
+    """WITH li AS (
+         SELECT *, 1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
+         FROM lineitem),
+       o AS (
+         SELECT *, 1 - (o_orderkey % 7 = 0)::INT AS m FROM orders)
+       SELECT c_custkey, c_name, c_acctbal, n_name,
+              sum(li.m * o.m * l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS revenue
+       FROM li JOIN o ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1995-10-01'
+         AND o_orderdate <  TIMESTAMP '1996-01-01'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       HAVING sum(li.m * o.m) > 0""",
+)
+
+
+# --- streaming events source -------------------------------------------------
+def _events_stream(spark: SparkSession, sf_dir: str, scratch: str) -> DataFrame:
+    """readStream over a scratch copy of events.parquet (the streaming file
+    source wants a directory, not a bare file).
+
+    Watermarks demand TimestampType (not NTZ), so the raw nanos become an
+    absolute TIMESTAMP via timestamp_micros (tz-free epoch arithmetic); plans
+    convert window bounds back to NTZ with ``_to_ntz`` so outputs never depend
+    on the session timezone.
+    """
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(indir, "events.parquet"))
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = spark.readStream.schema(schema).parquet(indir)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _to_ntz(col: str):
+    """TIMESTAMP -> TIMESTAMP_NTZ via epoch micros (session-tz independent)."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, unix_micros({col}), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+
+
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 5-minute tumbling aggregation as a real streaming query
+    (complete mode, memory sink); final table equals the batch/oracle result."""
+    ckpt = _scratch("tumbling", sf_dir)
+    ev = _events_stream(spark, sf_dir, ckpt).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+        .withColumn("win_start", _to_ntz("win_start"))
+    )
+    name = f"tumbling_{os.getpid()}_{next(_uniq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(ckpt, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_tumbling_window",
+    stream_tumbling_window,
+    """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, event_type,
+              count(*) AS n_events, sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (10-minute gap) per user via
+    session_window(); complete mode, memory sink."""
+    scratch = _scratch("session", sf_dir)
+    ev = _events_stream(spark, sf_dir, scratch).withWatermark("ts", "30 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .withColumn("session_start", _to_ntz("session_start"))
+        .withColumn("session_end", _to_ntz("session_end"))
+    )
+    name = f"session_{os.getpid()}_{next(_uniq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_session_window",
+    stream_session_window,
+    # gaps-and-islands recompute; session_window end = last event + gap
+    """WITH base AS (
+         SELECT user_id, ts, value, event_id, epoch_us(ts) AS ep_us FROM events),
+       marked AS (
+         SELECT user_id, ts, value,
+                CASE WHEN ep_us
+                          - lag(ep_us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          >= 600000000 OR lag(ep_us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session,
+                event_id
+         FROM base),
+       sessions AS (
+         SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         FROM marked)
+       SELECT user_id, min(ts) AS session_start,
+              max(ts) + INTERVAL 10 MINUTE AS session_end,
+              count(*) AS n_events,
+              sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM sessions GROUP BY user_id, sid""",
+)
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the events file is fed through the stream
+    TWICE (two files, one per micro-batch); dropDuplicates state must suppress
+    every second copy across batches. Final count per type equals the
+    plain-distinct oracle."""
+    scratch = _scratch("dedup", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(indir, "copy1.parquet"))
+    shutil.copy(src, os.path.join(indir, "copy2.parquet"))
+
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+    deduped = raw.dropDuplicates(["event_id"])
+    out = os.path.join(scratch, "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    return got.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+register(
+    "stream_dedup_watermark",
+    stream_dedup_watermark,
+    "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
+)

@@ -1,0 +1,190 @@
+"""Incremental Q10 maintenance over a changelog stream — the reference's whole
+program (continuous TPC-H Q10 over inserts/deletes, DataFlow.java:26-61),
+rebuilt as correct-by-construction weight-algebra IVM in foreachBatch.
+
+Where the reference wires five hand-written keyed ProcessFunctions with
+Alive/Dead delta tags (and breaks retraction in three places — SURVEY.md §8
+B1-B3), this maintains, per micro-batch of weighted deltas (ΔL, ΔO, ΔC, ΔN):
+
+    ΔJ = ΔL⋈O₀⋈C₀⋈N₀  ∪  L₁⋈ΔO⋈C₀⋈N₀  ∪  L₁⋈O₁⋈ΔC⋈N₀  ∪  L₁⋈O₁⋈C₁⋈ΔN
+
+(X₀ = state before the batch, X₁ = X₀+ΔX — the standard sequential delta-join
+decomposition; weights multiply across the join) and folds ΔJ into the grouped
+aggregate state: revenue += Σ w·price·(1−disc), support += Σ w. Groups keep
+living in state while support ≠ 0 and surface while support > 0. Per batch the
+work is O(Δ ⋈ state) — never a recompute.
+
+Filters (o_orderdate window, l_returnflag='R' — ref ops #8/#10) are applied at
+parse time so the join state only holds filter-surviving tuples — the same
+state-size reduction Cquirrel's alive-gating achieves.
+
+State lives in parquet per relation + aggregate (at 100 TB this slots into a
+Delta table / RocksDB state store with the identical merge; parquet keeps the
+recipe dependency-free here). Batch-mode ``run_incremental_q10`` applies the
+same merge over pre-chunked DataFrames; the streaming entry wires it to a real
+``readStream`` file source via foreachBatch (availableNow trigger).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..sources.changelog_source import parse_changelog
+
+STATE_RELS = ("lineitem", "orders", "customer", "nation")
+GROUP_COLS = ("c_custkey", "c_name", "c_acctbal", "n_name")
+
+Q10_LO = "1995-10-01"
+Q10_HI = "1996-01-01"
+
+
+def _filters(
+    tables: dict[str, DataFrame], lo: str = Q10_LO, hi: str = Q10_HI
+) -> dict[str, DataFrame]:
+    """Push the Q10 filters to the changelog edge (state stays minimal)."""
+    out = dict(tables)
+    out["lineitem"] = tables["lineitem"].filter(F.col("l_returnflag") == "R")
+    out["orders"] = tables["orders"].filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+    )
+    return out
+
+
+class IncrementalQ10:
+    """Weight-algebra IVM state machine; one instance per maintained query."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, lo: str = Q10_LO, hi: str = Q10_HI):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.lo, self.hi = lo, hi
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.makedirs(state_dir)
+        self._version = 0
+
+    # --- state I/O ----------------------------------------------------------
+    def _path(self, rel: str) -> str:
+        return os.path.join(self.state_dir, f"{rel}_v{self._version}")
+
+    def _read(self, rel: str, template: DataFrame) -> DataFrame:
+        p = self._path(rel)
+        if not os.path.exists(p):
+            return template.limit(0)
+        return self.spark.read.parquet(p)
+
+    @staticmethod
+    def _merge(state: DataFrame, delta: DataFrame) -> DataFrame:
+        """Net-weight merge; rows vanish when their weight sums to zero."""
+        cols = [c for c in state.columns if c != "weight"]
+        return (
+            state.unionByName(delta)
+            .groupBy(*cols)
+            .agg(F.sum("weight").alias("weight"))
+            .filter(F.col("weight") != 0)
+        )
+
+    # --- one micro-batch ----------------------------------------------------
+    def process_batch(self, batch_lines: DataFrame, batch_id: int | None = None) -> None:
+        deltas = _filters(parse_changelog(batch_lines), self.lo, self.hi)
+        old = {r: self._read(r, deltas[r]) for r in STATE_RELS}
+        new = {r: self._merge(old[r], deltas[r]) for r in STATE_RELS}
+
+        def j(li, o, c, n):
+            return (
+                li.withColumnRenamed("weight", "w_l")
+                .join(
+                    o.withColumnRenamed("weight", "w_o"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                )
+                .join(
+                    c.withColumnRenamed("weight", "w_c"),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                )
+                .join(
+                    F.broadcast(n.withColumnRenamed("weight", "w_n")),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+                .withColumn("w", F.col("w_l") * F.col("w_o") * F.col("w_c") * F.col("w_n"))
+            )
+
+        dj = (
+            j(deltas["lineitem"], old["orders"], old["customer"], old["nation"])
+            .unionByName(j(new["lineitem"], deltas["orders"], old["customer"], old["nation"]))
+            .unionByName(j(new["lineitem"], new["orders"], deltas["customer"], old["nation"]))
+            .unionByName(j(new["lineitem"], new["orders"], new["customer"], deltas["nation"]))
+        )
+        agg_delta = dj.groupBy(*GROUP_COLS).agg(
+            F.sum(
+                F.col("w") * dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue_d"),
+            F.sum("w").alias("support_d"),
+        )
+
+        agg_template = agg_delta.select(
+            *GROUP_COLS,
+            F.col("revenue_d").alias("revenue"),
+            F.col("support_d").alias("support"),
+        )
+        agg_old = self._read("agg", agg_template)
+        agg_new = (
+            agg_old.unionByName(
+                agg_delta.select(
+                    *GROUP_COLS,
+                    F.col("revenue_d").alias("revenue"),
+                    F.col("support_d").alias("support"),
+                )
+            )
+            .groupBy(*GROUP_COLS)
+            .agg(F.sum("revenue").alias("revenue"), F.sum("support").alias("support"))
+            .filter(F.col("support") != 0)
+        )
+
+        # write next version, then advance (avoids read/overwrite of same path)
+        nxt = self._version + 1
+        for rel, df in {**new, "agg": agg_new}.items():
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, f"{rel}_v{nxt}")
+            )
+        prev = self._version
+        self._version = nxt
+        for rel in (*STATE_RELS, "agg"):
+            p = os.path.join(self.state_dir, f"{rel}_v{prev}")
+            if os.path.exists(p):
+                shutil.rmtree(p)
+
+    # --- result -------------------------------------------------------------
+    def result(self) -> DataFrame:
+        p = os.path.join(self.state_dir, f"agg_v{self._version}")
+        agg = self.spark.read.parquet(p)
+        return agg.filter(F.col("support") > 0).select(
+            *GROUP_COLS, F.col("revenue").cast("double").alias("revenue")
+        )
+
+
+def run_incremental_q10_stream(
+    spark: SparkSession, changelog_dir: str, scratch_dir: str
+) -> DataFrame:
+    """Real Structured Streaming wiring: file source over the changelog dir,
+    one file per micro-batch, IVM merge in foreachBatch, availableNow trigger.
+    Returns the final maintained Q10 state as a batch DataFrame."""
+    ivm = IncrementalQ10(spark, os.path.join(scratch_dir, "state"))
+    ckpt = os.path.join(scratch_dir, "ckpt")
+    if os.path.exists(ckpt):
+        shutil.rmtree(ckpt)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1).text(changelog_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivm.process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ivm.result()

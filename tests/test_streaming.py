@@ -1,0 +1,109 @@
+"""Streaming-specific properties beyond the oracle gate.
+
+1. The golden hand-traceable changelog from FIXTURES.md §2 (reference input
+   format, reference 1993 date window, intended retraction semantics).
+2. The Cquirrel prefix-invariance property (SURVEY.md §5.2): after EVERY
+   micro-batch prefix, the maintained state equals a from-scratch recompute
+   over that prefix's net rows — the test whose absence let reference bugs
+   B1-B3 go unnoticed.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_and_acyclic_schema_spark.functions.numeric import dec
+from flink_and_acyclic_schema_spark.sources.changelog_source import (
+    generate_changelog_files,
+    parse_changelog,
+)
+from flink_and_acyclic_schema_spark.streaming.incremental import GROUP_COLS, IncrementalQ10
+
+from .conftest import SF_SMOKE
+
+GOLDEN = [
+    "AddNATI|7|GERMANY|3|xx",
+    "AddCUST|13|Customer#000000013|addr|7|30-749-445-4907|3857.34|BUILDING|note",
+    "AddORDE|500|13|F|100.0|1993-11-15|1-URGENT",
+    "AddLINE|500|77|5|1|10|1000.00|0.10|0.02|R",
+    "AddLINE|500|78|5|2|10|500.00|0.00|0.02|R",
+    "AddLINE|500|79|5|3|10|400.00|0.00|0.02|N",
+    "SubLINE|500|78|5|2|10|500.00|0.00|0.02|R",
+    "AddORDE|501|13|F|100.0|1995-01-01|1-URGENT",
+    "AddLINE|501|80|5|1|10|999.00|0.00|0.02|R",
+]
+
+
+def test_golden_changelog(spark, tmp_path):
+    """FIXTURES.md §2 golden fixture: final revenue must be exactly 900.00 —
+    the answer the reference's broken retraction path never produces (§8 B1-B3)."""
+    ivm = IncrementalQ10(spark, str(tmp_path / "state"), lo="1993-10-01", hi="1994-01-01")
+    lines = spark.createDataFrame([(line,) for line in GOLDEN], ["value"])
+    ivm.process_batch(lines)
+    rows = ivm.result().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.c_custkey == 13 and r.n_name == "GERMANY"
+    assert r.revenue == pytest.approx(900.0, abs=1e-9)
+
+
+def _recompute_prefix(spark, files):
+    """From-scratch weighted Q10 over the net rows of a line-file prefix."""
+    lines = spark.read.text(files)
+    t = parse_changelog(lines)
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R").withColumnRenamed("weight", "w_l")
+    o = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .withColumnRenamed("weight", "w_o")
+    )
+    c = t["customer"].withColumnRenamed("weight", "w_c")
+    n = t["nation"].withColumnRenamed("weight", "w_n")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("w", F.col("w_l") * F.col("w_o") * F.col("w_c") * F.col("w_n"))
+    )
+    return (
+        j.groupBy(*GROUP_COLS)
+        .agg(
+            F.sum(F.col("w") * dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.sum("w").alias("support"),
+        )
+        .filter(F.col("support") > 0)
+        .drop("support")
+    )
+
+
+def _snapshot(df):
+    return sorted(
+        (r.c_custkey, r.c_name, round(r.c_acctbal, 6), r.n_name, round(r.revenue, 6))
+        for r in df.collect()
+    )
+
+
+def test_ivm_prefix_invariance(spark, tmp_path):
+    """After every micro-batch, incremental state == batch recompute of the
+    prefix (order-independence of the weight algebra, deletes before inserts
+    included — chunk hashing guarantees cross-batch delete/insert splits)."""
+    changelog_dir = generate_changelog_files(
+        spark, SF_SMOKE, str(tmp_path / "changelog"), n_chunks=3
+    )
+    files = sorted(glob.glob(os.path.join(changelog_dir, "chunk*.txt")))
+    assert len(files) == 3
+    ivm = IncrementalQ10(spark, str(tmp_path / "state"))
+    for i, f in enumerate(files):
+        ivm.process_batch(spark.read.text(f))
+        got = _snapshot(ivm.result())
+        want = _snapshot(_recompute_prefix(spark, files[: i + 1]))
+        assert got == want, f"prefix {i + 1}: IVM state diverged from recompute"
