@@ -34,16 +34,19 @@ def word_shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, h0..h7): minhash over md5('<perm>:' || shingle) hex strings.
+    """(doc_id, h0..h7): 8 minhash functions from 2 md5s per shingle.
 
-    Lexicographic min over hex md5 is a valid minhash permutation family and is
-    bit-identical across engines (both emit lowercase hex).
+    Each md5('<i>:' || shingle) is sliced into four 8-hex (32-bit) chunks;
+    lexicographic min per chunk is a valid minhash permutation. Two md5 calls
+    per shingle instead of eight keeps the hash stage 4x cheaper at scale, and
+    hex strings are bit-identical across engines (both emit lowercase).
     """
     sh = word_shingles(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(N_MINHASH)
-    ]
+    aggs = []
+    for i in range(N_MINHASH // 4):
+        h = F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))
+        for j in range(4):
+            aggs.append(F.min(F.substring(h, 1 + 8 * j, 8)).alias(f"h{i * 4 + j}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -63,8 +66,13 @@ def lsh_bands(mh: DataFrame) -> DataFrame:
 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, est_jaccard): LSH candidates + minhash-estimated Jaccard."""
-    mh = minhash_signatures(docs)
+    """(doc_a, doc_b, est_jaccard): LSH candidates + minhash-estimated Jaccard.
+
+    The signature table is persisted: it is tiny (one row per doc) but feeds
+    three consumers (band self-join sides + the est-jaccard join), and without
+    caching Spark re-runs the whole shingle->hash pipeline per consumer.
+    """
+    mh = minhash_signatures(docs).persist()
     bands = lsh_bands(mh)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -95,7 +103,7 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for LSH candidate pairs (verify step of
     near-dedup: candidates from banding, exact similarity only on candidates)."""
-    sh = word_shingles(docs)
+    sh = word_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
     sa = sh.alias("sa")

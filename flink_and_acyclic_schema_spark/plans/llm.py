@@ -27,10 +27,14 @@ shingles AS (
   FROM words),
 mh AS (
   SELECT doc_id,
-    min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
-    min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
-    min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
-    min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+    min(substring(md5('0:' || sh), 1, 8))  AS h0,
+    min(substring(md5('0:' || sh), 9, 8))  AS h1,
+    min(substring(md5('0:' || sh), 17, 8)) AS h2,
+    min(substring(md5('0:' || sh), 25, 8)) AS h3,
+    min(substring(md5('1:' || sh), 1, 8))  AS h4,
+    min(substring(md5('1:' || sh), 9, 8))  AS h5,
+    min(substring(md5('1:' || sh), 17, 8)) AS h6,
+    min(substring(md5('1:' || sh), 25, 8)) AS h7
   FROM shingles GROUP BY doc_id),
 bands AS (
   SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS sig FROM mh
