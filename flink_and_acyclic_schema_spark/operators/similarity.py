@@ -98,6 +98,62 @@ def ivf_topk(embs: DataFrame, centroid_mod: int = 64, n_queries: int = 8, k: int
     )
 
 
+def sign_lsh_bands(qz: DataFrame) -> DataFrame:
+    """(vec_id, band, sig): random-hyperplane LSH with axis-aligned planes —
+    the sign bits of the first 16 components, split into two 8-bit band
+    signatures. Vectors agreeing on all 8 signs of a band share a bucket, so
+    candidate generation is an equi-join on (band, sig): one shuffle, no
+    cross-bucket pairs, and bucket sizes stay bounded at 100 TB (256 buckets
+    per band per partition-key range; skew handled by AQE skew-join)."""
+
+    def band(lo: int) -> Column:
+        bits = F.transform(
+            F.slice(F.col("q"), lo + 1, 8),
+            lambda x, i: F.when(x >= 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(F.lit(0)),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    b = qz.select("vec_id", band(0).alias("b0"), band(8).alias("b1"))
+    return b.select("vec_id", F.lit(0).alias("band"), F.col("b0").alias("sig")).unionByName(
+        b.select("vec_id", F.lit(1).alias("band"), F.col("b1").alias("sig"))
+    )
+
+
+def embedding_near_pairs(embs: DataFrame, threshold: float = 0.30) -> DataFrame:
+    """(vec_a, vec_b, cosine): embedding-cosine near-duplicate pairs.
+
+    LSH-bucketed candidate generation (sign_lsh_bands) + exact quantized-int
+    cosine only on candidates — the standard near-dup shape: cheap recall
+    stage, exact verify stage. sqrt/divide on exact ints is IEEE-identical
+    across engines, so the score is oracle-stable."""
+    qz = with_quantized(embs).withColumn("n2", int_dot(F.col("q"), F.col("q"))).persist()
+    bands = sign_lsh_bands(qz)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    qa = qz.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na"))
+    qb = qz.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb"))
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .withColumn(
+            "cosine",
+            int_dot(F.col("qa"), F.col("qb"))
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def embedding_stats(embs: DataFrame) -> DataFrame:
     """(label, n_vecs, avg_norm2): per-label count and mean squared norm,
     computed on quantized ints for exactness."""

@@ -52,6 +52,30 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, quality, quality_band): composite document-quality
+    score in [0,1] from length / punctuation / stopword / uppercase signals —
+    the standard pre-training filter shape (Gopher/C4-style rules). Every term
+    is a fixed-order IEEE double expression over int counts, so the score is
+    bit-identical in the DuckDB oracle. Pure narrow scan+project: no shuffle,
+    fully codegen'd, trivially scalable."""
+    stats = text_stats(docs)
+    len_score = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(1.0) - F.lit(4.0) * F.col("punct_ratio"), F.lit(0.0))
+    stop_score = F.least(F.lit(5.0) * F.col("stopword_ratio"), F.lit(1.0))
+    upper_score = F.greatest(F.lit(1.0) - F.lit(2.0) * F.col("upper_ratio"), F.lit(0.0))
+    quality = (len_score + punct_score + stop_score + upper_score) / F.lit(4.0)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        quality.alias("quality"),
+        F.when(quality >= 0.75, "high")
+        .when(quality >= 0.5, "medium")
+        .otherwise("low")
+        .alias("quality_band"),
+    )
+
+
 def token_count_bpe(docs: DataFrame) -> DataFrame:
     """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace tokens vs BPE-ish
     pre-tokenizer units (letter runs / digit runs / punctuation singles)."""

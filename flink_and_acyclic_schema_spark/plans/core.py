@@ -786,3 +786,170 @@ register(
        JOIN orders ON big.l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey""",
 )
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan-filter-aggregate with 8 aggregates per group.
+    Map-side partial aggregation collapses 600k rows to 6 groups before the
+    shuffle, so the exchange moves a few KB regardless of input scale."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec("l_quantity")).alias("sum_qty"),
+            dsum(dec("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc).alias("sum_disc_price"),
+            dsum(disc * dec(F.lit(1.0) + F.col("l_tax"))).alias("sum_charge"),
+            davg(dec("l_quantity")).alias("avg_qty"),
+            davg(dec("l_extendedprice")).alias("avg_price"),
+            davg(dec("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register(
+    "q1_pricing_summary",
+    q1_pricing_summary,
+    """SELECT l_returnflag, l_linestatus,
+              sum(l_quantity::DECIMAL(12,4))::DOUBLE AS sum_qty,
+              sum(l_extendedprice::DECIMAL(12,4))::DOUBLE AS sum_base_price,
+              sum(l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4))::DOUBLE
+                AS sum_disc_price,
+              sum(l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4)
+                  * (1 + l_tax)::DECIMAL(12,4))::DOUBLE AS sum_charge,
+              sum(l_quantity::DECIMAL(12,4))::DOUBLE / count(*) AS avg_qty,
+              sum(l_extendedprice::DECIMAL(12,4))::DOUBLE / count(*) AS avg_price,
+              sum(l_discount::DECIMAL(12,4))::DOUBLE / count(*) AS avg_disc,
+              count(*)::BIGINT AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the latest click at-or-before
+    it by the same user. Implemented the scalable way — union both sides, one
+    shuffle on user_id, then last-non-null over an ordered window (sort-merge
+    as-of) — instead of the O(N*M) inequality join. Ties: clicks sort before
+    purchases at equal ts (matching >=); clicks pre-deduped per (user_id, ts)."""
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    u = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_purchase"),
+        "click_event_id",
+        F.col("ts").alias("c_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_purchase"),
+            F.lit(None).cast("long").alias("click_event_id"),
+            F.lit(None).cast("timestamp_ntz").alias("c_ts"),
+            "event_id",
+            "value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("click_event_id", F.last("click_event_id", ignorenulls=True).over(w))
+        .withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", "ts", "value", "click_event_id", "click_ts")
+    )
+
+
+register(
+    "join_asof",
+    join_asof,
+    """WITH clicks AS (
+         SELECT user_id, ts, max(event_id) AS click_event_id
+         FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+       p AS (SELECT event_id, user_id, ts, value FROM events
+             WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, p.ts, p.value,
+              c.click_event_id, c.ts AS click_ts
+       FROM p ASOF LEFT JOIN clicks c
+         ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: independent one-dimension summaries + grand total in a
+    single pass (partial-agg once, expand per set) — cheaper than N separate
+    groupBys unioned."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []], "o_orderpriority", "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dec("o_totalprice")).alias("total_price"),
+    )
+
+
+register(
+    "agg_grouping_sets",
+    agg_grouping_sets,
+    """SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n_orders,
+              sum(o_totalprice::DECIMAL(12,4))::DOUBLE AS total_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+)
+
+
+def agg_minmax_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/AVG/COUNT per group (the agg variants beyond the reference's
+    lone SUM, Q10AggregateProcessFunction.java:43-52)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        davg(dec("l_quantity")).alias("avg_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+register(
+    "agg_minmax_avg",
+    agg_minmax_avg,
+    """SELECT l_returnflag, l_linestatus,
+              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+              sum(l_quantity::DECIMAL(12,4))::DOUBLE / count(*) AS avg_qty,
+              min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+              count(*)::BIGINT AS n_items
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+
+
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch — the 100 TB path for cardinality
+    (fixed-size sketch per group, no distinct shuffle). Rows-only check: HLL
+    estimates are engine-specific, so no value-exact oracle exists by design;
+    tests/test_queries_vs_oracle.py asserts the estimate is within 5% of exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )
+
+
+register("agg_approx_count_distinct", agg_approx_count_distinct)  # rows-only by design

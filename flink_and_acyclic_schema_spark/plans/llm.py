@@ -160,6 +160,37 @@ register(
 )
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH candidate buckets + exact quantized
+    cosine on candidates only (never the O(N^2) cross join)."""
+    return similarity.embedding_near_pairs(load(spark, sf_dir, "embeddings"))
+
+
+register(
+    "dedup_embedding_cosine",
+    dedup_embedding_cosine,
+    f"""WITH {_QUANT_CTE},
+       sig AS (SELECT vec_id, q,
+         list_sum(list_transform(range(1, 9),
+           i -> CASE WHEN q[i] >= 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END)) AS b0,
+         list_sum(list_transform(range(9, 17),
+           i -> CASE WHEN q[i] >= 0 THEN CAST(pow(2, i - 9) AS BIGINT) ELSE 0 END)) AS b1
+         FROM qe),
+       bands AS (SELECT vec_id, 0 AS band, b0 AS sig FROM sig
+                 UNION ALL SELECT vec_id, 1, b1 FROM sig),
+       cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       SELECT * FROM (
+         SELECT vec_a, vec_b,
+                list_dot_product(qa.q, qb.q)
+                  / (sqrt(list_dot_product(qa.q, qa.q)) * sqrt(list_dot_product(qb.q, qb.q)))
+                  AS cosine
+         FROM cand JOIN qe qa ON vec_a = qa.vec_id JOIN qe qb ON vec_b = qb.vec_id)
+       WHERE cosine >= 0.30""",
+)
+
+
 # --- text analysis -----------------------------------------------------------
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(load(spark, sf_dir, "documents"))
@@ -183,6 +214,42 @@ register(
               CAST(total_chars - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
                 / total_chars AS upper_ratio
        FROM w""",
+)
+
+
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load(spark, sf_dir, "documents"))
+
+
+register(
+    "text_quality_score",
+    quality_score_q,
+    r"""WITH w AS (
+         SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks,
+                length(text) AS tc
+         FROM documents),
+       s AS (
+         SELECT doc_id, len(toks) AS n_tokens,
+                CAST(tc - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                  / tc AS punct_ratio,
+                CAST(len(list_filter(toks, x -> x IN
+                  ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                  / len(toks) AS stopword_ratio,
+                CAST(tc - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                  / tc AS upper_ratio
+         FROM w),
+       q AS (
+         SELECT doc_id, n_tokens,
+                (least(n_tokens / 100.0, 1.0)
+                 + greatest(1.0 - 4.0 * punct_ratio, 0.0)
+                 + least(5.0 * stopword_ratio, 1.0)
+                 + greatest(1.0 - 2.0 * upper_ratio, 0.0)) / 4.0 AS quality
+         FROM s)
+       SELECT doc_id, n_tokens, quality,
+              CASE WHEN quality >= 0.75 THEN 'high'
+                   WHEN quality >= 0.5 THEN 'medium'
+                   ELSE 'low' END AS quality_band
+       FROM q""",
 )
 
 

@@ -24,6 +24,28 @@ def test_all_queries_return_rows(spark):
         assert df.columns, f"{name}: no columns"
 
 
+def test_approx_count_distinct_within_5pct(spark):
+    """HLL++ has no value-exact oracle (rows-only in the driver); assert the
+    estimate is within 5% of the exact distinct count instead."""
+    import duckdb
+
+    est = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in QUERIES["agg_approx_count_distinct"](spark, SF_SMOKE).collect()
+    }
+    exact = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT l_returnflag, count(DISTINCT l_orderkey) FROM "
+            f"'{SF_SMOKE}/lineitem.parquet' GROUP BY l_returnflag"
+        )
+        .fetchall()
+    )
+    assert set(est) == set(exact)
+    for flag, ex in exact.items():
+        assert abs(est[flag] - ex) <= 0.05 * ex, (flag, est[flag], ex)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
