@@ -26,6 +26,8 @@ HEADLINE = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q18_large_volume",
+    "q1_pricing_summary",
+    "join_asof",
     "join_fk_4way_acyclic",
     "topk_per_group",
     "changelog_q10",
