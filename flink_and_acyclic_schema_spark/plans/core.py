@@ -953,3 +953,69 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("agg_approx_count_distinct", agg_approx_count_distinct)  # rows-only by design
+
+
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a genuinely skewed key (3 values of
+    l_returnflag over all of lineitem) — result bit-identical to the direct
+    groupBy, which is exactly what the oracle asserts."""
+    from ..operators.skew import salted_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    return salted_sum(li, ["l_returnflag"], dec("l_extendedprice"), "total_price")
+
+
+register(
+    "agg_salted_skew",
+    agg_salted_skew,
+    """SELECT l_returnflag, sum(l_extendedprice::DECIMAL(12,4))::DOUBLE AS total_price,
+              count(*)::BIGINT AS n_rows
+       FROM lineitem GROUP BY l_returnflag""",
+)
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, total order
+    value within the trailing 30 days of each order."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("epoch_day"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.withColumn("epoch_day", day)
+        .withColumn("trailing_30d", F.sum(dec("o_totalprice")).over(w).cast("double"))
+        .select("o_orderkey", "o_custkey", "epoch_day", "trailing_30d")
+    )
+
+
+register(
+    "window_range_frame",
+    window_range_frame,
+    """SELECT o_orderkey, o_custkey, epoch_day,
+              sum(o_totalprice::DECIMAL(12,4))
+                OVER (PARTITION BY o_custkey ORDER BY epoch_day
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)::DOUBLE AS trailing_30d
+       FROM (SELECT *, date_diff('day', DATE '1970-01-01', o_orderdate)::INT AS epoch_day
+             FROM orders)""",
+)
+
+
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (continuous interpolation) per group."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.median("l_extendedprice").alias("median_price"),
+    )
+
+
+register(
+    "agg_median",
+    agg_median,
+    """SELECT l_returnflag, median(l_quantity) AS median_qty,
+              median(l_extendedprice) AS median_price
+       FROM lineitem GROUP BY l_returnflag""",
+)

