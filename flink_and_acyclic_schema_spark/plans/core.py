@@ -1003,6 +1003,56 @@ register(
 )
 
 
+def q10_semijoin_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 via explicit Yannakakis semi-join reduction — the batch analog of
+    the reference's Cquirrel alive-tuple gating (the `numAlive` counters that
+    let a tuple propagate only while joinable toward the root,
+    Q10CustomerProcessFunction.java:95-111; Q10OrdersProcessFunction.java:104-121).
+    Each relation is first reduced with LEFT SEMI joins to the tuples that can
+    reach the join-tree root, then the full join runs over the reduced inputs.
+    Result is identical to the direct plan (same oracle as q10_flagship); at
+    100 TB the reduction pays when intermediate join results would dwarf the
+    semi-join shuffles — exactly Cquirrel's state-size argument."""
+    from .q10 import Q10_DATE_HI, Q10_DATE_LO
+
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_DATE_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q10_DATE_HI).cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+
+    # bottom-up reduction: orders alive iff it has a matching lineitem;
+    # customer alive iff it has an alive order
+    o_red = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+    c_red = c.join(o_red, c.c_custkey == o_red.o_custkey, "left_semi")
+    # top-down pass: lineitem restricted to alive orders before the wide join
+    li_red = li.join(o_red, li.l_orderkey == o_red.o_orderkey, "left_semi")
+
+    joined = (
+        li_red.join(o_red, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c_red, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def _register_q10_semijoin() -> None:
+    from .q10 import Q10_ORACLE
+
+    register("q10_semijoin_reduced", q10_semijoin_reduced, Q10_ORACLE)
+
+
+_register_q10_semijoin()
+
+
 def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median (continuous interpolation) per group."""
     li = load(spark, sf_dir, "lineitem")

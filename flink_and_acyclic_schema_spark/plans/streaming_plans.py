@@ -329,3 +329,87 @@ register(
        GROUP BY win_start, wm.wfinal
        HAVING win_start + INTERVAL 5 MINUTE <= wm.wfinal""",
 )
+
+
+def stream_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed state via applyInPandasWithState — the Spark-native
+    replacement for the reference's hand-rolled keyed ProcessFunction state
+    (``ValueState<Double>`` running sum, Q10AggregateProcessFunction.java:16-56).
+    Per-user (n_events, sum_cents) accumulates across two micro-batches; each
+    batch emits the updated totals and the LAST emission per user is the final
+    state, which the oracle recomputes as a plain GROUP BY. Money is summed in
+    integer cents inside the Arrow batches so the state is exact and
+    order-independent."""
+    scratch = _scratch("stateful", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    import glob as _glob
+    import time as _time
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    now = _time.time()
+    for i in range(2):
+        d = os.path.join(scratch, f"w{i}")
+        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(indir, f"b{i}.parquet")
+        shutil.copy(_glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+
+    raw = (
+        spark.readStream.schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+
+    def update_user(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_cents": [s]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updated = raw.groupBy("user_id").applyInPandasWithState(
+        update_user,
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_cents BIGINT",
+        stateStructType="n BIGINT, s BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    out = os.path.join(scratch, "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        got.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "sum_cents")
+    )
+
+
+register(
+    "stream_stateful_running_agg",
+    stream_stateful_running_agg,
+    """SELECT user_id, count(*)::BIGINT AS n_events,
+              sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+       FROM events GROUP BY user_id""",
+)
