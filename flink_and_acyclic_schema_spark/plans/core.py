@@ -1069,3 +1069,111 @@ register(
               median(l_extendedprice) AS median_price
        FROM lineitem GROUP BY l_returnflag""",
 )
+
+
+def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile/percent_rank/cume_dist. The order
+    key includes c_custkey so the total order is unique — without it ntile is
+    nondeterministic under acctbal ties."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+register(
+    "window_ntile_percent",
+    window_ntile_percent,
+    """SELECT c_custkey, c_nationkey,
+              ntile(4) OVER w AS quartile,
+              percent_rank() OVER w AS pct_rank,
+              cume_dist() OVER w AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""",
+)
+
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: sort inside the aggregate so the result is
+    order-insensitive to shuffle layout (collect_list alone is not)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("top_names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    "agg_string_concat",
+    agg_string_concat,
+    """SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS top_names,
+              count(*)::BIGINT AS n
+       FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey""",
+)
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order functions over the embedding column (size, slice,
+    filter, aggregate, max/min) — on quantized ints so values are exact in
+    both engines."""
+    from ..operators.similarity import quantize
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.size(q).alias("dim"),
+        F.array_max(q).alias("q_max"),
+        F.array_min(q).alias("q_min"),
+        F.aggregate(F.slice(q, 1, 8), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "head8_sum"
+        ),
+        F.size(F.filter(q, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+register(
+    "array_funcs",
+    array_funcs,
+    """SELECT vec_id, len(q)::INT AS dim,
+              list_max(q)::BIGINT AS q_max, list_min(q)::BIGINT AS q_min,
+              list_sum(q[1:8])::BIGINT AS head8_sum,
+              len(list_filter(q, x -> x > 0))::INT AS n_positive
+       FROM (SELECT vec_id,
+                    list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+             FROM embeddings)""",
+)
+
+
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf (the sanctioned Python escape hatch,
+    ~10-100x over row-at-a-time UDFs): exact integer-cents conversion of a
+    money column. The hot path stays JVM-side everywhere else; this registers
+    the UDF surface itself as a tested capability."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _to_cents(v: "pd.Series") -> "pd.Series":
+        return pd.Series(np.floor(v.to_numpy() * 100 + 0.5).astype("int64"))
+
+    # bind hints to real types (PEP-563 strings don't resolve for local pd)
+    _to_cents.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    to_cents = pandas_udf(_to_cents, "long")
+
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id", to_cents(F.col("value")).alias("value_cents"))
+
+
+register(
+    "pandas_udf_scalar",
+    pandas_udf_scalar,
+    """SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+       FROM events""",
+)
