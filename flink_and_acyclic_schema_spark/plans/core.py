@@ -1177,3 +1177,37 @@ register(
     """SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
        FROM events""",
 )
+
+
+def sql_api_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 through the raw SQL surface (spark.sql over registered views) —
+    the query language the reference lacks entirely (its plan is hand-compiled
+    Java, DataFlow.java:26-61); here full ANSI SQL is free via Catalyst and
+    compiles to the identical physical plan as the DataFrame build."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """SELECT c_custkey, c_name,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+                  c_acctbal, n_name
+           FROM v_customer
+           JOIN v_orders   ON c_custkey = o_custkey
+           JOIN v_lineitem ON l_orderkey = o_orderkey
+           JOIN v_nation   ON c_nationkey = n_nationkey
+           WHERE o_orderdate >= TIMESTAMP_NTZ '1995-10-01'
+             AND o_orderdate <  TIMESTAMP_NTZ '1996-01-01'
+             AND l_returnflag = 'R'
+           GROUP BY c_custkey, c_name, c_acctbal, n_name
+           ORDER BY revenue DESC, c_custkey
+           LIMIT 20"""
+    )
+
+
+def _register_sql_api() -> None:
+    from .q10 import Q10_ORACLE
+
+    register("sql_api_q10", sql_api_q10, Q10_ORACLE)
+
+
+_register_sql_api()

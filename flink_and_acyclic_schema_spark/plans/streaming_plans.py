@@ -413,3 +413,115 @@ register(
               sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
        FROM events GROUP BY user_id""",
 )
+
+
+def incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic grouped-aggregate IVM (IncrementalGroupAgg) over the lineitem
+    changelog: per l_returnflag, net row count and SUM(l_quantity) maintained
+    under inserts AND deletes across micro-batches — the reference's aggregate
+    operator generalized past Q10, with retraction done right."""
+    from ..functions.numeric import dec
+    from ..sources.changelog_source import generate_changelog_files, parse_changelog
+    from ..streaming.incremental import IncrementalGroupAgg
+
+    scratch = _scratch("ivm_agg", sf_dir)
+    changelog_dir = generate_changelog_files(
+        spark, sf_dir, os.path.join(scratch, "changelog"), n_chunks=3
+    )
+    ivm = IncrementalGroupAgg(
+        spark,
+        os.path.join(scratch, "state"),
+        group_cols=["l_returnflag"],
+        measures={"sum_qty": dec("l_quantity")},
+    )
+
+    def on_batch(lines: DataFrame, batch_id: int) -> None:
+        ivm.process_batch(parse_changelog(lines)["lineitem"])
+
+    q = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(changelog_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ivm.result().select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("support").alias("n_rows"),
+    )
+
+
+register(
+    "incremental_agg_stream",
+    incremental_agg_stream,
+    # net multiplicities mirror generate_changelog_files
+    """SELECT l_returnflag,
+              sum(m * l_quantity::DECIMAL(12,4))::DOUBLE AS sum_qty,
+              sum(m)::BIGINT AS n_rows
+       FROM (SELECT *,
+                    1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
+             FROM lineitem)
+       GROUP BY l_returnflag HAVING sum(m) <> 0""",
+)
+
+
+def incremental_q10_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k maintenance (SURVEY.md §7 hard part H2): Q10's ORDER BY
+    revenue DESC LIMIT 20 re-ranked from the maintained aggregate state after
+    every micro-batch (the foreachBatch answer to update-mode sinks not
+    supporting sorts). Returns the final batch's top-20."""
+    from ..sources.changelog_source import generate_changelog_files
+    from ..streaming.incremental import IncrementalQ10
+
+    scratch = _scratch("ivm_topk", sf_dir)
+    changelog_dir = generate_changelog_files(
+        spark, sf_dir, os.path.join(scratch, "changelog"), n_chunks=3
+    )
+    ivm = IncrementalQ10(spark, os.path.join(scratch, "state"))
+    topk_dir = os.path.join(scratch, "topk")
+
+    def on_batch(lines: DataFrame, batch_id: int) -> None:
+        ivm.process_batch(lines)
+        # per-batch re-rank: the continuously-correct top-20 after this batch
+        ivm.result().orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(topk_dir)
+
+    q = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(changelog_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    all_topk = spark.read.parquet(topk_dir)
+    last = all_topk.agg(F.max("batch_id")).collect()[0][0]
+    return all_topk.filter(F.col("batch_id") == last).drop("batch_id")
+
+
+register(
+    "incremental_q10_topk_stream",
+    incremental_q10_topk_stream,
+    """WITH li AS (
+         SELECT *, 1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
+         FROM lineitem),
+       o AS (
+         SELECT *, 1 - (o_orderkey % 7 = 0)::INT AS m FROM orders)
+       SELECT c_custkey, c_name, c_acctbal, n_name,
+              sum(li.m * o.m * l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS revenue
+       FROM li JOIN o ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1995-10-01'
+         AND o_orderdate <  TIMESTAMP '1996-01-01'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       HAVING sum(li.m * o.m) > 0
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
