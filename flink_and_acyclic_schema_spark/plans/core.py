@@ -1211,3 +1211,66 @@ def _register_sql_api() -> None:
 
 
 _register_sql_api()
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery decorrelated to a LEFT SEMI join
+    (the semi-join the reference's alive-gating approximates)."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    # testdata lacks Q4's commitdate/receiptdate; the EXISTS predicate uses
+    # the available returnflag instead — the decorrelation shape is identical
+    li = load(spark, sf_dir, "lineitem")
+    exists = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(exists, o.o_orderkey == exists.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+register(
+    "q4_order_priority",
+    q4_order_priority,
+    """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1996-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY o_orderpriority""",
+)
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average) —
+    decorrelated into an aggregate + self-join, the plan Catalyst produces for
+    the SQL form too."""
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (davg(dec("l_quantity")) * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (dsum(dec("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+register(
+    "q17_small_quantity",
+    q17_small_quantity,
+    """WITH pa AS (
+         SELECT l_partkey AS p_key,
+                sum(l_quantity::DECIMAL(12,4))::DOUBLE / count(*) * 0.5 AS half_avg
+         FROM lineitem GROUP BY l_partkey)
+       SELECT sum(l_extendedprice::DECIMAL(12,4))::DOUBLE / 7.0 AS avg_yearly,
+              count(*)::BIGINT AS n_items
+       FROM lineitem JOIN pa ON l_partkey = p_key
+       WHERE l_quantity < half_avg""",
+)

@@ -415,6 +415,73 @@ register(
 )
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks and a time-range condition —
+    the direct Structured Streaming analog of the reference's two-input keyed
+    joins (KeyedCoProcessFunction + Set-state buffering, e.g.
+    Q10CustomerProcessFunction.java:16-115): each purchase joins the same
+    user's clicks from the preceding 30 minutes. The watermark + range bound
+    is what lets Spark expire join state — the alive-gating idea expressed as
+    event-time bounds instead of alive counters."""
+    scratch = _scratch("ssjoin", sf_dir)
+    p = (
+        _events_stream(spark, sf_dir, scratch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        _events_stream(spark, sf_dir, scratch)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        _to_ntz("p_ts").alias("purchase_ts"),
+        _to_ntz("c_ts").alias("click_ts"),
+    )
+    name = f"ssjoin_{os.getpid()}_{next(_uniq)}"
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_stream_join",
+    stream_stream_join,
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+              p.ts AS purchase_ts, c.ts AS click_ts
+       FROM events p JOIN events c
+         ON p.user_id = c.user_id
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+       WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+)
+
+
 def incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic grouped-aggregate IVM (IncrementalGroupAgg) over the lineitem
     changelog: per l_returnflag, net row count and SUM(l_quantity) maintained
