@@ -100,6 +100,55 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup candidate
+    pairs — the clustering step that turns pairwise near-dups into dedup
+    groups (cluster rep = min doc_id). Iterative min-label propagation over
+    the undirected edge set; each iteration is one shuffle-join, and the
+    driver only reads a single convergence counter (no .collect() of data).
+    Candidate graphs are sparse by construction (LSH banding), so the label
+    frontier converges in O(graph diameter) iterations."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for LSH candidate pairs (verify step of
     near-dedup: candidates from banding, exact similarity only on candidates)."""

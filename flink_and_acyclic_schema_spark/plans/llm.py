@@ -191,6 +191,62 @@ register(
 )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the minhash-LSH
+    candidate graph (iterative label propagation in Spark; WITH RECURSIVE
+    reachability in the oracle)."""
+    cand = dedup.minhash_candidate_pairs(load(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    return dedup.connected_components(cand)
+
+
+register(
+    "dedup_clusters",
+    dedup_clusters,
+    f"""WITH RECURSIVE {_SHINGLES_CTE.strip().rstrip()},
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM cand
+         UNION SELECT doc_b, doc_a FROM cand),
+       walk(node, lbl) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.dst, walk.lbl FROM walk JOIN edges e ON walk.node = e.src)
+       SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
+       FROM walk GROUP BY node""",
+)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixes: a
+    multiplicative integer hash of doc_id (Knuth 2654435761) gives a uniform
+    pseudo-random bucket WITHOUT rand() — reproducible across engines, runs
+    and partitionings; per-language keep-rates set the mix. At 100 TB this is
+    a pure narrow map (no shuffle, no seed coordination across executors)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "zh", 30)
+        .otherwise(20)
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+register(
+    "sample_stratified",
+    sample_stratified,
+    """SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+       FROM documents
+       WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+             CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 30 ELSE 20 END""",
+)
+
+
 # --- text analysis -----------------------------------------------------------
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(load(spark, sf_dir, "documents"))
