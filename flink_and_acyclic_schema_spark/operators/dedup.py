@@ -126,6 +126,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # localCheckpoint truncates lineage each round — without it the plan
+        # doubles per iteration (thousands of Exchange nodes by convergence,
+        # stack-overflow risk at scale); on a cluster use checkpoint() with a
+        # reliable dir for fault tolerance
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
@@ -134,7 +138,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     "cluster_id"
                 ),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -1213,6 +1213,48 @@ def _register_sql_api() -> None:
 _register_sql_api()
 
 
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL edge cases: null-safe equality (<=> / IS NOT DISTINCT FROM),
+    IS NULL predicates, and null propagation through expressions — the
+    three-valued-logic corners the reference's string-tag state machine never
+    had to face."""
+    o = load(spark, sf_dir, "orders")
+    a = F.nullif("o_orderstatus", F.lit("O"))
+    b = F.when(F.col("o_totalprice") > 150000, F.col("o_orderstatus"))
+    return o.select(
+        "o_orderkey",
+        a.alias("a"),
+        b.alias("b"),
+        a.eqNullSafe(b).alias("same_nullsafe"),
+        # three-valued logic surfaced as text (NULL booleans land as None vs
+        # NaN in pandas depending on engine, so strings keep the hash stable)
+        F.when(a == b, "T").when(~(a == b), "F").otherwise("NULL").alias("same_plain"),
+        a.isNull().alias("a_is_null"),
+        F.coalesce(a, b, F.lit("both_null")).alias("first_nonnull"),
+    )
+
+
+register(
+    "null_semantics",
+    null_semantics,
+    """SELECT o_orderkey,
+              nullif(o_orderstatus, 'O') AS a,
+              CASE WHEN o_totalprice > 150000 THEN o_orderstatus END AS b,
+              nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM
+                (CASE WHEN o_totalprice > 150000 THEN o_orderstatus END) AS same_nullsafe,
+              CASE WHEN nullif(o_orderstatus, 'O') =
+                         (CASE WHEN o_totalprice > 150000 THEN o_orderstatus END) THEN 'T'
+                   WHEN NOT (nullif(o_orderstatus, 'O') =
+                         (CASE WHEN o_totalprice > 150000 THEN o_orderstatus END)) THEN 'F'
+                   ELSE 'NULL' END AS same_plain,
+              nullif(o_orderstatus, 'O') IS NULL AS a_is_null,
+              coalesce(nullif(o_orderstatus, 'O'),
+                       CASE WHEN o_totalprice > 150000 THEN o_orderstatus END,
+                       'both_null') AS first_nonnull
+       FROM orders""",
+)
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS subquery decorrelated to a LEFT SEMI join
     (the semi-join the reference's alive-gating approximates)."""

@@ -414,6 +414,42 @@ register(
 )
 
 
+def grouped_map_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map surface (one Arrow batch per group — the
+    custom-aggregation escape hatch for logic Catalyst can't express):
+    per-label component-wise sums of quantized embeddings. Integer sums keep
+    it oracle-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import with_quantized
+
+    qz = with_quantized(load(spark, sf_dir, "embeddings"))
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = np.stack(pdf["q"].to_numpy())
+        out = {"label": [int(pdf["label"].iloc[0])], "n_vecs": [len(pdf)]}
+        for j in range(8):
+            out[f"sum_d{j}"] = [int(m[:, j].sum())]
+        return pd.DataFrame(out)
+
+    schema = "label INT, n_vecs BIGINT, " + ", ".join(f"sum_d{j} BIGINT" for j in range(8))
+    return qz.groupBy("label").applyInPandas(stats, schema)
+
+
+register(
+    "grouped_map_embed_stats",
+    grouped_map_embed_stats,
+    f"""WITH {_QUANT_CTE}
+       SELECT label, count(*)::BIGINT AS n_vecs,
+              sum(q[1])::BIGINT AS sum_d0, sum(q[2])::BIGINT AS sum_d1,
+              sum(q[3])::BIGINT AS sum_d2, sum(q[4])::BIGINT AS sum_d3,
+              sum(q[5])::BIGINT AS sum_d4, sum(q[6])::BIGINT AS sum_d5,
+              sum(q[7])::BIGINT AS sum_d6, sum(q[8])::BIGINT AS sum_d7
+       FROM qe GROUP BY label""",
+)
+
+
 # --- multimodal --------------------------------------------------------------
 def multimodal_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload convention + Arrow-batched (stubbed) decode via

@@ -65,6 +65,24 @@ def test_asof_single_shuffle(spark):
     assert plan.count("Exchange") <= 4  # click-dedup agg + window partitioning
 
 
+def test_all_batch_plans_stay_sane(spark):
+    """Sweep every batch query plan: no accidental cartesian product, no
+    runaway plan growth (the dedup_clusters lineage-explosion class of bug),
+    no unexpected broadcast-nested-loop joins."""
+    # non-equi / top-k-probe queries legitimately use BroadcastNestedLoopJoin
+    bnlj_ok = {"sim_ivf_topk", "sim_brute_topk", "join_theta_nonequi", "join_range_interval"}
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith(("stream_", "incremental_")):
+            continue  # streaming entries execute on build; covered elsewhere
+        df = fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert name in bnlj_ok or "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+        assert plan.count("Exchange") <= 50, f"{name}: plan blow-up ({plan.count('Exchange')})"
+
+
 def test_csv_source_roundtrip(spark, tmp_path):
     """CSV sink + schema-on-read CSV source (the reference's text-file I/O
     generalized, DataFlow.java:37,58)."""
