@@ -78,3 +78,39 @@ def extract_features(media: DataFrame) -> DataFrame:
 def multimodal_pipeline(docs: DataFrame) -> DataFrame:
     """documents -> media convention -> batched (stubbed) decode -> features."""
     return extract_features(to_media_table(docs))
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+FRAME_SIZE = 16
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def frame_sample(media: DataFrame) -> DataFrame:
+    """Video-style frame sampling over binary payloads via mapInPandas with
+    MULTI-ROW output per input (one row per sampled frame) — the batch shape a
+    real video pipeline needs (decode is stubbed: fixed-size byte windows
+    stand in for frames; swap the slicing for an ffmpeg/PyAV keyframe read on
+    a real cluster). Frames are FRAME_SIZE-byte windows; every FRAME_STRIDE-th
+    full frame is sampled and checksummed."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // FRAME_SIZE
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    chunk = payload[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
+                    rows.append((int(doc_id), idx, len(chunk), int(sum(chunk))))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_checksum"]
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

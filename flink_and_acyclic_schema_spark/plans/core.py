@@ -1213,6 +1213,39 @@ def _register_sql_api() -> None:
 _register_sql_api()
 
 
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type construction and access (create_map / getItem / map_keys) —
+    surfaced as scalar lookups so the output hashes identically across
+    engines (raw map columns render engine-specifically)."""
+    li = load(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("price"), F.col("l_extendedprice"),
+        F.lit("disc"), F.col("l_discount"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        m.getItem("qty").alias("qty_val"),
+        m.getItem("price").alias("price_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_contains(F.map_keys(m), "disc").alias("has_disc"),
+    )
+
+
+register(
+    "map_funcs",
+    map_funcs,
+    """SELECT l_orderkey, l_linenumber,
+              l_quantity AS qty_val, l_extendedprice AS price_val,
+              len(map_keys(MAP {'qty': l_quantity, 'price': l_extendedprice,
+                                'disc': l_discount}))::INT AS n_keys,
+              list_contains(map_keys(MAP {'qty': l_quantity, 'price': l_extendedprice,
+                                          'disc': l_discount}), 'disc') AS has_disc
+       FROM lineitem""",
+)
+
+
 def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL edge cases: null-safe equality (<=> / IS NOT DISTINCT FROM),
     IS NULL predicates, and null propagation through expressions — the

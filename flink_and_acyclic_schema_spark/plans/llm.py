@@ -473,6 +473,29 @@ register(
 )
 
 
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: binary payloads -> mapInPandas -> one row per
+    sampled 16-byte frame (stride 4). Oracle replays the slicing arithmetic
+    on the ASCII text."""
+    from ..operators.multimodal import frame_sample, to_media_table
+
+    return frame_sample(to_media_table(load(spark, sf_dir, "documents")))
+
+
+register(
+    "multimodal_frame_sample",
+    multimodal_frame_sample_q,
+    """WITH f AS (
+         SELECT doc_id, text, unnest(range(0, length(text) // 16, 4)) AS idx
+         FROM documents)
+       SELECT doc_id, idx::INT AS frame_idx, 16 AS frame_bytes,
+              list_sum(list_transform(range(1, 17),
+                       i -> ascii(substring(text, idx * 16 + i, 1))))::BIGINT
+                AS frame_checksum
+       FROM f""",
+)
+
+
 def embedding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_stats(load(spark, sf_dir, "embeddings"))
 
