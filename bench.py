@@ -35,6 +35,8 @@ HEADLINE = [
     "window_session",
     "dedup_minhash_lsh",
     "sim_brute_topk",
+    "q10_semijoin_reduced",
+    "dedup_embedding_cosine",
 ]
 
 N_ITER = 2  # report best-of-N so JIT/first-touch costs don't skew per-query numbers

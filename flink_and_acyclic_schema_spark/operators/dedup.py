@@ -187,18 +187,19 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 # --- simhash ----------------------------------------------------------------
 _HEX = "0123456789abcdef"
-# 16-bit token hash from the first 4 hex chars of md5, via strpos arithmetic
-# (portable: DuckDB has no conv(); both engines share strpos/instr semantics)
-_TOKEN_HASH_SQL = (
-    "(instr('{hex}', substring(h4, 1, 1)) - 1) * 4096 + "
-    "(instr('{hex}', substring(h4, 2, 1)) - 1) * 256 + "
-    "(instr('{hex}', substring(h4, 3, 1)) - 1) * 16 + "
-    "(instr('{hex}', substring(h4, 4, 1)) - 1)"
-).format(hex=_HEX)
+SIMHASH_BITS = 32
+# 32-bit token hash from the first 8 hex chars of md5, via strpos arithmetic
+# (portable: DuckDB has no conv(); both engines share strpos/instr semantics).
+# 32 bits matter: a 16-bit fingerprint over a shared-vocabulary corpus makes
+# nearly every pair "near" (output grows ~N^2/2^16) — too short to separate.
+_TOKEN_HASH_SQL = " + ".join(
+    f"(instr('{_HEX}', substring(h8, {i + 1}, 1)) - 1) * CAST({16 ** (7 - i)} AS BIGINT)"
+    for i in range(8)
+)
 
 
 def simhash16(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 16-bit simhash over word token hashes.
+    """(doc_id, simhash): 32-bit simhash over word token hashes.
 
     Each token votes ±1 per bit position; the fingerprint takes the sign.
     Token multiplicity counts (standard simhash weighting by frequency).
@@ -207,10 +208,10 @@ def simhash16(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
     th = tokens.select(
-        "doc_id", F.substring(F.md5("tok"), 1, 4).alias("h4")
+        "doc_id", F.substring(F.md5("tok"), 1, 8).alias("h8")
     ).selectExpr("doc_id", f"({_TOKEN_HASH_SQL}) AS th")
     bits = th.select(
-        "doc_id", "th", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+        "doc_id", "th", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
     ).selectExpr(
         "doc_id",
         "b",
@@ -227,16 +228,20 @@ def simhash16(docs: DataFrame) -> DataFrame:
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs with simhash hamming distance ≤ 3.
 
-    Scale path: banding by 4-bit nibbles — pigeonhole guarantees any pair with
-    distance < 4 agrees exactly on ≥1 of the 4 nibbles, so candidates come from
-    an equi-join on (nibble_idx, nibble_value), never a cross join.
+    Scale path: banding by 8-bit bytes — pigeonhole guarantees any pair with
+    distance < 4 agrees exactly on ≥1 of the 4 bytes, so candidates come from
+    an equi-join on (byte_idx, byte_value), never a cross join; expected
+    bucket collisions fall to ~4·N²/256 and the ≤3-bit filter on 32 bits
+    passes only true near-dups (random pairs sit near hamming 16).
     """
     sh = simhash16(docs)
     nib = sh.select(
         "doc_id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("nib"),
-    ).selectExpr("doc_id", "simhash", "nib", "(simhash div CAST(pow(16, nib) AS BIGINT)) % 16 AS nv")
+    ).selectExpr(
+        "doc_id", "simhash", "nib", "(simhash div CAST(pow(256, nib) AS BIGINT)) % 256 AS nv"
+    )
     a = nib.alias("a")
     b = nib.alias("b")
     return (

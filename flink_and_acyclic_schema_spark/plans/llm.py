@@ -116,20 +116,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(load(spark, sf_dir, "documents"))
 
 
-_SIMHASH_CTE = r"""
+_SIMHASH_TH = " + ".join(
+    f"(instr('0123456789abcdef', substring(md5(tok), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+_SIMHASH_CTE = rf"""
 tokens AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
 th AS (
-  SELECT doc_id,
-         (instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096
-       + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256
-       + (instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16
-       + (instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) AS th
+  SELECT doc_id, {_SIMHASH_TH} AS th
   FROM tokens),
 bits AS (
   SELECT doc_id, b,
          CASE WHEN (th // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS vote
-  FROM th, range(0, 16) t(b)),
+  FROM th, range(0, 32) t(b)),
 bitvals AS (
   SELECT doc_id, b,
          CASE WHEN sum(vote) > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END AS bitval
