@@ -33,15 +33,17 @@ def word_shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
     return out.distinct() if distinct else out
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, h0..h7): 8 minhash functions from 2 md5s per shingle.
 
     Each md5('<i>:' || shingle) is sliced into four 8-hex (32-bit) chunks;
     lexicographic min per chunk is a valid minhash permutation. Two md5 calls
     per shingle instead of eight keeps the hash stage 4x cheaper at scale, and
     hex strings are bit-identical across engines (both emit lowercase).
+    Pass a (persisted) ``sh`` to share the shingle scan with other consumers.
     """
-    sh = word_shingles(docs)
+    if sh is None:
+        sh = word_shingles(docs)
     aggs = []
     for i in range(N_MINHASH // 4):
         h = F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))
@@ -65,14 +67,14 @@ def lsh_bands(mh: DataFrame) -> DataFrame:
     return b0.unionByName(b1)
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, est_jaccard): LSH candidates + minhash-estimated Jaccard.
 
     The signature table is persisted: it is tiny (one row per doc) but feeds
     three consumers (band self-join sides + the est-jaccard join), and without
     caching Spark re-runs the whole shingle->hash pipeline per consumer.
     """
-    mh = minhash_signatures(docs).persist()
+    mh = minhash_signatures(docs, sh=sh).persist()
     bands = lsh_bands(mh)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -158,7 +160,7 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     near-dedup: candidates from banding, exact similarity only on candidates)."""
     sh = word_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    cand = minhash_candidate_pairs(docs, sh=sh).select("doc_a", "doc_b")
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     inter = (

@@ -1213,6 +1213,135 @@ def _register_sql_api() -> None:
 _register_sql_api()
 
 
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation. Adapted to
+    testdata columns (no l_shipmode): bucket by linestatus, count urgent vs
+    non-urgent order priorities."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+register(
+    "q12_shipmode_priority",
+    q12_shipmode_priority,
+    """SELECT l_linestatus,
+              sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <  TIMESTAMP '1997-01-01'
+       GROUP BY l_linestatus""",
+)
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo-revenue share — conditional numerator over a join,
+    single global ratio."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    disc = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(12,4)"))).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+register(
+    "q14_promo_revenue",
+    q14_promo_revenue,
+    """SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4)
+                               ELSE 0::DECIMAL(12,4) END)::DOUBLE
+               / sum(l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4))::DOUBLE
+             AS promo_revenue_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         AND l_shipdate <  TIMESTAMP '1996-10-01'""",
+)
+
+
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicate groups across a
+    join (the optimizer must push the common join key and keep the OR
+    residual). Adapted to p_brand/p_size (no container column)."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    g1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    g2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+    g3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
+    return j.filter(g1 | g2 | g3).agg(
+        dsum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+register(
+    "q19_disjunctive_join",
+    q19_disjunctive_join,
+    """SELECT sum(l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4))::DOUBLE
+                AS revenue,
+              count(*)::BIGINT AS n_items
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+          OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+          OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 40)""",
+)
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery filter + NOT EXISTS anti-join.
+    Customers with above-average balance and no high-value order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(davg(dec("c_acctbal")).alias("a"))
+    big_orders = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(big_orders, c.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum(dec("c_acctbal")).alias("total_bal"))
+    )
+
+
+register(
+    "q22_global_sales_opportunity",
+    q22_global_sales_opportunity,
+    """SELECT c_nationkey, count(*)::BIGINT AS n_cust,
+              sum(c_acctbal::DECIMAL(12,4))::DOUBLE AS total_bal
+       FROM customer
+       WHERE c_acctbal > (SELECT sum(c_acctbal::DECIMAL(12,4))::DOUBLE / count(*)
+                          FROM customer WHERE c_acctbal > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+       GROUP BY c_nationkey""",
+)
+
+
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type construction and access (create_map / getItem / map_keys) —
     surfaced as scalar lookups so the output hashes identically across

@@ -69,8 +69,15 @@ def test_all_batch_plans_stay_sane(spark):
     """Sweep every batch query plan: no accidental cartesian product, no
     runaway plan growth (the dedup_clusters lineage-explosion class of bug),
     no unexpected broadcast-nested-loop joins."""
-    # non-equi / top-k-probe queries legitimately use BroadcastNestedLoopJoin
-    bnlj_ok = {"sim_ivf_topk", "sim_brute_topk", "join_theta_nonequi", "join_range_interval"}
+    # non-equi / top-k-probe / scalar-subquery queries legitimately use
+    # BroadcastNestedLoopJoin (q22: broadcast of a 1-row aggregate)
+    bnlj_ok = {
+        "sim_ivf_topk",
+        "sim_brute_topk",
+        "join_theta_nonequi",
+        "join_range_interval",
+        "q22_global_sales_opportunity",
+    }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
             continue  # streaming entries execute on build; covered elsewhere
