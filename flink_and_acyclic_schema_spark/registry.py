@@ -23,6 +23,8 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    if name in QUERIES:
+        raise ValueError(f"query {name!r} registered twice")
     QUERIES[name] = fn
     if oracle is not None:
         ORACLES[name] = oracle
