@@ -1213,6 +1213,130 @@ def _register_sql_api() -> None:
 _register_sql_api()
 
 
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation computed from EXACT integer sums
+    (cents/int quantities) via the closed forms — built-in stddev/corr
+    accumulate floats in partition order and would never hash-match across
+    engines; this formulation is deterministic anywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")  # quantities are whole numbers
+    y = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")  # discount cents
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / (
+        n * (n - 1)
+    )
+    cov_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        var_x.alias("var_qty"),
+        F.sqrt(var_x).alias("stddev_qty"),
+        (cov_num / den).alias("corr_qty_disc"),
+    )
+
+
+register(
+    "agg_stats_corr",
+    agg_stats_corr,
+    """WITH s AS (
+         SELECT l_returnflag, count(*)::BIGINT AS n,
+                sum(CAST(l_quantity AS BIGINT)) AS sx,
+                sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sy,
+                sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+                sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS syy,
+                sum(CAST(l_quantity AS BIGINT)
+                    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sxy
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, n,
+              CAST(n * sxx - sx * sx AS DOUBLE)
+                / (n::DOUBLE * (n::DOUBLE - 1)) AS var_qty,
+              sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                / (n::DOUBLE * (n::DOUBLE - 1))) AS stddev_qty,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_disc
+       FROM s""",
+)
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts spread across orderstatus columns per priority."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .withColumnsRenamed({"O": "n_open", "F": "n_filled", "P": "n_partial"})
+    )
+
+
+register(
+    "agg_pivot",
+    agg_pivot,
+    """SELECT o_orderpriority,
+              sum((o_orderstatus = 'O')::INT)::BIGINT AS n_open,
+              sum((o_orderstatus = 'F')::INT)::BIGINT AS n_filled,
+              sum((o_orderstatus = 'P')::INT)::BIGINT AS n_partial
+       FROM orders GROUP BY o_orderpriority""",
+)
+
+
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measure columns to (measure, value) rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_tax").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+register(
+    "unpivot_melt",
+    unpivot_melt,
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+       FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+)
+
+
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode / lateral unnest WITH ORDINALITY: embedding components to
+    (vec_id, pos, component) rows on quantized ints."""
+    from ..operators.similarity import quantize
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 32)
+    return e.select(
+        "vec_id", F.posexplode(quantize(F.col("embedding"))).alias("pos", "component")
+    )
+
+
+register(
+    "lateral_posexplode",
+    lateral_posexplode,
+    """SELECT vec_id, unnest(range(0, len(q)))::INT AS pos, unnest(q) AS component
+       FROM (SELECT vec_id,
+                    list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+             FROM embeddings WHERE vec_id < 32)""",
+)
+
+
 def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: join + conditional (CASE) aggregation. Adapted to
     testdata columns (no l_shipmode): bucket by linestatus, count urgent vs
