@@ -142,6 +142,44 @@ register(
 )
 
 
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding-window aggregation (10-minute window, 5-minute
+    slide): each event lands in two overlapping windows."""
+    ckpt = _scratch("sliding", sf_dir)
+    ev = _events_stream(spark, sf_dir, ckpt).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+        .withColumn("win_start", _to_ntz("win_start"))
+    )
+    name = f"sliding_{os.getpid()}_{next(_uniq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(ckpt, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_sliding_window",
+    stream_sliding_window,
+    """WITH w AS (
+         SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                        time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+                  AS win_start,
+                event_type
+         FROM events)
+       SELECT win_start, event_type, count(*) AS n_events
+       FROM w GROUP BY win_start, event_type""",
+)
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (10-minute gap) per user via
     session_window(); complete mode, memory sink."""
