@@ -520,6 +520,88 @@ register(
 )
 
 
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: unmatched purchases surface with NULL
+    click columns once the click-side watermark passes their last possible
+    match time. Empirically pinned rule (Spark 4.1, single-batch availableNow):
+    the global watermark is min over BOTH sides of (side's max event time -
+    1h) — each side's stats are computed on its FILTERED stream — and an
+    unmatched left row is emitted iff p_ts < that watermark (no additional
+    range-span subtraction). The oracle replays exactly that."""
+    scratch = _scratch("ssouter", sf_dir)
+    p = (
+        _events_stream(spark, sf_dir, scratch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        _events_stream(spark, sf_dir, scratch)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "user_id",
+        _to_ntz("p_ts").alias("purchase_ts"),
+        "click_id",
+        _to_ntz("c_ts").alias("click_ts"),
+    )
+    name = f"ssouter_{os.getpid()}_{next(_uniq)}"
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_stream_outer_join",
+    stream_stream_outer_join,
+    """WITH matched AS (
+         SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+                c.event_id AS click_id, c.ts AS click_ts
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'),
+       wm AS (SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+                (SELECT max(ts) FROM events WHERE event_type = 'click'))
+                - INTERVAL 60 MINUTE AS w)
+       SELECT * FROM matched
+       UNION ALL
+       SELECT p.event_id, p.user_id, p.ts,
+              NULL::BIGINT AS click_id, NULL::TIMESTAMP AS click_ts
+       FROM events p, wm
+       WHERE p.event_type = 'purchase'
+         AND p.ts < wm.w
+         AND NOT EXISTS (SELECT 1 FROM events c
+                         WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                           AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)""",
+)
+
+
 def incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic grouped-aggregate IVM (IncrementalGroupAgg) over the lineitem
     changelog: per l_returnflag, net row count and SUM(l_quantity) maintained

@@ -136,3 +136,27 @@ def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     assert back.count() == li.filter(F.col("l_returnflag") == "R").count()
     dirs = {os.path.basename(p) for p in glob.glob(os.path.join(out, "l_returnflag=*"))}
     assert dirs == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
+
+
+def test_connected_components_hand_graph(spark):
+    """Two disjoint chains + a singleton edge resolve to min-id clusters."""
+    from flink_and_acyclic_schema_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_salted_sum_invariant_to_partitioning(spark):
+    """Two-stage salted aggregation must equal the direct groupBy regardless
+    of input partitioning (salt = spark_partition_id)."""
+    from pyspark.sql import functions as F
+
+    from flink_and_acyclic_schema_spark.operators.skew import salted_sum
+
+    df = spark.createDataFrame([("k", i) for i in range(1000)], ["k", "v"])
+    for parts in (1, 7):
+        got = salted_sum(df.repartition(parts), ["k"], F.col("v"), "total").collect()[0]
+        assert got["total"] == 499500.0 and got["n_rows"] == 1000
