@@ -1337,6 +1337,198 @@ register(
 )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery over a 5-way join (testdata has
+    no partsupp, so lineitem provides the part↔supplier link and
+    l_extendedprice stands in for supplycost). Deterministic pick via
+    row_number tie-broken on suppkey."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    offer = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("l_extendedprice"), F.asc("s_suppkey"))
+    return (
+        offer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "n_name",
+                F.col("l_extendedprice").alias("min_cost"))
+    )
+
+
+register(
+    "q2_min_cost_supplier",
+    q2_min_cost_supplier,
+    """SELECT p_partkey, p_name, s_suppkey, n_name, l_extendedprice AS min_cost
+       FROM (SELECT p_partkey, p_name, s_suppkey, n_name, l_extendedprice,
+                    row_number() OVER (PARTITION BY p_partkey
+                                       ORDER BY l_extendedprice, s_suppkey) AS rk
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE p_size <= 15 AND r_name = 'EUROPE')
+       WHERE rk = 1""",
+)
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bi-directional two-nation trade volume by ship year (nation
+    self-join through both the supplier and customer sides)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+register(
+    "q7_volume_shipping",
+    q7_volume_shipping,
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              year(l_shipdate)::INT AS l_year,
+              sum(l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4))::DOUBLE
+                AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <  TIMESTAMP '1998-01-01'
+         AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       GROUP BY 1, 2, 3""",
+)
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's market share of PROMO-part revenue inside a
+    region, by order year (conditional-numerator ratio over a 7-way join)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_regionkey")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("c_regionkey") == r.r_regionkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(12,4)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+register(
+    "q8_market_share",
+    q8_market_share,
+    """SELECT year(o_orderdate)::INT AS o_year,
+              sum(CASE WHEN n1.n_name = 'NATION_3'
+                       THEN l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4)
+                       ELSE 0::DECIMAL(12,4) END)::DOUBLE
+                / sum(l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4))::DOUBLE
+                AS mkt_share
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       JOIN region ON n2.n_regionkey = r_regionkey
+       WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+       GROUP BY 1""",
+)
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name pattern (testdata lacks ps_supplycost, so profit =
+    discounted revenue)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("n_name", "o_year")
+        .agg(dsum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))).alias("profit"))
+    )
+
+
+register(
+    "q9_product_profit",
+    q9_product_profit,
+    """SELECT n_name, year(o_orderdate)::INT AS o_year,
+              sum(l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4))::DOUBLE
+                AS profit
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE p_name LIKE '%red%'
+       GROUP BY 1, 2""",
+)
+
+
 def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: join + conditional (CASE) aggregation. Adapted to
     testdata columns (no l_shipmode): bucket by linestatus, count urgent vs
