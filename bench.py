@@ -37,6 +37,8 @@ HEADLINE = [
     "sim_brute_topk",
     "q10_semijoin_reduced",
     "dedup_embedding_cosine",
+    "q7_volume_shipping",
+    "q8_market_share",
 ]
 
 N_ITER = 2  # report best-of-N so JIT/first-touch costs don't skew per-query numbers

@@ -1337,6 +1337,44 @@ register(
 )
 
 
+def date_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine pattern: a generated date sequence LEFT JOINed to daily
+    order counts, so days with zero orders still appear — generator + outer
+    join + zero-fill in one declarative plan."""
+    o = load(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        o.withColumn("day", F.col("o_orderdate").cast("date"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .na.fill({"n_orders": 0})
+        .select(F.col("day").cast("string").alias("day"), "n_orders")
+    )
+
+
+register(
+    "date_spine_join",
+    date_spine_join,
+    """SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+              coalesce(d.n_orders, 0)::BIGINT AS n_orders
+       FROM (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31',
+                                           INTERVAL 1 DAY))::DATE AS day) spine
+       LEFT JOIN (SELECT o_orderdate::DATE AS day, count(*) AS n_orders
+                  FROM orders GROUP BY 1) d USING (day)""",
+)
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated MIN subquery over a 5-way join (testdata has
     no partsupp, so lineitem provides the part↔supplier link and
