@@ -1832,3 +1832,243 @@ register(
        FROM lineitem JOIN pa ON l_partkey = p_key
        WHERE l_quantity < half_avg""",
 )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count distribution over a LEFT OUTER join — customers
+    with zero orders must appear in the c_count=0 bucket (the outer-join
+    null-preserving semantics the reference's inner-only join chain lacks)."""
+    c = load(spark, sf_dir, "customer")
+    # ON-clause predicate (not WHERE): filtering orders *before* the outer
+    # join preserves customers whose only orders are urgent
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+register(
+    "q13_customer_distribution",
+    q13_customer_distribution,
+    """SELECT c_count, count(*)::BIGINT AS custdist
+       FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+             FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey)
+       GROUP BY c_count""",
+)
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue-view + scalar MAX subquery. The revenue aggregate is
+    computed once and reused for both the per-supplier join and the global max
+    (Spark caches nothing here, but the exact-decimal convention makes the
+    double equality against the max deterministic across engines)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+register(
+    "q15_top_supplier",
+    q15_top_supplier,
+    """WITH rev AS (
+         SELECT l_suppkey AS supplier_no,
+                sum(l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4))::DOUBLE
+                  AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier JOIN rev ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+)
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped value vs a scalar-subquery fraction of the
+    global total. Testdata has no partsupp, so lineitem supplies the
+    part↔supplier pairs and extendedprice*quantity stands in for
+    supplycost*availqty. The tiny one-row total is broadcast — no shuffle of
+    the big side against it."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    filtered = li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
+    value = filtered.groupBy("l_partkey").agg(
+        dsum(dec("l_extendedprice") * dec("l_quantity")).alias("value")
+    )
+    threshold = value.agg((F.sum("value") * F.lit(0.0001)).alias("threshold"))
+    return (
+        value.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+register(
+    "q11_important_stock",
+    q11_important_stock,
+    """WITH v AS (
+         SELECT l_partkey,
+                sum(l_extendedprice::DECIMAL(12,4) * l_quantity::DECIMAL(12,4))::DOUBLE
+                  AS value
+         FROM lineitem
+         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
+                             ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
+         GROUP BY l_partkey)
+       SELECT l_partkey, value FROM v
+       WHERE value > (SELECT sum(value) * 0.0001 FROM v)""",
+)
+
+
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per part attributes with a NOT IN
+    anti-join exclusion. Testdata lacks partsupp/p_container/s_comment, so
+    lineitem provides the part↔supplier pairs and negative-balance suppliers
+    play the excluded-supplier role."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    excluded = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+register(
+    "q16_parts_suppliers",
+    q16_parts_suppliers,
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#13'
+         AND p_type NOT LIKE 'MEDIUM%'
+         AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size""",
+)
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain decorrelated to semi joins —
+    suppliers in one nation who shipped a large total quantity of matching
+    parts in one year (availqty threshold adapted to shipped-quantity
+    threshold since testdata has no partsupp)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    eligible = (
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum(dec("l_quantity")).alias("ship_qty"))
+        .filter(F.col("ship_qty") > 50)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(eligible, s.s_suppkey == eligible.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+
+
+register(
+    "q20_potential_promotion",
+    q20_potential_promotion,
+    """SELECT s_suppkey, s_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name = 'NATION_3'
+         AND s_suppkey IN (
+           SELECT l_suppkey FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1997-01-01'
+           GROUP BY l_suppkey
+           HAVING sum(l_quantity::DECIMAL(12,4))::DOUBLE > 50)""",
+)
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS pair over sibling lineitems,
+    decorrelated into one per-order aggregate (distinct suppliers vs distinct
+    late suppliers) — one shuffle replaces two correlated subqueries.
+    Testdata lacks commit/receipt dates; "late" = shipped >60 days after the
+    order date."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+        )
+    )
+    stats = li.groupBy(F.col("l_orderkey").alias("so_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        li.filter(F.col("is_late"))
+        .join(stats, F.col("l_orderkey") == F.col("so_key"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+register(
+    "q21_waiting_supplier",
+    q21_waiting_supplier,
+    """WITH lo AS (
+         SELECT l_orderkey, l_suppkey,
+                (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'),
+       stats AS (
+         SELECT l_orderkey,
+                count(DISTINCT l_suppkey) AS n_supp,
+                count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+         FROM lo GROUP BY l_orderkey)
+       SELECT s_name, count(*)::BIGINT AS numwait
+       FROM lo
+       JOIN stats USING (l_orderkey)
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE is_late AND n_supp > 1 AND n_late = 1 AND n_name = 'NATION_3'
+       GROUP BY s_name""",
+)
