@@ -712,3 +712,74 @@ register(
        HAVING sum(li.m * o.m) > 0
        ORDER BY revenue DESC, c_custkey LIMIT 20""",
 )
+
+
+def stream_alive_gated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's alive-gated incremental FK join (its core operator,
+    Q10LineitemProcessFunction.java:16-124) as a real streaming query:
+    orders (parent) ⋈ lineitem (child) on orderkey over the insert/delete
+    changelog, maintained by one applyInPandasWithState state machine that
+    emits exact join-result deltas per micro-batch. Parent deletes arriving
+    in a *different* micro-batch than buffered children (chunk hashing
+    guarantees some do) exercise the Dead-propagation path the reference
+    got wrong (SURVEY.md §8 B1/B2). Final answer = net deltas, which the
+    oracle recomputes as the join of the net inputs — prefix-closed
+    correctness as a hash equality."""
+    from ..sources.changelog_source import generate_changelog_files, parse_changelog
+    from ..streaming.alive_join import alive_gated_join, tag_child, tag_parent
+
+    scratch = _scratch("alive_join", sf_dir)
+    changelog_dir = generate_changelog_files(
+        spark, sf_dir, os.path.join(scratch, "changelog"), n_chunks=3
+    )
+    lines = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(changelog_dir)
+    )
+    rels = parse_changelog(lines)
+    tagged = tag_parent(rels["orders"], "o_orderkey", "o_custkey").unionByName(
+        tag_child(rels["lineitem"], "l_orderkey", "l_linenumber")
+    )
+    deltas = alive_gated_join(tagged)
+
+    out = os.path.join(scratch, "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        deltas.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy(
+            F.col("key").alias("l_orderkey"),
+            F.col("child_id").cast("int").alias("l_linenumber"),
+            F.col("attr").alias("o_custkey"),
+        )
+        .agg(F.sum("delta").cast("int").alias("net_w"))
+        .filter(F.col("net_w") > 0)
+    )
+
+
+register(
+    "stream_alive_gated_join",
+    stream_alive_gated_join,
+    # net-rows recompute mirroring generate_changelog_files multiplicities;
+    # lineitem is grouped because the synthetic data has duplicate
+    # (orderkey, linenumber) pairs — the operator's multiset state merges them
+    """WITH li AS (
+         SELECT l_orderkey, l_linenumber,
+                sum(1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT)::INT AS m
+         FROM lineitem GROUP BY l_orderkey, l_linenumber),
+       o AS (
+         SELECT o_orderkey, o_custkey, 1 - (o_orderkey % 7 = 0)::INT AS m
+         FROM orders)
+       SELECT l_orderkey, l_linenumber, o_custkey, (li.m * o.m)::INT AS net_w
+       FROM li JOIN o ON l_orderkey = o_orderkey
+       WHERE li.m * o.m > 0""",
+)

@@ -158,3 +158,63 @@ def test_ivm_prefix_invariance(spark, tmp_path):
         got = _snapshot(ivm.result())
         want = _snapshot(_recompute_prefix(spark, files[: i + 1]))
         assert got == want, f"prefix {i + 1}: IVM state diverged from recompute"
+
+
+def test_alive_join_interleavings():
+    """The alive-gated join state machine must be exact under the orderings
+    that broke the reference (SURVEY.md §8 B1/B2): delete-before-insert,
+    duplicate children, parent death with buffered children."""
+    import pandas as pd
+
+    from flink_and_acyclic_schema_spark.streaming.alive_join import update_alive_join
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    def run_batches(batches):
+        st = FakeState()
+        totals: dict = {}
+        for rows in batches:
+            pdf = pd.DataFrame(rows, columns=["side", "child_id", "attr", "weight"])
+            for out in update_alive_join((7,), iter([pdf]), st):
+                for _, r in out.iterrows():
+                    k = (int(r["key"]), int(r["child_id"]))
+                    totals[k] = totals.get(k, 0) + int(r["delta"])
+        return {k: v for k, v in totals.items() if v != 0}
+
+    # parent delete arrives BEFORE its insert; child buffered throughout:
+    # net parent weight 0 -> no surviving join rows
+    assert run_batches(
+        [
+            [("C", 1, None, 1)],
+            [("P", None, 42, -1)],
+            [("P", None, 42, 1)],
+        ]
+    ) == {}
+
+    # duplicate child (+2) under an alive parent, then parent dies -> empty
+    assert run_batches(
+        [
+            [("P", None, 42, 1), ("C", 1, None, 1), ("C", 1, None, 1)],
+            [("P", None, 42, -1)],
+        ]
+    ) == {}
+
+    # parent alive after everything: buffered children re-emitted (Alive
+    # cascade, ref Q10CustomerProcessFunction.java:68-75) with multiset weights
+    assert run_batches(
+        [
+            [("C", 1, None, 1), ("C", 1, None, 1), ("C", 2, None, 1)],
+            [("C", 2, None, -1)],
+            [("P", None, 42, 1)],
+        ]
+    ) == {(7, 1): 2}
