@@ -77,6 +77,9 @@ def test_all_batch_plans_stay_sane(spark):
         "join_theta_nonequi",
         "join_range_interval",
         "q22_global_sales_opportunity",
+        # single-row scalar-threshold broadcast (value > global fraction):
+        # a 1-row BNLJ build side is the right plan for a scalar subquery
+        "q11_important_stock",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
