@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import dedup, similarity, text
 from ..registry import register
@@ -508,4 +509,121 @@ register(
        SELECT label, count(*) AS n_vecs,
               sum(list_dot_product(q, q))::DOUBLE / count(*) / 1000000000000.0 AS avg_norm2
        FROM qe GROUP BY label""",
+)
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass of a training-data pipeline: mask emails and phone
+    numbers with typed placeholders, count the redactions. The synthetic corpus
+    contains no PII, so deterministic PII-shaped suffixes (derived from doc_id)
+    are appended first — the regexes under test then genuinely fire on every
+    row. Pure JVM-side regexp_replace: no UDF, pushdown-safe, embarrassingly
+    parallel at any scale."""
+    d = load(spark, sf_dir, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "[0-9]{3}-[0-9]{4}"
+    withpii = d.withColumn(
+        "raw",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ),
+    )
+    return withpii.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("clean"),
+        (F.size(F.split("raw", email_re)) - 1).cast("int").alias("n_emails"),
+        (F.size(F.split("raw", phone_re)) - 1).cast("int").alias("n_phones"),
+    )
+
+
+register(
+    "pii_scrub",
+    pii_scrub,
+    r"""WITH w AS (
+         SELECT doc_id,
+                text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-'
+                     || lpad(doc_id::VARCHAR, 4, '0') AS raw
+         FROM documents)
+       SELECT doc_id,
+              regexp_replace(
+                regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean,
+              (len(string_split_regex(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 - 1)::INT AS n_emails,
+              (len(string_split_regex(raw, '[0-9]{3}-[0-9]{4}')) - 1)::INT AS n_phones
+       FROM w""",
+)
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signal: fraction of repeated words
+    per document (1 − distinct/total). High-repetition docs are the classic
+    low-quality filter target. Scalar array expressions only — stays inside
+    whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)).cast("double") / F.size(words)
+        ).alias("rep_ratio"),
+    )
+
+
+register(
+    "repetition_ratio",
+    repetition_ratio,
+    """SELECT doc_id,
+              len(string_split(text, ' '))::INT AS n_words,
+              1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+                    / len(string_split(text, ' ')) AS rep_ratio
+       FROM documents""",
+)
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style contiguous sequence packing: concatenate each source's
+    documents in doc_id order and cut fixed 512-token context windows; each
+    doc reports the bin span it lands in. The running token offset is a
+    window cumsum partitioned by source — packing parallelizes per shard
+    (one shard = one source here; at 100 TB, one shard = one input split),
+    never a global single-partition window."""
+    d = load(spark, sf_dir, "documents")
+    ctx = 512
+    ntok = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum(ntok).over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        ntok.cast("int").alias("n_tokens"),
+        ((cum - ntok) / ctx).cast("int").alias("first_bin"),
+        ((cum - 1) / ctx).cast("int").alias("last_bin"),
+        ((cum - ntok) % ctx).cast("int").alias("bin_offset"),
+    )
+
+
+register(
+    "sequence_packing",
+    sequence_packing,
+    """WITH t AS (
+         SELECT doc_id, source,
+                len(string_split(text, ' ')) AS n_tokens,
+                sum(len(string_split(text, ' ')))
+                  OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         FROM documents)
+       SELECT doc_id, source, n_tokens::INT AS n_tokens,
+              floor((cum - n_tokens) / 512)::INT AS first_bin,
+              floor((cum - 1) / 512)::INT AS last_bin,
+              ((cum - n_tokens) % 512)::INT AS bin_offset
+       FROM t""",
 )
