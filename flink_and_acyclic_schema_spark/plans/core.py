@@ -11,6 +11,8 @@ JSON). All built-in Catalyst expressions; no UDFs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2071,4 +2073,55 @@ register(
        JOIN nation ON s_nationkey = n_nationkey
        WHERE is_late AND n_supp > 1 AND n_late = 1 AND n_name = 'NATION_3'
        GROUP BY s_name""",
+)
+
+
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located join: lineitem and orders pre-bucketed (and
+    sort-ordered) on the join key into the same bucket count, so the
+    sort-merge join needs NO exchange and no sort on either side — the
+    physical plan has zero shuffles until the final projection. This is the
+    100 TB recipe for the reference's repeated FK joins: pay the partitioning
+    once at ingest, reuse it on every query (the reference instead re-keys on
+    every hop, DataFlow.java:45-57). The merge hint keeps the small side from
+    being broadcast so the co-location is actually exercised."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_tbl, o_tbl = f"li_bucketed_{tag}", f"o_bucketed_{tag}"
+    if not spark.catalog.tableExists(li_tbl):
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(li_tbl)
+        )
+    if not spark.catalog.tableExists(o_tbl):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(o_tbl)
+        )
+    li = spark.table(li_tbl).filter(F.col("l_returnflag") == "R")
+    o = spark.table(o_tbl)
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderstatus")
+        .agg(dsum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+register(
+    "join_bucketed_colocated",
+    join_bucketed_colocated,
+    """SELECT l_orderkey, o_orderstatus,
+              sum(l_extendedprice::DECIMAL(12,4) * (1 - l_discount)::DECIMAL(12,4))::DOUBLE
+                AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_returnflag = 'R'
+       GROUP BY l_orderkey, o_orderstatus""",
 )

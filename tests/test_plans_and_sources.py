@@ -163,3 +163,16 @@ def test_salted_sum_invariant_to_partitioning(spark):
     for parts in (1, 7):
         got = salted_sum(df.repartition(parts), ["k"], F.col("v"), "total").collect()[0]
         assert got["total"] == 499500.0 and got["n_rows"] == 1000
+
+
+def test_bucketed_join_zero_exchange(spark):
+    """Co-located bucketed join: the whole join+group plan must contain no
+    shuffle — bucketing is the pay-once partitioning story at 100 TB."""
+    from flink_and_acyclic_schema_spark.registry import QUERIES
+
+    df = QUERIES["join_bucketed_colocated"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" in plan
