@@ -2087,6 +2087,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     being broadcast so the co-location is actually exercised."""
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     li_tbl, o_tbl = f"li_bucketed_{tag}", f"o_bucketed_{tag}"
+
+    # the in-memory catalog dies with the session but the warehouse dirs
+    # survive — drop a stale location or saveAsTable refuses to write
+    def _clear_stale(tbl: str) -> None:
+        if not spark.catalog.tableExists(tbl):
+            import shutil
+
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(wh.removeprefix("file:"), tbl)
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+
+    _clear_stale(li_tbl)
+    _clear_stale(o_tbl)
     if not spark.catalog.tableExists(li_tbl):
         (
             load(spark, sf_dir, "lineitem")

@@ -627,3 +627,63 @@ register(
               ((cum - n_tokens) % 512)::INT AS bin_offset
        FROM t""",
 )
+
+
+def udtf_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function, Arrow-optimized): one input doc
+    row fans out to (pos, trigram) rows — the UDTF generalization of the
+    reference's 1-in-N-out ProcessFunction emissions (e.g. the Alive cascade
+    loop, Q10CustomerProcessFunction.java:68-75). Lateral-joined in SQL; the
+    fan-out runs inside the scan stage, no shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, trigram STRING", useArrow=True)
+    class Trigrams:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(len(words) - 2):
+                yield i, " ".join(words[i : i + 3])
+
+    spark.udtf.register("trigrams", Trigrams)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """SELECT d.doc_id, t.pos, t.trigram
+           FROM documents_v d, LATERAL trigrams(d.text) t"""
+    )
+
+
+register(
+    "udtf_trigrams",
+    udtf_trigrams,
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         e AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w)
+       SELECT doc_id, (i - 1)::INT AS pos,
+              ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS trigram
+       FROM e""",
+)
+
+
+def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding via Spark 4 VariantType: parse the events
+    JSON props once into a variant, then extract typed fields — the
+    binary-encoded, lazily-shredded path that replaces per-access string
+    re-parsing (get_json_object) on wide JSON at scale."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_val"),
+        F.when(F.try_variant_get(v, "$.k", "int") > 50, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("k_band"),
+    )
+
+
+register(
+    "variant_shred",
+    variant_shred,
+    """SELECT event_id, json_extract(props, '$.k')::INT AS k_val,
+              CASE WHEN json_extract(props, '$.k')::INT > 50 THEN 'high'
+                   ELSE 'low' END AS k_band
+       FROM events""",
+)
