@@ -687,3 +687,146 @@ register(
                    ELSE 'low' END AS k_band
        FROM events""",
 )
+
+
+# --- training-mix assembly: decontamination, mixture weighting, sharding ------
+_KNUTH = 2654435761  # multiplicative hash (see sample_stratified) — engine-portable
+
+
+def _knuth_bucket(col: F.Column, mod: int) -> F.Column:
+    return (col * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(mod)
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: drop/flag training docs sharing any word
+    5-gram with a held-out eval split (here docs with doc_id % 10 == 0).
+
+    The real-pipeline guard against benchmark leakage. Spark shape: shingle
+    both splits with built-in split/sequence/transform/explode, then a
+    **broadcast** join on the eval shingle set — the eval split is tiny
+    relative to the corpus (here 10%, in production a fixed few-MB benchmark
+    set), so at 100 TB the contamination check is a narrow map-side probe over
+    the training shingles with zero shuffle of the big side."""
+    docs = load(spark, sf_dir, "documents")
+    n = 5
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
+    )
+    shingled = docs.select("doc_id", F.explode(sh).alias("sh")).distinct()
+    is_eval = F.col("doc_id") % 10 == 0
+    eval_sh = shingled.filter(is_eval).select("sh").distinct()
+    hits = (
+        shingled.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_collisions"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_collisions", F.lit(0)).cast("long").alias("n_eval_collisions"),
+            (F.coalesce("n_eval_collisions", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+register(
+    "decontaminate_ngram",
+    decontaminate_ngram,
+    r"""WITH words AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                            || w[i+3] || ' ' || w[i+4])) AS sh
+         FROM words WHERE len(w) >= 5),
+       ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+       hits AS (
+         SELECT s.doc_id, count(*) AS n_eval_collisions
+         FROM sh s JOIN ev USING (sh) WHERE s.doc_id % 10 <> 0 GROUP BY s.doc_id)
+       SELECT d.doc_id,
+              coalesce(h.n_eval_collisions, 0)::BIGINT AS n_eval_collisions,
+              (coalesce(h.n_eval_collisions, 0) > 0)::INT AS contaminated
+       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       WHERE d.doc_id % 10 <> 0""",
+)
+
+
+def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted training mixture: each source gets a repeat rate
+    (src0-2: 2.5 epochs, src3-4: 1.0, rest: 0.4); every doc is emitted
+    floor(rate) times plus one more for the deterministic fraction of docs
+    matching the fractional part — exact expected token shares with zero
+    randomness.
+
+    Spark shape: a narrow map computing n_copies + explode(sequence(...)) —
+    no shuffle, no rand(), reproducible under any partitioning, so a 100 TB
+    mixture rebuild is a single scan-and-write pass. Upsampling via explode
+    keeps copies adjacent for the downstream shard shuffle to disperse."""
+    docs = load(spark, sf_dir, "documents")
+    heavy = F.col("source").isin("src0", "src1", "src2")
+    mid = F.col("source").isin("src3", "src4")
+    whole = F.when(heavy, 2).when(mid, 1).otherwise(0)
+    frac_pct = F.when(heavy, 50).when(mid, 0).otherwise(40)
+    n_copies = (whole + (_knuth_bucket(F.col("doc_id"), 100) < frac_pct).cast("int")).alias(
+        "n_copies"
+    )
+    withn = docs.select("doc_id", "source", n_copies)
+    seq = F.when(
+        F.col("n_copies") >= 1, F.sequence(F.lit(1).cast("long"), F.col("n_copies").cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    return withn.select("doc_id", "source", F.explode(seq).alias("copy"))
+
+
+register(
+    "mixture_upsample",
+    mixture_upsample,
+    """WITH t AS (
+         SELECT doc_id, source,
+                (CASE WHEN source IN ('src0','src1','src2') THEN 2
+                      WHEN source IN ('src3','src4') THEN 1 ELSE 0 END)
+                + ((doc_id * 2654435761) % 4294967296 % 100 <
+                   CASE WHEN source IN ('src0','src1','src2') THEN 50
+                        WHEN source IN ('src3','src4') THEN 0 ELSE 40 END)::INT
+                  AS n_copies
+         FROM documents)
+       SELECT doc_id, source, unnest(generate_series(1, n_copies))::BIGINT AS copy
+       FROM t WHERE n_copies >= 1""",
+)
+
+
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    output: shard = hash(doc_id) % 16, position = rank of the hash within the
+    shard. The write path at scale is `repartition(n_shards, shard)` +
+    `sortWithinPartitions(pos)` + one file per shard — a single shuffle whose
+    fan-in is controlled by shard count, and byte-identical output on re-runs
+    (no rand(), no timestamp). The row_number window runs per-shard, so the
+    16 (at 100 TB: tens of thousands of) shards rank in parallel."""
+    docs = load(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(4294967296)).alias("h")
+    withh = docs.select("doc_id", h)
+    win = Window.partitionBy(F.col("h") % 16).orderBy("h", "doc_id")
+    return withh.select(
+        "doc_id",
+        (F.col("h") % 16).cast("int").alias("shard"),
+        F.row_number().over(win).cast("long").alias("pos"),
+    )
+
+
+register(
+    "shard_assign",
+    shard_assign,
+    """WITH t AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+       SELECT doc_id, (h % 16)::INT AS shard,
+              row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)::BIGINT AS pos
+       FROM t""",
+)
