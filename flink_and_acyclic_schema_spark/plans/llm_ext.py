@@ -1,0 +1,183 @@
+"""Training-data pipeline extensions (second tranche).
+
+Builds on plans/llm.py's dedup/similarity/text suite with the ordering,
+chunking, and term-weighting stages a 100 TB pretraining pipeline needs:
+deterministic global shuffle, context-window chunking, TF-IDF top terms,
+and percentile winsorization. Everything is built-in Catalyst expressions
+over the driver's `documents`/`events` tables; the hash used for shuffle
+is the same Knuth multiplicative hash as plans/llm.py's shard assignment
+so both engines (Spark and the DuckDB oracle) compute it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+
+# Knuth multiplicative hash, exact in any engine with 64-bit integer ops.
+_KNUTH = 2654435761
+
+
+def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded pseudorandom global training order: position = rank of
+    hash(doc_id, seed). Reproducible across engines and runs (unlike
+    rand()), and at scale the sort is a range-partitioned exchange — Spark's
+    global orderBy samples boundaries, so 100 TB shuffles without a
+    single-reducer bottleneck. Epoch reshuffle = change the seed."""
+    seed = 17
+    docs = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(_KNUTH) + F.lit(seed)) % F.lit(2**32)
+    w = Window.orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", h.alias("shuffle_key"))
+        .withColumn("position", F.row_number().over(w))
+    )
+
+
+register(
+    "deterministic_shuffle",
+    deterministic_shuffle,
+    f"""SELECT doc_id, shuffle_key,
+               CAST(row_number() OVER (ORDER BY shuffle_key ASC, doc_id ASC) AS INT) AS position
+        FROM (SELECT doc_id, (doc_id * {_KNUTH} + 17) % 4294967296 AS shuffle_key
+              FROM documents)""",
+)
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    character windows (width 512, stride 400) via sequence+explode — the
+    lateral fan-out runs JVM-side with no shuffle at all (narrow
+    transformation), so chunking 100 TB is pure map work."""
+    width, stride = 512, 400
+    docs = load(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("n_chars") - F.lit(width)) / F.lit(stride)) + F.lit(1)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.substring(
+                F.col("text"), F.col("chunk_id") * F.lit(stride) + F.lit(1), width
+            ).alias("chunk"),
+        )
+    )
+
+
+register(
+    "doc_chunking",
+    doc_chunking,
+    """SELECT d.doc_id, CAST(t.i AS INT) AS chunk_id,
+              substr(d.text, CAST(t.i AS INT) * 400 + 1, 512) AS chunk
+       FROM documents d,
+            LATERAL (SELECT unnest(range(0,
+                       CAST(greatest(1, ceil((d.n_chars - 512) / 400.0) + 1) AS BIGINT))) AS i) t""",
+)
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tokenize (regex split, JVM-side) ->
+    per-doc term frequency -> document frequency -> idf join -> windowed
+    top-k. The df table is tiny (vocabulary-sized) so the idf join
+    broadcasts; the only real shuffles are the two term-keyed aggregations.
+    Ranking uses (tf, df) integer tie-breaks so ordering is engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension; at scale: countApprox or a stats table
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: F.length(t) >= 3
+            )
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * F.log((F.lit(n_docs) + 1.0) / (F.col("df").cast("double") + 1.0))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+register(
+    "tfidf_topk",
+    tfidf_topk,
+    """WITH tokens AS (
+         SELECT doc_id, t.term FROM documents,
+                LATERAL (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                        x -> length(x) >= 3)) AS term) t
+       ),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       scored AS (
+         SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                CAST(tf.tf AS DOUBLE) * ln(((SELECT count(*) FROM documents) + 1.0)
+                                           / (CAST(df.df AS DOUBLE) + 1.0)) AS score
+         FROM tf JOIN df USING (term))
+       SELECT doc_id, term, tf, df, CAST(rk AS INT) AS rk FROM (
+         SELECT doc_id, term, tf, df,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tf DESC, df ASC, term ASC) AS rk
+         FROM scored)
+       WHERE rk <= 3""",
+)
+
+
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (clip events.value to [p05, p95]) — the
+    outlier-clamp stage before loss-weighting or reward normalization.
+    The percentile pair is one scalar row -> broadcast cross join; the clip
+    itself is a narrow map. At 100 TB swap `percentile` for
+    `approx_percentile` (t-digest) and keep the identical plan shape."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    return ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "value",
+        F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value"))).alias(
+            "value_clipped"
+        ),
+        (F.col("value") < F.col("p05")).alias("clipped_low"),
+        (F.col("value") > F.col("p95")).alias("clipped_high"),
+    )
+
+
+register(
+    "winsorize_values",
+    winsorize_values,
+    """SELECT e.event_id, e.value,
+              greatest(b.p05, least(b.p95, e.value)) AS value_clipped,
+              e.value < b.p05 AS clipped_low,
+              e.value > b.p95 AS clipped_high
+       FROM events e CROSS JOIN (
+         SELECT quantile_cont(value, 0.05) AS p05, quantile_cont(value, 0.95) AS p95
+         FROM events) b""",
+)
