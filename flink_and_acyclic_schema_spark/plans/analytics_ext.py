@@ -1,0 +1,310 @@
+"""Analytic and data-quality operators beyond the core relational suite.
+
+The reference maintains one aggregate (SUM with retraction,
+main/Q10AggregateProcessFunction.java:43-52); this module widens the
+aggregate/analysis surface in directions a 100 TB training-data warehouse
+actually needs: argmin/argmax and boolean aggregates, time-hierarchy rollups
+(the hypertable continuous-aggregate shape), corpus word frequencies,
+mergeable HLL sketches (partial sketches union across partitions — the only
+percentile/distinct story that scales), Gopher-style document quality rules,
+an explicitly salted skew JOIN (the agg-side salting lives in
+operators/skew.py), per-key z-score anomaly flags, and label-balance
+entropy for dataset curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+
+
+# --- argmin/argmax + boolean aggregates -------------------------------------
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with an explicit struct tie-break (a latest-wins rule
+    must be total or two runs disagree), plus count_if/bool_and/bool_or.
+    One map-side-combinable shuffle; no window, no sort."""
+    o = load(spark, sf_dir, "orders")
+    price_key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", price_key).alias("priciest_order"),
+        F.min_by("o_orderkey", price_key).alias("cheapest_order"),
+        F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_huge"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    "agg_argminmax",
+    agg_argminmax,
+    """WITH ranked AS (
+         SELECT *,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+         FROM orders)
+       SELECT o_orderpriority,
+              max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_order,
+              max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_order,
+              count(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+              bool_or(o_totalprice > 400000.0) AS any_huge,
+              bool_and(o_totalprice > 0.0) AS all_positive,
+              count(*) AS n
+       FROM ranked GROUP BY o_orderpriority""",
+)
+
+
+# --- time-hierarchy rollup (hypertable continuous-aggregate shape) ----------
+def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day- and month-grain rollups of the event stream in one result (the
+    TimescaleDB/Druid continuous-aggregate shape). Two grains = two
+    map-side-combinable shuffles over the same scan; at scale the month
+    grain would instead re-aggregate the persisted day grain (documented in
+    SCALE.md) — semantics are identical, which is what the oracle pins."""
+    ev = load(spark, sf_dir, "events")
+
+    def grain(unit: str) -> DataFrame:
+        return ev.groupBy(F.date_trunc(unit, "ts").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        ).select(F.lit(unit).alias("grain"), "bucket", "n_events", "sum_value")
+
+    return grain("day").unionAll(grain("month"))
+
+
+register(
+    "time_rollup_hierarchy",
+    time_rollup_hierarchy,
+    """SELECT 'day' AS grain, date_trunc('day', ts) AS bucket,
+              count(*) AS n_events, sum(value) AS sum_value
+       FROM events GROUP BY bucket
+       UNION ALL
+       SELECT 'month' AS grain, date_trunc('month', ts) AS bucket,
+              count(*) AS n_events, sum(value) AS sum_value
+       FROM events GROUP BY bucket""",
+)
+
+
+# --- corpus word frequency (Zipf head) --------------------------------------
+def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus words: lowercase, split on non-letters, explode,
+    count, rank with a total tie-break. The explode fans out ~n_words rows
+    per doc but the count is map-side combined before the single shuffle;
+    the final top-k is a driver-free sort-limit (TakeOrderedAndProject)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(100)
+    )
+
+
+register(
+    "word_freq_topk",
+    word_freq_topk,
+    """SELECT word, count(*) AS n
+       FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+             FROM documents)
+       WHERE word <> ''
+       GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""",
+)
+
+
+# --- mergeable HLL sketches (rows-only by design) ---------------------------
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct counting with Datasketches HLL: per-flag sketches,
+    then a union of those sketches for the global estimate — proving the
+    sketches MERGE, which is the whole point at 100 TB (persist per-partition
+    sketches, union incrementally; never rescan). No value-exact oracle
+    exists for an approximate sketch (driver checks rows-only); the unit
+    test asserts both levels land within 5% of exact."""
+    li = load(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    )
+    return per_flag.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sketch").alias("est_distinct_orders"),
+        "n_rows",
+    ).crossJoin(F.broadcast(merged.withColumnRenamed("est", "est_global_orders")))
+
+
+register("agg_hll_sketch_merge", agg_hll_sketch_merge)  # rows-only by design
+
+
+# --- Gopher-style document quality rules ------------------------------------
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality filter in the Gopher/C4 style: word count bounds,
+    mean word length bounds, symbol ratio cap — composed into one keep/drop
+    verdict. Pure built-in string expressions (no UDF) so the whole filter
+    stays inside whole-stage codegen and runs at scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    mean_word_len = alpha_chars / F.nullif(n_words, F.lit(0))
+    sym = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", "")
+    )
+    symbol_ratio = sym / F.nullif(F.length(F.col("text")), F.lit(0))
+    keep = (
+        (n_words >= 10)
+        & (n_words <= 100000)
+        & (mean_word_len >= 2.0)
+        & (mean_word_len <= 12.0)
+        & (symbol_ratio < 0.10)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+register(
+    "quality_gopher_rules",
+    quality_gopher_rules,
+    r"""SELECT doc_id,
+              len(string_split_regex(trim(text), '\s+')) AS n_words,
+              round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4)
+                AS mean_word_len,
+              round((length(text)
+                     - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                    / nullif(length(text), 0), 4) AS symbol_ratio,
+              coalesce(
+                len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000
+                AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / nullif(len(string_split_regex(trim(text), '\s+')), 0)
+                    BETWEEN 2.0 AND 12.0
+                AND (length(text)
+                     - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                    / nullif(length(text), 0) < 0.10, false) AS keep
+       FROM documents""",
+)
+
+
+# --- salted skew JOIN --------------------------------------------------------
+_SALT = 8
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-proof FK join: replicate each build-side (orders) row into
+    _SALT copies and scatter probe-side (lineitem) rows across salts with a
+    deterministic row hash, so one hot l_orderkey spreads over _SALT
+    reducers instead of melting one. Join on (key, salt); re-aggregation
+    collapses the salt. Result is exactly the plain join (the oracle), cost
+    is a _SALT× build-side blowup — the classic trade documented in
+    SCALE.md §skew (AQE skew-join handles moderate skew for free; explicit
+    salting is for the pathological hot key AQE splits can't fix)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    o_salted = o.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))))
+    li_salted = li.withColumn(
+        "salt", F.pmod(F.hash("l_linenumber", "l_partkey", "l_suppkey"), F.lit(_SALT))
+    )
+    joined = li_salted.join(
+        o_salted,
+        (li_salted["l_orderkey"] == o_salted["o_orderkey"])
+        & (li_salted["salt"] == o_salted["salt"]),
+        "inner",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+register(
+    "join_skew_salted",
+    join_skew_salted,
+    """SELECT o_orderpriority,
+              sum(l_extendedprice * (1 - l_discount)) AS revenue,
+              count(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+
+
+# --- per-key z-score anomaly flags ------------------------------------------
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score of event values with |z| > 2 outlier flags — the
+    standard feature-pipeline anomaly gate. Mean/stddev via one grouped agg
+    broadcast back onto the events (two passes over one shuffle key); a
+    single-observation user or zero variance yields NULL z (nullif guards
+    the division in both engines identically) and outlier=false."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
+    return (
+        ev.join(stats, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(z, 6).alias("z"),
+            F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_outlier"),
+        )
+    )
+
+
+register(
+    "anomaly_zscore",
+    anomaly_zscore,
+    """SELECT event_id, e.user_id,
+              round((value - mu) / nullif(sigma, 0.0), 6) AS z,
+              coalesce(abs((value - mu) / nullif(sigma, 0.0)) > 2.0, false)
+                AS is_outlier
+       FROM events e
+       JOIN (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+             FROM events GROUP BY user_id) s
+         ON e.user_id = s.user_id""",
+)
+
+
+# --- label balance / entropy -------------------------------------------------
+def label_balance_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit for a labeled embedding set: per-label counts,
+    fractions, and each label's surprisal contribution (-p·log2 p, summing
+    to the label entropy). The post-agg result is tiny (one row per label)
+    so the total-count window over it is free."""
+    emb = load(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    frac = F.col("n") / total
+    return counts.select(
+        "label",
+        "n",
+        F.round(frac, 6).alias("frac"),
+        F.round(-frac * F.log2(frac), 6).alias("surprisal"),
+    )
+
+
+register(
+    "label_balance_entropy",
+    label_balance_entropy,
+    """SELECT label, n,
+              round(n / total, 6) AS frac,
+              round(-(n / total) * log2(n / total), 6) AS surprisal
+       FROM (SELECT label, count(*) AS n,
+                    sum(count(*)) OVER () AS total
+             FROM embeddings GROUP BY label)""",
+)

@@ -1,0 +1,206 @@
+"""Mutation-lifecycle and source/sink operators as inventory entries.
+
+The reference's whole reason to exist is maintaining query results under
+updates (SURVEY.md §1.3's Insert/Delete algebra). This module adds the batch
+counterparts every warehouse pipeline runs: latest-wins upsert (SCD type 1),
+validity intervals (SCD type 2), forward-fill imputation, plus round-trip
+source/sink coverage (CSV, JSON lines, partitioned parquet with partition
+pruning) surfaced as oracle-checked queries rather than only unit tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+
+# --- SCD1: latest-wins upsert ----------------------------------------------
+def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse an event changelog to the latest row per key (SCD type 1 /
+    MERGE latest-wins). One shuffle on the key; the window never
+    materializes more than one partition's rows. (event_id breaks ts ties —
+    a latest-wins rule must be total or replays disagree.)"""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+register(
+    "upsert_latest_wins",
+    upsert_latest_wins,
+    """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+              event_type AS last_type, value AS last_value
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1""",
+)
+
+
+# --- SCD2: validity intervals ----------------------------------------------
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn a per-key event history into [valid_from, valid_to) intervals
+    (SCD type 2): valid_to = next event's timestamp, NULL while current.
+    lead() over the key partition — the interval build is one shuffle and
+    composes with join_range_interval for as-of temporal lookups."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        (F.lead("ts").over(w).isNull()).alias("is_current"),
+    )
+
+
+register(
+    "scd2_intervals",
+    scd2_intervals,
+    """SELECT user_id, event_id, event_type, ts AS valid_from,
+              lead(ts) OVER w AS valid_to,
+              lead(ts) OVER w IS NULL AS is_current
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+
+
+# --- forward-fill imputation ------------------------------------------------
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last observation carried forward): only 'purchase'
+    events carry an observed value; every other event inherits the most
+    recent one. last(ignorenulls) over an unbounded-preceding frame — a
+    single sorted pass per key partition, the canonical gap-imputation for
+    feature pipelines."""
+    ev = load(spark, sf_dir, "events")
+    observed = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        observed.alias("observed"),
+        F.last(observed, ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+register(
+    "window_fill_forward",
+    window_fill_forward,
+    """SELECT user_id, event_id,
+              CASE WHEN event_type = 'purchase' THEN value END AS observed,
+              last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+       FROM events""",
+)
+
+
+# --- source round-trips ------------------------------------------------------
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source: write nation as headered CSV, read it back with an
+    explicit schema (never inferSchema at scale — it double-reads the data).
+    Registered as a query so text-format interchange is part of the graded
+    operator inventory, not just a unit test."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"src_csv_{tag}")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .option("header", True)
+        .csv(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+register(
+    "source_csv_roundtrip",
+    source_csv_roundtrip,
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+
+
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round trip on region (schema-on-read with an
+    explicit schema; the interchange format for heterogeneous upstreams)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"src_json_{tag}")
+    load(spark, sf_dir, "region").write.mode("overwrite").json(path)
+    return (
+        spark.read.schema("r_regionkey bigint, r_name string")
+        .json(path)
+        .select("r_regionkey", "r_name")
+    )
+
+
+register(
+    "source_json_roundtrip",
+    source_json_roundtrip,
+    "SELECT r_regionkey, r_name FROM region",
+)
+
+
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-pruned scan: write documents
+    partitioned by source, read back one partition. The filter never touches
+    the other partitions' files (PartitionFilters in the plan — asserted by
+    tests/test_plans_and_sources.py) — THE mechanism that turns a 100 TB
+    scan into a 1 TB one."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"sink_part_{tag}")
+    docs = load(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("source").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("source") == "web")
+        .select("doc_id", "lang", "n_chars", "source")
+    )
+
+
+register(
+    "sink_partitioned_prune",
+    sink_partitioned_prune,
+    "SELECT doc_id, lang, n_chars, source FROM documents WHERE source = 'web'",
+)
+
+
+# --- approximate percentile (rows-only by design) ---------------------------
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL/GK-style sketch): the 100 TB path for
+    percentiles — mergeable fixed-size sketch per partition instead of a
+    per-group sort. No value-exact oracle exists by construction (driver
+    checks rows-only); tests assert the estimate brackets the exact
+    quartiles within accuracy bounds."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", 0.5, 10000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register("agg_approx_percentile", agg_approx_percentile)  # rows-only by design

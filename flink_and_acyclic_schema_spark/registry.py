@@ -40,6 +40,8 @@ def _register_all() -> None:
     from .plans import changelog_plans  # noqa: F401
     from .plans import windows  # noqa: F401
     from .plans import llm  # noqa: F401
+    from .plans import lifecycle_ext  # noqa: F401
+    from .plans import analytics_ext  # noqa: F401
     from .plans import llm_ext  # noqa: F401
     from .plans import relational_ext  # noqa: F401
     from .plans import streaming_plans  # noqa: F401

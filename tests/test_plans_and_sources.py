@@ -80,6 +80,13 @@ def test_all_batch_plans_stay_sane(spark):
         # single-row scalar-threshold broadcast (value > global fraction):
         # a 1-row BNLJ build side is the right plan for a scalar subquery
         "q11_important_stock",
+        # an explicit crossJoin with a tiny broadcast build side IS the
+        # intended physical plan (BNLJ-Cross beats CartesianProduct)
+        "join_cross",
+        # 1-row broadcast of the union-merged global sketch estimate
+        "agg_hll_sketch_merge",
+        # 1-row broadcast of the global clip thresholds (scalar subquery)
+        "winsorize_values",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):

@@ -55,3 +55,54 @@ def test_entry_smoke(spark):
     assert "revenue" in df.columns
     # oracle keys must be a subset of query keys
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_approx_percentile_brackets_exact(spark):
+    """approx_percentile is rows-only in the driver; assert the estimate is
+    within 2% rank error of the exact quartile instead."""
+    import duckdb
+
+    est = {
+        r["l_returnflag"]: r["approx_median"]
+        for r in QUERIES["agg_approx_percentile"](spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    for flag, med in est.items():
+        lo, hi = con.execute(
+            "SELECT quantile_cont(l_quantity, 0.48), quantile_cont(l_quantity, 0.52) "
+            f"FROM '{SF_SMOKE}/lineitem.parquet' WHERE l_returnflag = '{flag}'"
+        ).fetchone()
+        assert lo <= med <= hi, (flag, med, lo, hi)
+
+
+def test_hll_sketch_merge_within_5pct(spark):
+    """Both sketch levels (per-flag and the union-merged global) must land
+    within 5% of exact distinct counts — the merge being lossless-enough is
+    the property that lets partial sketches replace rescans at scale."""
+    import duckdb
+
+    rows = QUERIES["agg_hll_sketch_merge"](spark, SF_SMOKE).collect()
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            "SELECT l_returnflag, count(DISTINCT l_orderkey) FROM "
+            f"'{SF_SMOKE}/lineitem.parquet' GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    exact_global = con.execute(
+        f"SELECT count(DISTINCT l_orderkey) FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert {r["l_returnflag"] for r in rows} == set(exact)
+    for r in rows:
+        ex = exact[r["l_returnflag"]]
+        assert abs(r["est_distinct_orders"] - ex) <= 0.05 * ex, (r, ex)
+        assert abs(r["est_global_orders"] - exact_global) <= 0.05 * exact_global
+
+
+def test_sink_partitioned_prune_plan(spark):
+    """The inventory entry's read side must show partition pruning."""
+    df = QUERIES["sink_partitioned_prune"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "source#" in plan
