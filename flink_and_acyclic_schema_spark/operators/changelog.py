@@ -55,6 +55,41 @@ def apply_changelog(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
+def delta_join(
+    r_old: DataFrame,
+    r_delta: DataFrame,
+    s_old: DataFrame,
+    s_delta: DataFrame,
+    on,
+) -> DataFrame:
+    """Join-maintenance rule of the weight algebra:
+
+        Δ(R ⋈ S) = ΔR ⋈ S_new  ∪  R_old ⋈ ΔS      (S_new = S_old ⊎ ΔS)
+
+    with output weight = product of input weights. This is the relational form
+    of what the reference's three KeyedCoProcessFunctions do one tuple at a
+    time (parent-delta × buffered children / child-delta × alive parents,
+    e.g. Q10CustomerProcessFunction.java:64-113) — and unlike them it handles
+    deletes and duplicates exactly (SURVEY.md §8 B1/B2).
+
+    At 100 TB the state sides (S_new, R_old) are persisted bucketed tables, so
+    these joins are co-located scans; only the deltas shuffle — per-batch work
+    is O(Δ ⋈ state), never a recompute. A small ΔR additionally broadcasts.
+    """
+    s_new = s_old.unionByName(s_delta)
+    left = r_delta.withColumnRenamed(WEIGHT_COL, "_w_r").join(
+        s_new.withColumnRenamed(WEIGHT_COL, "_w_s"), on
+    )
+    right = r_old.withColumnRenamed(WEIGHT_COL, "_w_r").join(
+        s_delta.withColumnRenamed(WEIGHT_COL, "_w_s"), on
+    )
+    return (
+        left.unionByName(right)
+        .withColumn(WEIGHT_COL, F.col("_w_r") * F.col("_w_s"))
+        .drop("_w_r", "_w_s")
+    )
+
+
 def delta_agg_sum(df: DataFrame, group_cols: list[str], expr, alias: str) -> DataFrame:
     """Incremental grouped SUM with retraction: SUM(weight * expr), dropping
     groups whose support vanished. The correct form of

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
-from ..operators.changelog import apply_changelog, delta_agg_sum
+from ..operators.changelog import apply_changelog, delta_agg_sum, delta_join
 from ..registry import register
 from ..tables import load
 
@@ -27,12 +27,21 @@ _CHANGELOG_SQL = """
 
 
 def synth_changelog(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFrame:
-    """Deterministic changelog: +1 all rows, +1 dup for key%5==0, −1 for key%7==0."""
+    """Deterministic changelog: +1 all rows, +1 dup for key%5==0, −1 for key%7==0.
+
+    Built as ONE scan + a per-row weight-array explode (narrow op), not a
+    3-way UNION of filtered scans — the union form reads the base table three
+    times, which at 100 TB is 200 TB of wasted IO (the oracle keeps the
+    UNION ALL spelling; a changelog is a multiset, so order is irrelevant)."""
     t = load(spark, sf_dir, table)
-    ins = t.withColumn("weight", F.lit(1))
-    dups = t.filter(F.col(key) % 5 == 0).withColumn("weight", F.lit(1))
-    dels = t.filter(F.col(key) % 7 == 0).withColumn("weight", F.lit(-1))
-    return ins.unionByName(dups).unionByName(dels)
+    k5, k7 = F.col(key) % 5 == 0, F.col(key) % 7 == 0
+    weights = (
+        F.when(k5 & k7, F.array(F.lit(1), F.lit(1), F.lit(-1)))
+        .when(k5, F.array(F.lit(1), F.lit(1)))
+        .when(k7, F.array(F.lit(1), F.lit(-1)))
+        .otherwise(F.array(F.lit(1)))
+    )
+    return t.withColumn("weight", F.explode(weights))
 
 
 def changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,6 +83,70 @@ register(
        FROM changelog
        GROUP BY l_returnflag, l_linestatus
        HAVING sum(weight) > 0""",
+)
+
+
+def delta_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join delta Δ(orders ⋈ lineitem) for one deterministic batch of
+    inserts and deletes on BOTH sides, aggregated per priority. Emits the
+    *change* to the maintained join view (delta_support can be negative —
+    retraction is the whole point); tests/test_changelog_properties.py proves
+    old ⊎ delta = new."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    r_old = o.filter(F.col("o_orderkey") % 4 != 0).withColumn("weight", F.lit(1))
+    r_delta = (
+        o.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("weight", F.lit(1))
+        .unionByName(
+            o.filter((F.col("o_orderkey") % 6 == 0) & (F.col("o_orderkey") % 4 != 0))
+            .withColumn("weight", F.lit(-1))
+        )
+    )
+    s_old = li.filter(F.col("l_orderkey") % 5 != 0).withColumn("weight", F.lit(1))
+    s_delta = (
+        li.filter(F.col("l_orderkey") % 5 == 0)
+        .withColumn("weight", F.lit(1))
+        .unionByName(
+            li.filter((F.col("l_orderkey") % 9 == 0) & (F.col("l_orderkey") % 5 != 0))
+            .withColumn("weight", F.lit(-1))
+        )
+    )
+    d = delta_join(r_old, r_delta, s_old, s_delta, F.col("o_orderkey") == F.col("l_orderkey"))
+    rev = F.col("weight") * dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+    return d.groupBy("o_orderpriority").agg(
+        F.sum(rev).cast("double").alias("delta_revenue"),
+        F.sum("weight").cast("bigint").alias("delta_support"),
+    )
+
+
+register(
+    "delta_join_incremental",
+    delta_join_incremental,
+    """WITH r_old AS (SELECT *, 1 AS w FROM orders WHERE o_orderkey % 4 <> 0),
+            r_delta AS (
+              SELECT *, 1 AS w FROM orders WHERE o_orderkey % 4 = 0
+              UNION ALL
+              SELECT *, -1 AS w FROM orders
+              WHERE o_orderkey % 6 = 0 AND o_orderkey % 4 <> 0),
+            s_old AS (SELECT *, 1 AS w FROM lineitem WHERE l_orderkey % 5 <> 0),
+            s_delta AS (
+              SELECT *, 1 AS w FROM lineitem WHERE l_orderkey % 5 = 0
+              UNION ALL
+              SELECT *, -1 AS w FROM lineitem
+              WHERE l_orderkey % 9 = 0 AND l_orderkey % 5 <> 0),
+            s_new AS (SELECT * FROM s_old UNION ALL SELECT * FROM s_delta),
+            d AS (
+              SELECT r.w * s.w AS w, o_orderpriority, l_extendedprice, l_discount
+              FROM r_delta r JOIN s_new s ON r.o_orderkey = s.l_orderkey
+              UNION ALL
+              SELECT r.w * s.w AS w, o_orderpriority, l_extendedprice, l_discount
+              FROM r_old r JOIN s_delta s ON r.o_orderkey = s.l_orderkey)
+       SELECT o_orderpriority,
+              sum(w * l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS delta_revenue,
+              sum(w)::BIGINT AS delta_support
+       FROM d GROUP BY o_orderpriority""",
 )
 
 

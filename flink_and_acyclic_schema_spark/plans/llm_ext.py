@@ -181,3 +181,67 @@ register(
          SELECT quantile_cont(value, 0.05) AS p05, quantile_cont(value, 0.95) AS p95
          FROM events) b""",
 )
+
+
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over the embedding column (k=8, 3
+    iterations, deterministic init = the k lowest vec_ids) — the iterative-
+    algorithm class (semantic dedup / topic bucketing run exactly this loop).
+
+    Spark-first shape: per iteration the k×64 centroid matrix is a LITERAL
+    broadcast into a JVM-only assignment pass (explode + zip_with/aggregate
+    fold — no Python on the 500-row/100 TB side), then the update is one
+    grouped average over (cluster, dim) and only k×64 numbers return to the
+    driver — the same driver-size contract as MLlib's own KMeans reduce.
+    Ties break to the lowest centroid id via min_by struct ordering, so the
+    result is exactly reproducible (tests pin it against a NumPy replica).
+    Rows-only in the driver (iterative, not single-statement SQL)."""
+    k, iters = 8, 3
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    init = emb.orderBy("vec_id").limit(k).collect()
+    centroids = [list(r["embedding"]) for r in init]
+
+    assigned = None
+    for _ in range(iters):
+        c_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+                )
+                for cid, vec in enumerate(centroids)
+            ]
+        )
+        dist = F.aggregate(
+            F.zip_with("embedding", F.col("c.cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            emb.select("vec_id", "embedding", F.explode(c_arr).alias("c"))
+            .withColumn("dist", dist)
+            .groupBy("vec_id", "embedding")
+            .agg(
+                F.min_by(F.col("c.cid"), F.struct(F.col("dist"), F.col("c.cid"))).alias(
+                    "cluster"
+                ),
+                F.min("dist").alias("dist"),
+            )
+        )
+        new_rows = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new_c = {(r["cluster"], r["dim"]): r["m"] for r in new_rows}
+        centroids = [
+            [new_c.get((cid, d), centroids[cid][d]) for d in range(len(centroids[cid]))]
+            for cid in range(k)
+        ]
+    return assigned.select("vec_id", "cluster", F.round("dist", 6).alias("dist"))
+
+
+register("cluster_kmeans_lloyd", cluster_kmeans_lloyd)  # rows-only: iterative

@@ -99,6 +99,34 @@ def test_hll_sketch_merge_within_5pct(spark):
         assert abs(r["est_global_orders"] - exact_global) <= 0.05 * exact_global
 
 
+def test_kmeans_matches_numpy_replica(spark):
+    """The distributed Lloyd loop must reproduce a straightforward NumPy
+    implementation with the same init and tie rules (lowest-id wins) — the
+    determinism that makes semantic-dedup cluster ids stable across runs."""
+    import duckdb
+    import numpy as np
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in QUERIES["cluster_kmeans_lloyd"](spark, SF_SMOKE).collect()
+    }
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    cents = X[:8].copy()
+    for _ in range(3):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes the first (lowest cid) on ties
+        for c in range(8):
+            if (assign == c).any():
+                cents[c] = X[assign == c].mean(axis=0)
+    want = dict(zip(ids.tolist(), assign.tolist()))
+    agree = sum(got[i] == want[i] for i in want) / len(want)
+    assert agree >= 0.98, f"only {agree:.1%} agreement with NumPy replica"
+
+
 def test_sink_partitioned_prune_plan(spark):
     """The inventory entry's read side must show partition pruning."""
     df = QUERIES["sink_partitioned_prune"](spark, SF_SMOKE)
