@@ -114,3 +114,37 @@ def frame_sample(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+RESIZE_BUCKETS = 16
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("resized", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def resize_pool(media: DataFrame) -> DataFrame:
+    """Resize/downsample plumbing: pool the payload into RESIZE_BUCKETS
+    equal byte ranges (bucket SUMS, kept integer so the result is exact in
+    any engine) via mapInPandas — the stub stand-in for an image resize
+    (swap the pooling for PIL `Image.resize` on a cluster that has it; the
+    Arrow batch shape, schema, and partitioning are what's exercised)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                buckets = []
+                for i in range(RESIZE_BUCKETS):
+                    lo = i * n // RESIZE_BUCKETS
+                    hi = (i + 1) * n // RESIZE_BUCKETS
+                    buckets.append(int(sum(payload[lo:hi])))
+                rows.append((int(doc_id), n, buckets))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "resized"])
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)

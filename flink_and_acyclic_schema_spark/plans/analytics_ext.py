@@ -308,3 +308,98 @@ register(
                     sum(count(*)) OVER () AS total
              FROM embeddings GROUP BY label)""",
 )
+
+
+# --- sequential funnel --------------------------------------------------------
+def funnel_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly ordered signup→view→click→purchase funnel per user: each
+    stage's timestamp is the earliest event of that type AFTER the previous
+    stage (NULL = never reached, and later stages stay NULL). Four filtered
+    aggregates chained by left joins — every join is on user_id, so at scale
+    the four passes share one hash partitioning (a single logical shuffle
+    key), and each stage's input is pre-filtered to one event type."""
+    ev = load(spark, sf_dir, "events")
+
+    def stage(evt: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:
+        s = ev.filter(F.col("event_type") == evt)
+        if prev is None:
+            return s.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+        return (
+            s.join(prev.select("user_id", prev_ts), "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s1 = stage("signup", None, "", "t_signup")
+    s2 = stage("view", s1, "t_signup", "t_view")
+    s3 = stage("click", s2, "t_view", "t_click")
+    s4 = stage("purchase", s3, "t_click", "t_purchase")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .join(s4, "user_id", "left")
+        .select("user_id", "t_signup", "t_view", "t_click", "t_purchase")
+    )
+
+
+register(
+    "funnel_sequential",
+    funnel_sequential,
+    """WITH s1 AS (SELECT user_id, min(ts) AS t_signup FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(ts) AS t_view FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t_signup
+                   WHERE event_type = 'view' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(ts) AS t_click FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t_view
+                   WHERE event_type = 'click' GROUP BY e.user_id),
+            s4 AS (SELECT e.user_id, min(ts) AS t_purchase FROM events e
+                   JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t_click
+                   WHERE event_type = 'purchase' GROUP BY e.user_id)
+       SELECT s1.user_id, t_signup, t_view, t_click, t_purchase
+       FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+               LEFT JOIN s3 ON s1.user_id = s3.user_id
+               LEFT JOIN s4 ON s1.user_id = s4.user_id""",
+)
+
+
+# --- cohort retention ---------------------------------------------------------
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, counted
+    in each later week they return. Two grouped aggs on user_id then one on
+    (cohort, offset) — the user-level reduction happens before the matrix
+    build, so the wide (cohort × week) stage only ever sees one row per
+    user-week, never raw events."""
+    ev = load(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+
+
+register(
+    "retention_cohorts",
+    retention_cohorts,
+    """WITH weeks AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+                     FROM events),
+            cohort AS (SELECT user_id, min(week) AS cohort_week
+                       FROM weeks GROUP BY user_id)
+       SELECT cohort_week,
+              (date_diff('day', cohort_week::DATE, week::DATE) / 7)::INT
+                AS week_offset,
+              count(*)::BIGINT AS n_active
+       FROM weeks JOIN cohort USING (user_id)
+       GROUP BY cohort_week, week_offset""",
+)

@@ -204,3 +204,31 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("agg_approx_percentile", agg_approx_percentile)  # rows-only by design
+
+
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift at ingest: two parquet batches with different column
+    sets (an upstream added n_regionkey and dropped n_name) read back as ONE
+    table via mergeSchema — missing columns become NULL per batch. The merge
+    is a footer-only operation (no data rewrite), which is why it's the
+    standard upstream-drift answer at 100 TB; pin the final column ORDER
+    explicitly, because footer union order is not a contract."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"src_evo_{tag}")
+    n = load(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(f"{path}/b=1")
+    n.select("n_nationkey", "n_regionkey").write.mode("overwrite").parquet(f"{path}/b=2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(f"{path}/b=1", f"{path}/b=2")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+register(
+    "source_schema_evolution",
+    source_schema_evolution,
+    """SELECT n_nationkey, n_name, NULL::BIGINT AS n_regionkey FROM nation
+       UNION ALL
+       SELECT n_nationkey, NULL AS n_name, n_regionkey FROM nation""",
+)

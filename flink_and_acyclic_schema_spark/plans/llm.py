@@ -830,3 +830,26 @@ register(
               row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)::BIGINT AS pos
        FROM t""",
 )
+
+
+def multimodal_resize_pool_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize-shaped pooling over binary payloads (16 equal byte
+    buckets, integer sums — exact cross-engine); the third multimodal UDF
+    signature: one row in, fixed-length array out."""
+    from ..operators.multimodal import resize_pool, to_media_table
+
+    return resize_pool(to_media_table(load(spark, sf_dir, "documents")))
+
+
+register(
+    "multimodal_resize_pool",
+    multimodal_resize_pool_q,
+    """SELECT doc_id, length(text)::BIGINT AS n_bytes,
+              list_transform(range(0, 16),
+                i -> coalesce(list_sum(list_transform(
+                       range((i * length(text)) // 16 + 1,
+                             ((i + 1) * length(text)) // 16 + 1),
+                       j -> ascii(substring(text, j, 1)))), 0)::BIGINT)
+                AS resized
+       FROM documents""",
+)

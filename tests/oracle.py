@@ -37,13 +37,15 @@ def _norm_val(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 6)
+    # arrays/lists first: numpy ndarrays also have .item(), which throws for
+    # size > 1 — recurse elementwise before the scalar branch
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_norm_val(x) for x in v)
     # numpy scalars, timestamps, decimals → canonical python/string
     if hasattr(v, "item"):
         return _norm_val(v.item())
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_val(x) for x in v)
     return v
 
 
