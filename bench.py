@@ -39,6 +39,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "q7_volume_shipping",
     "q8_market_share",
+    "word_freq_topk",
+    "dedup_lines_global",
+    "delta_join_incremental",
+    "funnel_sequential",
 ]
 
 N_ITER = 2  # report best-of-N so JIT/first-touch costs don't skew per-query numbers

@@ -245,3 +245,74 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("cluster_kmeans_lloyd", cluster_kmeans_lloyd)  # rows-only: iterative
+
+
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup at sub-document granularity: segment
+    every document into fixed 10-word lines, keep only the FIRST occurrence
+    of each distinct line across the whole corpus (first = lowest (doc_id,
+    position) — a total order, or reruns disagree), and reassemble the
+    surviving text per document. Complements the doc-level dedup family:
+    boilerplate repeated across documents disappears even when no two whole
+    documents match.
+
+    Scale shape: explode to words (narrow), one shuffle to build segments
+    per (doc, seg), one shuffle on the segment text for the global
+    first-wins rank, one shuffle back to docs for reassembly. The ranked
+    exchange carries distinct segments' groups — boilerplate-heavy corpora
+    (the case that matters) collapse hard there."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    )
+    segs = (
+        words.withColumn("seg", (F.col("pos0") / 10).cast("int"))
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("segment")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("doc_id", "seg")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("seg", "segment"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.count_if(F.col("rn") == 1).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["segment"]
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+
+
+register(
+    "dedup_lines_global",
+    dedup_lines_global,
+    """WITH words AS (
+         SELECT doc_id,
+                unnest(string_split(text, ' ')) AS w,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM documents),
+       segs AS (
+         SELECT doc_id, ((pos - 1) // 10)::INT AS seg,
+                string_agg(w, ' ' ORDER BY pos) AS segment
+         FROM words GROUP BY doc_id, ((pos - 1) // 10)::INT),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY segment
+                                      ORDER BY doc_id, seg) AS rn
+         FROM segs)
+       SELECT doc_id,
+              count(*)::BIGINT AS n_segments,
+              count(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
+              coalesce(string_agg(CASE WHEN rn = 1 THEN segment END,
+                                  ' ' ORDER BY seg), '') AS text_kept
+       FROM ranked GROUP BY doc_id""",
+)
