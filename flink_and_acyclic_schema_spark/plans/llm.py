@@ -853,3 +853,57 @@ register(
                 AS resized
        FROM documents""",
 )
+
+
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a delta batch (doc_id%3==0 stands in for
+    today's arrivals) checked against the existing corpus by content hash —
+    each new doc is admitted ('new'), rejected against history
+    ('dup_of_corpus', checked first, matching ingest precedence), or
+    rejected within its own batch ('dup_in_batch', first-by-doc_id wins).
+    At 100 TB the corpus side is a persisted hash INDEX (hash, not text —
+    32 bytes/doc), bucketed on the hash so the daily join touches only the
+    delta's buckets; per-day work is O(delta), never a corpus rescan —
+    the ingest-side twin of the changelog algebra's O(Δ⋈state) invariant."""
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    old_hashes = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    delta = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("content_hash").orderBy("doc_id")),
+        )
+    )
+    status = (
+        F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+        .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return delta.join(old_hashes, "content_hash", "left").select(
+        "doc_id", "content_hash", status.alias("status")
+    )
+
+
+register(
+    "dedup_incremental_ingest",
+    dedup_incremental_ingest,
+    """WITH old AS (SELECT DISTINCT md5(text) AS h FROM documents
+                   WHERE doc_id % 3 <> 0),
+            d AS (SELECT doc_id, md5(text) AS content_hash,
+                         row_number() OVER (PARTITION BY md5(text)
+                                            ORDER BY doc_id) AS rn
+                  FROM documents WHERE doc_id % 3 = 0)
+       SELECT doc_id, content_hash,
+              CASE WHEN old.h IS NOT NULL THEN 'dup_of_corpus'
+                   WHEN rn > 1 THEN 'dup_in_batch'
+                   ELSE 'new' END AS status
+       FROM d LEFT JOIN old ON d.content_hash = old.h""",
+)
