@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2138,4 +2139,42 @@ register(
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        WHERE l_returnflag = 'R'
        GROUP BY l_orderkey, o_orderstatus""",
+)
+
+
+def pandas_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True vectorized UDAF (pandas_udf GROUPED_AGG — the third UDF surface
+    next to the scalar pandas_udf and the Python UDTF): quantity-weighted
+    mean price per return flag, computed on Arrow batches per group. Spark
+    has no built-in weighted average; the UDAF slots into a normal
+    groupBy().agg() beside built-ins, and the oracle is the plain SQL
+    sum(p*q)/sum(q) identity. (At scale GROUPED_AGG has no partial-agg
+    split — each group's columns stream to one worker; for a 1e9-group agg
+    prefer the sum/sum decomposition, which is also registered and exact.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    @pandas_udf("long")
+    def pcount(qty: pd.Series) -> int:
+        # GROUPED_AGG UDFs can't mix with built-in aggregates in one agg()
+        return int(len(qty))
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wmean("l_extendedprice", "l_quantity").alias("weighted_avg_price"),
+        pcount("l_quantity").alias("n"),
+    )
+
+
+register(
+    "pandas_udaf_grouped",
+    pandas_udaf_grouped,
+    """SELECT l_returnflag,
+              sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                AS weighted_avg_price,
+              count(*) AS n
+       FROM lineitem GROUP BY l_returnflag""",
 )

@@ -183,3 +183,21 @@ def test_bucketed_join_zero_exchange(spark):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_observation_metrics_on_query(spark):
+    """Production pipelines attach row-count/sum observations to a plan and
+    read them after the action with zero extra passes — verify the Spark
+    Observation API works against an inventory query's plan."""
+    from pyspark.sql import Observation
+
+    obs = Observation("scan_metrics")
+    df = QUERIES["scan_project"](spark, SF_SMOKE)
+    from pyspark.sql import functions as F
+
+    observed = df.observe(
+        obs, F.count(F.lit(1)).alias("rows"), F.sum("l_extendedprice").alias("price")
+    )
+    n = observed.count()
+    assert obs.get["rows"] == n and n > 0
+    assert obs.get["price"] > 0
