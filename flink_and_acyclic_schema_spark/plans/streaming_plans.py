@@ -783,3 +783,99 @@ register(
        FROM li JOIN o ON l_orderkey = o_orderkey
        WHERE li.m * o.m > 0""",
 )
+
+
+def stream_join_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.4+/4
+    multiple-stateful-operator support): watermarked interval join
+    (purchase ⋈ clicks in the preceding 30 min) feeding a 15-minute tumbling
+    aggregation, append mode end to end. The reference chains three stateful
+    joins into a stateful aggregate exactly this way (DataFlow.java:45-57) —
+    on one engine-managed watermark instead of hand-tagged Alive/Dead deltas.
+
+    Watermark algebra pinned in the oracle: the agg groups on p_ts, and the
+    join constrains p_ts >= c_ts, so joined rows' event time never precedes
+    either input's watermark — the join adds NO delay, and append mode
+    finally emits exactly the windows with end <= min(max p_ts, max c_ts)
+    - 1h delay (unexercised at sf<=0.01: the last pair window closes before
+    that; the HAVING keeps the oracle honest at any SF)."""
+    scratch = _scratch("jwagg", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("minute", F.col("ts")).cast("timestamp")
+    )
+    import glob as _glob
+
+    d = os.path.join(scratch, "w")
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    shutil.copy(
+        _glob.glob(os.path.join(d, "part-*.parquet"))[0],
+        os.path.join(indir, "b0.parquet"),
+    )
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    raw = spark.readStream.schema(schema).parquet(indir)
+    p = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("cid"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    agg = (
+        j.groupBy(F.window("p_ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("w.start").alias("win_start"), "n_pairs")
+        .withColumn("win_start", _to_ntz("win_start"))
+    )
+    name = f"jwagg_{os.getpid()}_{next(_uniq)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_join_window_agg",
+    stream_join_window_agg,
+    """WITH ev AS (
+         SELECT event_id, date_trunc('minute', ts) AS ts, user_id, event_type
+         FROM events),
+       wm AS (
+         SELECT least((SELECT max(ts) FROM ev WHERE event_type = 'purchase'),
+                      (SELECT max(ts) FROM ev WHERE event_type = 'click'))
+                - INTERVAL 1 HOUR AS wfinal),
+       j AS (
+         SELECT p.ts AS p_ts FROM ev p JOIN ev c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click')
+       SELECT time_bucket(INTERVAL 15 MINUTE, p_ts) AS win_start,
+              count(*) AS n_pairs
+       FROM j, wm
+       GROUP BY win_start, wm.wfinal
+       HAVING win_start + INTERVAL 15 MINUTE <= wm.wfinal""",
+)
