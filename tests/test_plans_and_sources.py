@@ -201,3 +201,25 @@ def test_observation_metrics_on_query(spark):
     n = observed.count()
     assert obs.get["rows"] == n and n > 0
     assert obs.get["price"] > 0
+
+
+def test_salted_join_partitions_on_salt(spark):
+    """join_skew_salted must join on (key, salt) — if the salt fell out of
+    the join keys the hot key would still melt one reducer and the operator
+    would be decorative. At smoke scale the sides are broadcast-small, so
+    force the shuffle strategy to also see the (key, salt) exchange a
+    cluster-scale run would use."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["join_skew_salted"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    keyed = [p for p in parts if "salt" in p and ("l_orderkey" in p or "o_orderkey" in p)]
+    assert len(keyed) >= 2, f"no (key, salt) exchanges found: {parts}"
