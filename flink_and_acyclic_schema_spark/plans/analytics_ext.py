@@ -403,3 +403,28 @@ register(
        FROM weeks JOIN cohort USING (user_id)
        GROUP BY cohort_week, week_offset""",
 )
+
+
+# --- grouping markers on super-aggregates -----------------------------------
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers: distinguishes a real NULL group value
+    from the NULL that marks a super-aggregate row — without the marker,
+    rollup outputs are ambiguous to every downstream consumer. One pass,
+    partial-agg expanded per grouping set."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+register(
+    "agg_grouping_id",
+    agg_grouping_id,
+    """SELECT o_orderstatus, o_orderpriority,
+              grouping(o_orderstatus)::INT AS g_status,
+              grouping(o_orderpriority)::INT AS g_priority,
+              count(*) AS n_orders
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+)
