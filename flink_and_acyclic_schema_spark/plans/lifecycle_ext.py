@@ -232,3 +232,37 @@ register(
        UNION ALL
        SELECT n_nationkey, NULL AS n_name, n_regionkey FROM nation""",
 )
+
+
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 extension API): a deterministic
+    partitioned generator source read like any other format, then aggregated.
+    Each of the 8 InputPartitions produces its id-range on an executor —
+    engine-extensible ingest with real parallelism (see
+    sources/pydatasource.py for the 100 TB shard-mapping story)."""
+    from ..sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("rows", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("score"), 6).alias("sum_score"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+register(
+    "source_python_datasource",
+    source_python_datasource,
+    """SELECT (k % 7)::INT AS bucket, count(*)::BIGINT AS n,
+              round(sum((k * 2654435761 % 1000) / 1000.0), 6) AS sum_score,
+              min(k) AS min_id, max(k) AS max_id
+       FROM (SELECT unnest(range(0, 10000)) AS k)
+       GROUP BY (k % 7)::INT""",
+)
