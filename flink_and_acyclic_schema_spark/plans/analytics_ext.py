@@ -428,3 +428,33 @@ register(
               count(*) AS n_orders
        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
 )
+
+
+# --- null-preserving lateral fan-out ----------------------------------------
+def lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer vs explode: a row whose collection is EMPTY survives
+    with a NULL element instead of vanishing — the difference between an
+    inner and outer lateral join, and the bug class where entities with no
+    children silently disappear from a report. Per order, the generated
+    array sequence(1, o_orderkey % 3) is empty when o_orderkey % 3 == 0;
+    those orders must still appear. Narrow op, no shuffle."""
+    o = load(spark, sf_dir, "orders")
+    arr = F.when(
+        F.col("o_orderkey") % 3 == 0, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), (F.col("o_orderkey") % 3).cast("int")))
+    return o.select(
+        "o_orderkey",
+        F.explode_outer(arr).alias("child"),
+    )
+
+
+register(
+    "lateral_explode_outer",
+    lateral_explode_outer,
+    """SELECT o_orderkey, u AS child
+       FROM (SELECT o_orderkey,
+                    CASE WHEN o_orderkey % 3 = 0 THEN []::INT[]
+                         ELSE range(1, (o_orderkey % 3)::INT + 1) END AS l
+             FROM orders),
+            unnest(CASE WHEN len(l) = 0 THEN [NULL]::INT[] ELSE l END) AS t(u)""",
+)
