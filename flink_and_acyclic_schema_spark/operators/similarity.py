@@ -68,14 +68,21 @@ def ivf_topk(embs: DataFrame, centroid_mod: int = 64, n_queries: int = 8, k: int
     cents = qz.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
     )
-    # nearest-centroid assignment (broadcast: centroid set is tiny by design)
-    scored = qz.crossJoin(F.broadcast(cents)).withColumn(
-        "cdot", int_dot(F.col("q"), F.col("cq"))
-    )
-    wassign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    # Nearest-centroid assignment (broadcast: centroid set is tiny by design).
+    # min_by over a (-dot, cent_id) struct == argmax dot with ties to the lowest
+    # cent_id. Unlike a row_number() window over the exploded N×C set, this gets
+    # map-side partial aggregation: each partition reduces its N×C candidate rows
+    # to ~N before any exchange, so the shuffle moves N rows, not N×C.
     assigned = (
-        scored.withColumn("crk", F.row_number().over(wassign))
-        .filter(F.col("crk") == 1)
+        qz.crossJoin(F.broadcast(cents))
+        .withColumn("cdot", int_dot(F.col("q"), F.col("cq")))
+        .groupBy("vec_id", "q")
+        .agg(
+            F.min_by(
+                F.col("cent_id"),
+                F.struct((-F.col("cdot")).alias("nd"), F.col("cent_id").alias("c")),
+            ).alias("cent_id")
+        )
         .select("vec_id", "cent_id", "q")
     )
     queries = assigned.filter(F.col("vec_id") < n_queries).select(
@@ -95,6 +102,85 @@ def ivf_topk(embs: DataFrame, centroid_mod: int = 64, n_queries: int = 8, k: int
         pair.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "score", "rk")
+    )
+
+
+def pq_topk(
+    embs: DataFrame,
+    centroid_mod: int = 64,
+    n_queries: int = 8,
+    k: int = 3,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """(query_id, vec_id, score_pq, rk): product-quantization ANN — the
+    memory-bound 100 TB path. Each 64-dim vector is encoded as 8 one-byte
+    codes (nearest codeword per 8-dim subspace), so the searchable index is
+    ~8 bytes/vector instead of 256; queries score candidates via an
+    asymmetric-distance lookup table (exact query subvector · codeword dots).
+
+    Scale shape: the codebook (codewords = subvectors of every
+    ``centroid_mod``-th vector, deterministic like ivf_topk's centroid rule)
+    and the per-query LUT are both tiny and broadcast; encoding reduces the
+    N×M×K candidate explosion with map-side min_by partial aggregation
+    (same shape as ivf_topk's assignment — N rows shuffle, not N×M×K);
+    scoring is one broadcast join on (subspace, code) plus a partial-agg'd
+    sum. All arithmetic is exact int64 on quantized components, so scores
+    are engine-identical."""
+    from pyspark.sql.window import Window
+
+    qz = with_quantized(embs)
+    msub = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m")
+    cb = (
+        qz.filter(F.col("vec_id") % centroid_mod == 0)
+        .select((F.col("vec_id") / centroid_mod).cast("long").alias("code"), "q")
+        .select("code", msub, "q")
+        .select("code", "m", F.slice("q", F.col("m") * sub_dim + 1, sub_dim).alias("cv"))
+    )
+    vx = qz.select("vec_id", msub, "q").select(
+        "vec_id", "m", F.slice("q", F.col("m") * sub_dim + 1, sub_dim).alias("xv")
+    )
+    # argmin_code ||xv - cv||^2 == argmin (cv.cv - 2 xv.cv): xv.xv is constant
+    # per (vec, subspace) so it drops out of the comparison
+    enc = (
+        vx.join(F.broadcast(cb), "m")
+        .withColumn(
+            "d2", int_dot(F.col("cv"), F.col("cv")) - 2 * int_dot(F.col("xv"), F.col("cv"))
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(F.col("d2").alias("d"), F.col("code").alias("c"))
+            ).alias("code")
+        )
+    )
+    lut = (
+        qz.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), "q")
+        .join(F.broadcast(cb), F.lit(True))
+        .select(
+            "query_id",
+            "m",
+            "code",
+            int_dot(F.slice("q", F.col("m") * sub_dim + 1, sub_dim), F.col("cv")).alias(
+                "ldot"
+            ),
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ldot").alias("dot"))
+        .select(
+            "query_id", "vec_id", (F.col("dot") / F.lit(float(SCALE) ** 2)).alias("score_pq")
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("score_pq"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "score_pq", F.col("rk").cast("int").alias("rk"))
     )
 
 

@@ -120,30 +120,65 @@ register(
 )
 
 
-# --- mergeable HLL sketches (rows-only by design) ---------------------------
+# --- mergeable HLL sketches ---------------------------------------------------
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct counting with Datasketches HLL: per-flag sketches,
     then a union of those sketches for the global estimate — proving the
     sketches MERGE, which is the whole point at 100 TB (persist per-partition
-    sketches, union incrementally; never rescan). No value-exact oracle
-    exists for an approximate sketch (driver checks rows-only); the unit
-    test asserts both levels land within 5% of exact."""
+    sketches, union incrementally; never rescan). Sketch estimates are
+    engine-specific so they can't be oracle-hashed; emit the exact distinct
+    counts (test-SF only) plus deterministic booleans that BOTH levels land
+    within 5% of exact — stable because HLL union is commutative."""
     li = load(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_orderkey").alias("sketch"),
+        F.count_distinct("l_orderkey").alias("exact_distinct_orders"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     merged = per_flag.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_global"),
     )
-    return per_flag.select(
-        "l_returnflag",
-        F.hll_sketch_estimate("sketch").alias("est_distinct_orders"),
-        "n_rows",
-    ).crossJoin(F.broadcast(merged.withColumnRenamed("est", "est_global_orders")))
+    glob_exact = li.agg(F.count_distinct("l_orderkey").alias("exact_global_orders"))
+    return (
+        per_flag.select(
+            "l_returnflag",
+            "exact_distinct_orders",
+            "n_rows",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sketch") - F.col("exact_distinct_orders")
+                )
+                <= F.lit(0.05) * F.col("exact_distinct_orders")
+            ).alias("flag_est_within_5pct"),
+        )
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(glob_exact))
+        .select(
+            "l_returnflag",
+            "exact_distinct_orders",
+            "n_rows",
+            "flag_est_within_5pct",
+            "exact_global_orders",
+            (
+                F.abs(F.col("est_global") - F.col("exact_global_orders"))
+                <= F.lit(0.05) * F.col("exact_global_orders")
+            ).alias("global_est_within_5pct"),
+        )
+    )
 
 
-register("agg_hll_sketch_merge", agg_hll_sketch_merge)  # rows-only by design
+register(
+    "agg_hll_sketch_merge",
+    agg_hll_sketch_merge,
+    """SELECT l_returnflag,
+              count(DISTINCT l_orderkey)::BIGINT AS exact_distinct_orders,
+              count(*)::BIGINT AS n_rows,
+              TRUE AS flag_est_within_5pct,
+              (SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT
+                  AS exact_global_orders,
+              TRUE AS global_est_within_5pct
+       FROM lineitem GROUP BY l_returnflag""",
+)
 
 
 # --- Gopher-style document quality rules ------------------------------------
@@ -457,4 +492,91 @@ register(
                          ELSE range(1, (o_orderkey % 3)::INT + 1) END AS l
              FROM orders),
             unnest(CASE WHEN len(l) = 0 THEN [NULL]::INT[] ELSE l END) AS t(u)""",
+)
+
+
+# --- iterative graph: PageRank ----------------------------------------------
+_PR_SCALE = 10**12
+_PR_SUPP_OFF = 1_000_000  # supplier node ids offset into their own range
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the bipartite
+    part<->supplier graph induced by lineitem — the iterative-graph shape
+    (label propagation's cousin) a training-data curation stack needs for
+    source-authority weighting.
+
+    Spark-first scale shape: the edge list is built once (distinct equi-pairs,
+    one shuffle) and each iteration is edges ⋈ ranks on src (both sides
+    hash-partitioned on the same key — the exchange is reused across
+    iterations) followed by a map-side-combinable groupBy(dst) sum. Nothing
+    but a single node count ever reaches the driver; 3 unrolled iterations
+    keep lineage shallow (localCheckpoint would cap it for deeper runs).
+
+    Engine-exactness: ranks are int64 scaled by 1e12 and every divide is a
+    positive-integer floor division (Spark `div`, DuckDB `//`), so each
+    iteration is bit-identical in both engines — no float drift, no
+    tolerance. The symmetric edge set means every node has outdeg >= 1, so
+    there is no dangling-mass term."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.col("l_partkey").alias("src"),
+            (F.lit(_PR_SUPP_OFF) + F.col("l_suppkey")).alias("dst"),
+        )
+        .unionByName(
+            li.select(
+                (F.lit(_PR_SUPP_OFF) + F.col("l_suppkey")).alias("src"),
+                F.col("l_partkey").alias("dst"),
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = edges.select("src").distinct().count()  # driver scalar, like kmeans k
+    base = (15 * _PR_SCALE) // (100 * n)
+    ranks = deg.select("src", F.lit(_PR_SCALE // n).cast("long").alias("r"))
+    for _ in range(3):
+        ranks = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("r div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("dst").alias("src"),
+                (F.lit(base) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("src").alias("node"), F.col("r").alias("rank_q"))
+
+
+def _pr_iter_cte(i: int) -> str:
+    return f"""
+       r{i} AS (
+         SELECT e.dst AS node,
+                ((15000000000000 // (100 * n.n))
+                 + (85 * sum(p.r // deg.d)) // 100)::BIGINT AS r
+         FROM edges e JOIN r{i - 1} p ON e.src = p.node
+         JOIN deg ON e.src = deg.src
+         CROSS JOIN n
+         GROUP BY e.dst, n.n)"""
+
+
+register(
+    "graph_pagerank",
+    graph_pagerank,
+    f"""WITH edges AS (
+         SELECT DISTINCT l_partkey AS src, {_PR_SUPP_OFF} + l_suppkey AS dst
+         FROM lineitem
+         UNION
+         SELECT DISTINCT {_PR_SUPP_OFF} + l_suppkey, l_partkey FROM lineitem),
+       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       n AS (SELECT count(*) AS n FROM deg),
+       r0 AS (SELECT src AS node, ({_PR_SCALE} // n.n)::BIGINT AS r
+              FROM deg CROSS JOIN n),"""
+    + ",".join(_pr_iter_cte(i) for i in (1, 2, 3))
+    + """
+       SELECT node, r AS rank_q FROM r3""",
 )

@@ -946,16 +946,33 @@ register(
 
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch — the 100 TB path for cardinality
-    (fixed-size sketch per group, no distinct shuffle). Rows-only check: HLL
-    estimates are engine-specific, so no value-exact oracle exists by design;
-    tests/test_queries_vs_oracle.py asserts the estimate is within 5% of exact."""
+    (fixed-size sketch per group, no distinct shuffle). HLL estimates are
+    engine-specific, so the sketch value itself can't be oracle-hashed;
+    instead emit the exact distinct count (cheap at test SF — at 100 TB you'd
+    drop this column and trust the sketch) plus a deterministic boolean that
+    the estimate landed within 3x the configured rsd. HLL++ is deterministic
+    for a given dataset (merge is commutative), so the boolean is stable."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", rsd=0.01)
+                - F.count_distinct("l_orderkey")
+            )
+            <= F.lit(0.03) * F.count_distinct("l_orderkey")
+        ).alias("approx_within_3rsd"),
     )
 
 
-register("agg_approx_count_distinct", agg_approx_count_distinct)  # rows-only by design
+register(
+    "agg_approx_count_distinct",
+    agg_approx_count_distinct,
+    """SELECT l_returnflag,
+              count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+              TRUE AS approx_within_3rsd
+       FROM lineitem GROUP BY l_returnflag""",
+)
 
 
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,21 +189,39 @@ register(
 )
 
 
-# --- approximate percentile (rows-only by design) ---------------------------
+# --- approximate percentile ---------------------------------------------------
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL/GK-style sketch): the 100 TB path for
     percentiles — mergeable fixed-size sketch per partition instead of a
-    per-group sort. No value-exact oracle exists by construction (driver
-    checks rows-only); tests assert the estimate brackets the exact
-    quartiles within accuracy bounds."""
+    per-group sort. The sketch value is engine-specific (GK returns an actual
+    element whose choice depends on merge order), so it can't be oracle-hashed
+    directly; instead emit a deterministic boolean that the estimate lands
+    inside the exact [p45, p55] bracket — true for any merge order at the
+    configured accuracy — next to the exact count. At 100 TB you'd drop the
+    exact-percentile columns and keep only the sketch."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_quantity", 0.5, 10000).alias("approx_median"),
         F.count(F.lit(1)).alias("n"),
+        (
+            (
+                F.approx_percentile("l_quantity", 0.5, 10000)
+                >= F.percentile("l_quantity", 0.45)
+            )
+            & (
+                F.approx_percentile("l_quantity", 0.5, 10000)
+                <= F.percentile("l_quantity", 0.55)
+            )
+        ).alias("approx_in_p45_p55"),
     )
 
 
-register("agg_approx_percentile", agg_approx_percentile)  # rows-only by design
+register(
+    "agg_approx_percentile",
+    agg_approx_percentile,
+    """SELECT l_returnflag, count(*)::BIGINT AS n,
+              TRUE AS approx_in_p45_p55
+       FROM lineitem GROUP BY l_returnflag""",
+)
 
 
 def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,7 +19,24 @@ from ..registry import register
 from ..tables import load
 
 # shared oracle CTEs -----------------------------------------------------------
-_SHINGLES_CTE = r"""
+# The minhash CTEs are GENERATED from the same constants the Spark operators
+# use (operators/dedup.py: 64 perms = 16 md5s x 4 hex slices, 16 bands of 4) so
+# the two sides cannot drift when the parameters are tuned.
+_MH_COLS = ",\n    ".join(
+    f"min(substring(md5('{i}:' || sh), {1 + 8 * j}, 8)) AS h{i * 4 + j}"
+    for i in range(dedup.N_MINHASH // 4)
+    for j in range(4)
+)
+_BANDS_SQL = "\n  UNION ALL\n  ".join(
+    "SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM mh".format(
+        b=b,
+        cat=" || '|' || ".join(
+            f"h{b * dedup.ROWS_PER_BAND + j}" for j in range(dedup.ROWS_PER_BAND)
+        ),
+    )
+    for b in range(dedup.N_BANDS)
+)
+_SHINGLES_CTE = rf"""
 words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 shingles AS (
   SELECT DISTINCT doc_id,
@@ -28,19 +45,10 @@ shingles AS (
   FROM words),
 mh AS (
   SELECT doc_id,
-    min(substring(md5('0:' || sh), 1, 8))  AS h0,
-    min(substring(md5('0:' || sh), 9, 8))  AS h1,
-    min(substring(md5('0:' || sh), 17, 8)) AS h2,
-    min(substring(md5('0:' || sh), 25, 8)) AS h3,
-    min(substring(md5('1:' || sh), 1, 8))  AS h4,
-    min(substring(md5('1:' || sh), 9, 8))  AS h5,
-    min(substring(md5('1:' || sh), 17, 8)) AS h6,
-    min(substring(md5('1:' || sh), 25, 8)) AS h7
+    {_MH_COLS}
   FROM shingles GROUP BY doc_id),
 bands AS (
-  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS sig FROM mh
-  UNION ALL
-  SELECT doc_id, 1, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM mh),
+  {_BANDS_SQL}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -77,14 +85,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(load(spark, sf_dir, "documents"))
 
 
+_EST_JACCARD_SQL = (
+    "("
+    + " + ".join(f"(ma.h{i} = mb.h{i})::INT" for i in range(dedup.N_MINHASH))
+    + f") / {float(dedup.N_MINHASH)} AS est_jaccard"
+)
+
 register(
     "dedup_minhash_lsh",
     dedup_minhash_lsh,
     f"""WITH {_SHINGLES_CTE}
        SELECT doc_a, doc_b,
-              ((ma.h0 = mb.h0)::INT + (ma.h1 = mb.h1)::INT + (ma.h2 = mb.h2)::INT
-               + (ma.h3 = mb.h3)::INT + (ma.h4 = mb.h4)::INT + (ma.h5 = mb.h5)::INT
-               + (ma.h6 = mb.h6)::INT + (ma.h7 = mb.h7)::INT) / 8.0 AS est_jaccard
+              {_EST_JACCARD_SQL}
        FROM cand JOIN mh ma ON cand.doc_a = ma.doc_id
        JOIN mh mb ON cand.doc_b = mb.doc_id""",
 )
@@ -226,7 +238,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     and partitionings; per-language keep-rates set the mix. At 100 TB this is
     a pure narrow map (no shuffle, no seed coordination across executors)."""
     docs = load(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    bucket = _knuth_bucket(F.col("doc_id"), 100)
     rate = (
         F.when(F.col("lang") == "en", 50)
         .when(F.col("lang") == "zh", 30)
@@ -242,9 +254,10 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "sample_stratified",
     sample_stratified,
-    """SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+    """SELECT doc_id, lang,
+              (doc_id % 2147483648) * 2654435761 % 4294967296 % 100 AS bucket
        FROM documents
-       WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+       WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 % 100 <
              CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 30 ELSE 20 END""",
 )
 
@@ -413,6 +426,44 @@ register(
          SELECT *, row_number() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, vec_id) AS rk
          FROM pair) WHERE rk <= 3""",
+)
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_topk(load(spark, sf_dir, "embeddings"))
+
+
+register(
+    "sim_pq_topk",
+    sim_pq_topk,
+    f"""WITH {_QUANT_CTE},
+       cb AS (
+         SELECT vec_id // 64 AS code, m,
+                q[m * 8 + 1 : m * 8 + 8] AS cv
+         FROM qe, range(0, 8) t(m) WHERE vec_id % 64 = 0),
+       enc AS (
+         SELECT vec_id, m, code FROM (
+           SELECT vx.vec_id, vx.m, cb.code,
+                  row_number() OVER (PARTITION BY vx.vec_id, vx.m
+                    ORDER BY list_dot_product(cb.cv, cb.cv)
+                             - 2 * list_dot_product(vx.xv, cb.cv), cb.code) AS rk
+           FROM (SELECT vec_id, m, q[m * 8 + 1 : m * 8 + 8] AS xv
+                 FROM qe, range(0, 8) t(m)) vx
+           JOIN cb ON vx.m = cb.m) WHERE rk = 1),
+       lut AS (
+         SELECT qv.vec_id AS query_id, cb.m, cb.code,
+                list_dot_product(qv.q[cb.m * 8 + 1 : cb.m * 8 + 8], cb.cv) AS ldot
+         FROM qe qv CROSS JOIN cb WHERE qv.vec_id < 8),
+       sc AS (
+         SELECT lut.query_id, enc.vec_id, sum(lut.ldot) AS dot
+         FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+         WHERE lut.query_id <> enc.vec_id
+         GROUP BY lut.query_id, enc.vec_id)
+       SELECT query_id, vec_id, score_pq, rk::INT AS rk FROM (
+         SELECT query_id, vec_id, dot / 1000000000000.0 AS score_pq,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, vec_id) AS rk
+         FROM sc) WHERE rk <= 3""",
 )
 
 
@@ -694,7 +745,11 @@ _KNUTH = 2654435761  # multiplicative hash (see sample_stratified) — engine-po
 
 
 def _knuth_bucket(col: F.Column, mod: int) -> F.Column:
-    return (col * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(mod)
+    # Mask ids to 31 bits BEFORE the multiply: 2^31 * 2654435761 < 2^63, so the
+    # product never wraps Spark's long (silent) or DuckDB's BIGINT (raises) —
+    # without the mask the two engines diverge once ids exceed ~3.5e9. For
+    # non-negative ids the mask is the identity below 2^31.
+    return (col % F.lit(2**31)) * F.lit(_KNUTH) % F.lit(4294967296) % F.lit(mod)
 
 
 def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,7 +848,7 @@ register(
          SELECT doc_id, source,
                 (CASE WHEN source IN ('src0','src1','src2') THEN 2
                       WHEN source IN ('src3','src4') THEN 1 ELSE 0 END)
-                + ((doc_id * 2654435761) % 4294967296 % 100 <
+                + ((doc_id % 2147483648) * 2654435761 % 4294967296 % 100 <
                    CASE WHEN source IN ('src0','src1','src2') THEN 50
                         WHEN source IN ('src3','src4') THEN 0 ELSE 40 END)::INT
                   AS n_copies
@@ -812,7 +867,8 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no rand(), no timestamp). The row_number window runs per-shard, so the
     16 (at 100 TB: tens of thousands of) shards rank in parallel."""
     docs = load(spark, sf_dir, "documents")
-    h = ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(4294967296)).alias("h")
+    # 31-bit mask before the multiply — see _knuth_bucket for the overflow rationale
+    h = ((F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH) % F.lit(4294967296)).alias("h")
     withh = docs.select("doc_id", h)
     win = Window.partitionBy(F.col("h") % 16).orderBy("h", "doc_id")
     return withh.select(
@@ -825,7 +881,9 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "shard_assign",
     shard_assign,
-    """WITH t AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+    """WITH t AS (SELECT doc_id,
+                         (doc_id % 2147483648) * 2654435761 % 4294967296 AS h
+                  FROM documents)
        SELECT doc_id, (h % 16)::INT AS shard,
               row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)::BIGINT AS pos
        FROM t""",
@@ -835,23 +893,41 @@ register(
 def multimodal_resize_pool_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize-shaped pooling over binary payloads (16 equal byte
     buckets, integer sums — exact cross-engine); the third multimodal UDF
-    signature: one row in, fixed-length array out."""
+    signature: one row in, fixed-length array out.
+
+    The Spark side pools UTF-8 BYTES of the payload while the DuckDB oracle
+    sums per-character code points — equal only for pure-ASCII text, so both
+    sides filter to docs where byte length == char length (ASCII iff equal,
+    for valid UTF-8). Real image payloads are binary anyway; the filter only
+    pins the text-as-payload test encoding.
+
+    The operator returns (doc_id, n_bytes, resized array<bigint>[16]); the
+    registered query posexplodes the array to (doc_id, bucket, pooled) rows —
+    a top-level array column is the one shape whose pandas rendering differs
+    between engines (list vs ndarray), which defeats row-hash comparison even
+    when values are identical. Exploding also re-checks the fixed-length
+    contract: exactly 16 buckets per doc."""
     from ..operators.multimodal import resize_pool, to_media_table
 
-    return resize_pool(to_media_table(load(spark, sf_dir, "documents")))
+    docs = load(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
+    pooled = resize_pool(to_media_table(docs))
+    return pooled.select(
+        "doc_id", "n_bytes", F.posexplode("resized").alias("bucket", "pooled")
+    ).select("doc_id", "n_bytes", F.col("bucket").cast("int").alias("bucket"), "pooled")
 
 
 register(
     "multimodal_resize_pool",
     multimodal_resize_pool_q,
-    """SELECT doc_id, length(text)::BIGINT AS n_bytes,
-              list_transform(range(0, 16),
-                i -> coalesce(list_sum(list_transform(
-                       range((i * length(text)) // 16 + 1,
-                             ((i + 1) * length(text)) // 16 + 1),
-                       j -> ascii(substring(text, j, 1)))), 0)::BIGINT)
-                AS resized
-       FROM documents""",
+    """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, i::INT AS bucket,
+              coalesce(list_sum(list_transform(
+                  range((i * length(text)) // 16 + 1,
+                        ((i + 1) * length(text)) // 16 + 1),
+                  j -> ascii(substring(text, j, 1)))), 0)::BIGINT AS pooled
+       FROM documents, range(0, 16) t(i)
+       WHERE strlen(text) = length(text)""",
 )
 
 

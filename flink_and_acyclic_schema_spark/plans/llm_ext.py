@@ -11,6 +11,8 @@ so both engines (Spark and the DuckDB oracle) compute it exactly.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -23,18 +25,46 @@ _KNUTH = 2654435761
 
 
 def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded pseudorandom global training order: position = rank of
-    hash(doc_id, seed). Reproducible across engines and runs (unlike
-    rand()), and at scale the sort is a range-partitioned exchange — Spark's
-    global orderBy samples boundaries, so 100 TB shuffles without a
-    single-reducer bottleneck. Epoch reshuffle = change the seed."""
+    """Seeded pseudorandom global training order: position = global rank of
+    hash(doc_id, seed). Reproducible across engines and runs (unlike rand()).
+
+    Scale shape — two-phase ranking, NOT a global window (a row_number over
+    Window.orderBy with no partitionBy funnels every row through one
+    reducer): the hash's top 8 bits give 256 fixed, deterministic range
+    buckets; each bucket ranks in parallel (windows partitioned by bucket),
+    and global position = within-bucket rank + the broadcast cumulative count
+    of all lower buckets. The offsets table is 256 rows — its own cumulative
+    window is driver-sized. The multiplicative hash is uniform, so buckets
+    are balanced without sampled boundaries (no RangePartitioner
+    nondeterminism). Ids are masked to 31 bits before the multiply so the
+    product can't wrap int64 in either engine. Epoch reshuffle = new seed."""
     seed = 17
     docs = load(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(_KNUTH) + F.lit(seed)) % F.lit(2**32)
-    w = Window.orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+    h = ((F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH) + F.lit(seed)) % F.lit(2**32)
+    keyed = docs.select("doc_id", h.alias("shuffle_key")).withColumn(
+        "bucket", (F.col("shuffle_key") / F.lit(2**24)).cast("long")
+    )
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    wb = Window.partitionBy("bucket").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
     return (
-        docs.select("doc_id", h.alias("shuffle_key"))
-        .withColumn("position", F.row_number().over(w))
+        keyed.withColumn("rk", F.row_number().over(wb))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("offset") + F.col("rk")).cast("long").alias("position"),
+        )
     )
 
 
@@ -42,8 +72,10 @@ register(
     "deterministic_shuffle",
     deterministic_shuffle,
     f"""SELECT doc_id, shuffle_key,
-               CAST(row_number() OVER (ORDER BY shuffle_key ASC, doc_id ASC) AS INT) AS position
-        FROM (SELECT doc_id, (doc_id * {_KNUTH} + 17) % 4294967296 AS shuffle_key
+               CAST(row_number() OVER (ORDER BY shuffle_key ASC, doc_id ASC) AS BIGINT)
+                   AS position
+        FROM (SELECT doc_id,
+                     ((doc_id % 2147483648) * {_KNUTH} + 17) % 4294967296 AS shuffle_key
               FROM documents)""",
 )
 
@@ -91,7 +123,15 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc term frequency -> document frequency -> idf join -> windowed
     top-k. The df table is tiny (vocabulary-sized) so the idf join
     broadcasts; the only real shuffles are the two term-keyed aggregations.
-    Ranking uses (tf, df) integer tie-breaks so ordering is engine-exact."""
+
+    Ranking is on the engine-exact integer triple (tf DESC, df ASC, term) —
+    NOT the double tf*ln((N+1)/(df+1)) score: ln() is not guaranteed
+    correctly-rounded identically across engines, so two near-equal scores
+    could order differently in Spark vs the oracle. For equal tf the df ASC
+    order matches TF-IDF order exactly (idf is monotone decreasing in df);
+    across different tf it is a documented deterministic ranking. The double
+    score still rides along as an informational column, rounded to 6 digits
+    so it hashes stably."""
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar dimension; at scale: countApprox or a stats table
     tokens = docs.select(
@@ -109,18 +149,17 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         "tf",
         "df",
-        (
+        F.round(
             F.col("tf").cast("double")
-            * F.log((F.lit(n_docs) + 1.0) / (F.col("df").cast("double") + 1.0))
+            * F.log((F.lit(n_docs) + 1.0) / (F.col("df").cast("double") + 1.0)),
+            6,
         ).alias("score"),
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score"), F.desc("tf"), F.asc("df"), F.asc("term")
-    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("doc_id", "term", "tf", "df", F.col("rk").cast("int").alias("rk"))
+        .select("doc_id", "term", "tf", "df", "score", F.col("rk").cast("int").alias("rk"))
     )
 
 
@@ -136,13 +175,14 @@ register(
        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        scored AS (
          SELECT tf.doc_id, tf.term, tf.tf, df.df,
-                CAST(tf.tf AS DOUBLE) * ln(((SELECT count(*) FROM documents) + 1.0)
-                                           / (CAST(df.df AS DOUBLE) + 1.0)) AS score
+                round(CAST(tf.tf AS DOUBLE)
+                      * ln(((SELECT count(*) FROM documents) + 1.0)
+                           / (CAST(df.df AS DOUBLE) + 1.0)), 6) AS score
          FROM tf JOIN df USING (term))
-       SELECT doc_id, term, tf, df, CAST(rk AS INT) AS rk FROM (
-         SELECT doc_id, term, tf, df,
+       SELECT doc_id, term, tf, df, score, CAST(rk AS INT) AS rk FROM (
+         SELECT doc_id, term, tf, df, score,
                 row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY score DESC, tf DESC, df ASC, term ASC) AS rk
+                                   ORDER BY tf DESC, df ASC, term ASC) AS rk
          FROM scored)
        WHERE rk <= 3""",
 )
@@ -190,18 +230,24 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first shape: per iteration the k×64 centroid matrix is a LITERAL
     broadcast into a JVM-only assignment pass (explode + zip_with/aggregate
-    fold — no Python on the 500-row/100 TB side), then the update is one
-    grouped average over (cluster, dim) and only k×64 numbers return to the
-    driver — the same driver-size contract as MLlib's own KMeans reduce.
-    Ties break to the lowest centroid id via min_by struct ordering, so the
-    result is exactly reproducible (tests pin it against a NumPy replica).
-    Rows-only in the driver (iterative, not single-statement SQL)."""
+    fold — no Python on the big side), then the update is one grouped sum
+    over (cluster, dim) and only k×64 numbers return to the driver — the
+    same driver-size contract as MLlib's own KMeans reduce.
+
+    Engine-exactness: everything runs on int64-quantized components
+    (floor(x*1e6+0.5), the similarity.py trick) — distances are exact int64
+    sums of squares and the centroid update is the integer-rounded mean
+    floor(sum/count + 0.5), so the whole loop is bit-identical in any engine
+    and the DuckDB oracle replays it as 3 unrolled CTE stages. Ties break to
+    the lowest centroid id via min_by struct ordering."""
+    from ..operators.similarity import int_dot, quantize
+
     k, iters = 8, 3
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        "vec_id", quantize(F.col("embedding")).alias("q")
     )
     init = emb.orderBy("vec_id").limit(k).collect()
-    centroids = [list(r["embedding"]) for r in init]
+    centroids = [[int(x) for x in r["q"]] for r in init]
 
     assigned = None
     for _ in range(iters):
@@ -209,42 +255,88 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[
                 F.struct(
                     F.lit(cid).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+                    F.array(*[F.lit(x).cast("long") for x in vec]).alias("cvec"),
                 )
                 for cid, vec in enumerate(centroids)
             ]
         )
         dist = F.aggregate(
-            F.zip_with("embedding", F.col("c.cvec"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
+            F.zip_with("q", F.col("c.cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         assigned = (
-            emb.select("vec_id", "embedding", F.explode(c_arr).alias("c"))
+            emb.select("vec_id", "q", F.explode(c_arr).alias("c"))
             .withColumn("dist", dist)
-            .groupBy("vec_id", "embedding")
+            .groupBy("vec_id", "q")
             .agg(
                 F.min_by(F.col("c.cid"), F.struct(F.col("dist"), F.col("c.cid"))).alias(
                     "cluster"
                 ),
-                F.min("dist").alias("dist"),
+                F.min("dist").alias("dist_q"),
             )
         )
         new_rows = (
-            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            assigned.select("cluster", F.posexplode("q").alias("dim", "v"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        new_c = {(r["cluster"], r["dim"]): r["m"] for r in new_rows}
+        new_c = {
+            (r["cluster"], r["dim"]): math.floor(r["s"] / r["n"] + 0.5)
+            for r in new_rows
+        }
         centroids = [
             [new_c.get((cid, d), centroids[cid][d]) for d in range(len(centroids[cid]))]
             for cid in range(k)
         ]
-    return assigned.select("vec_id", "cluster", F.round("dist", 6).alias("dist"))
+    return assigned.select("vec_id", "cluster", "dist_q")
 
 
-register("cluster_kmeans_lloyd", cluster_kmeans_lloyd)  # rows-only: iterative
+def _kmeans_iter_cte(i: int) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs: assign a{i} off c{i-1},
+    integer-mean update u{i}, next centroids c{i} (empty cluster keeps its
+    old vector — same rule as the Spark driver loop)."""
+    return f"""
+       a{i} AS (
+         SELECT vec_id, q, cid AS cluster, dist FROM (
+           SELECT qe.vec_id, qe.q, c.cid,
+                  CAST(list_dot_product(qe.q, qe.q)
+                       - 2 * list_dot_product(qe.q, c.cvec)
+                       + list_dot_product(c.cvec, c.cvec) AS BIGINT) AS dist,
+                  row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+                    CAST(list_dot_product(qe.q, qe.q)
+                         - 2 * list_dot_product(qe.q, c.cvec)
+                         + list_dot_product(c.cvec, c.cvec) AS BIGINT), c.cid) AS rk
+           FROM qe CROSS JOIN c{i - 1} c) WHERE rk = 1),
+       u{i} AS (
+         SELECT cluster AS cid, dim,
+                CAST(floor(sum(v)::DOUBLE / count(*)::DOUBLE + 0.5) AS DOUBLE) AS nv
+         FROM (SELECT cluster, unnest(q) AS v, generate_subscripts(q, 1) AS dim
+               FROM a{i})
+         GROUP BY cluster, dim),
+       c{i} AS (
+         SELECT p.cid,
+                CASE WHEN count(u.nv) = 0 THEN p.cvec
+                     ELSE list(u.nv ORDER BY u.dim) END AS cvec
+         FROM c{i - 1} p LEFT JOIN u{i} u ON u.cid = p.cid
+         GROUP BY p.cid, p.cvec)"""
+
+
+register(
+    "cluster_kmeans_lloyd",
+    cluster_kmeans_lloyd,
+    """WITH qe AS (SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)) AS q
+         FROM embeddings),
+       c0 AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cvec
+         FROM (SELECT vec_id, q FROM qe ORDER BY vec_id LIMIT 8)),"""
+    + ",".join(_kmeans_iter_cte(i) for i in (1, 2, 3))
+    + """
+       SELECT vec_id, cluster, dist AS dist_q FROM a3""",
+)
 
 
 def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:

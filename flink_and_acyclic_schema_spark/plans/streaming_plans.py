@@ -793,12 +793,17 @@ def stream_join_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins into a stateful aggregate exactly this way (DataFlow.java:45-57) —
     on one engine-managed watermark instead of hand-tagged Alive/Dead deltas.
 
-    Watermark algebra pinned in the oracle: the agg groups on p_ts, and the
-    join constrains p_ts >= c_ts, so joined rows' event time never precedes
-    either input's watermark — the join adds NO delay, and append mode
-    finally emits exactly the windows with end <= min(max p_ts, max c_ts)
-    - 1h delay (unexercised at sf<=0.01: the last pair window closes before
-    that; the HAVING keeps the oracle honest at any SF)."""
+    Watermark algebra pinned in the oracle (and by the synthetic boundary
+    test in tests/test_streaming.py): with chained stateful operators Spark
+    propagates a DELAYED watermark out of the interval join — the condition
+    c_ts >= p_ts - 30 MINUTES means a p_ts row can match clicks up to 30
+    minutes older, so the join's output watermark is input watermark - 30
+    minutes. Append mode therefore finally emits exactly the windows with
+    end STRICTLY BEFORE min(max p_ts, max c_ts) - 1h (watermark delay)
+    - 30min (join range propagation); the == boundary window stays in state
+    (measured, not assumed). Unexercised at sf<=0.01 — the last pair window
+    closes before the cutoff — but the HAVING keeps the oracle honest at
+    any SF."""
     scratch = _scratch("jwagg", sf_dir)
     indir = os.path.join(scratch, "in")
     os.makedirs(indir)
@@ -867,7 +872,7 @@ register(
        wm AS (
          SELECT least((SELECT max(ts) FROM ev WHERE event_type = 'purchase'),
                       (SELECT max(ts) FROM ev WHERE event_type = 'click'))
-                - INTERVAL 1 HOUR AS wfinal),
+                - INTERVAL 1 HOUR - INTERVAL 30 MINUTE AS wfinal),
        j AS (
          SELECT p.ts AS p_ts FROM ev p JOIN ev c
            ON p.user_id = c.user_id
@@ -877,5 +882,78 @@ register(
               count(*) AS n_pairs
        FROM j, wm
        GROUP BY win_start, wm.wfinal
-       HAVING win_start + INTERVAL 15 MINUTE <= wm.wfinal""",
+       HAVING win_start + INTERVAL 15 MINUTE < wm.wfinal""",
+)
+
+
+def stream_window_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful window aggregations in one streaming query
+    (Spark 3.4+ multiple-stateful-operator support, the window-of-window
+    form): a 15-minute tumbling pre-aggregate feeding a 1-hour rollup via
+    ``window(window_col)``, append mode end to end — the continuous-rollup /
+    hypertable shape. At 100 TB the pre-aggregate is the point: the hourly
+    operator sees 15-minute partials (4 rows/hour/type), not raw events, so
+    the second shuffle is ~events/1000x smaller and partials are mergeable
+    across restarts.
+
+    Both stages sum in DECIMAL(12,4)->(22,4) (exact, associative) and cast to
+    double only at the end, so re-aggregated sums are bit-identical to the
+    oracle's one-shot grouping.
+
+    Watermark algebra pinned by the synthetic boundary test in
+    tests/test_streaming.py: the first window agg delays the downstream
+    watermark by its window size (15 min), so with the 1-hour watermark the
+    final append emission is exactly the 1-hour windows with
+    end <= max(ts) - 1h - 15min — INCLUSIVE at the == boundary (measured;
+    note the interval-join chain pins the opposite, strict, boundary)."""
+    ckpt = _scratch("rollup_chain", sf_dir)
+    ev = _events_stream(spark, sf_dir, ckpt).withWatermark("ts", "1 hour")
+    w1 = ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("value").cast("decimal(12,4)")).alias("s1"),
+    )
+    w2 = (
+        w1.groupBy(F.window(F.col("w"), "1 hour").alias("w2"), "event_type")
+        .agg(
+            F.sum("n1").alias("n_events"),
+            F.sum("s1").cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .select(
+            F.col("w2.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_buckets",
+        )
+        .withColumn("win_start", _to_ntz("win_start"))
+    )
+    name = f"rollup_chain_{os.getpid()}_{next(_uniq)}"
+    q = (
+        w2.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(ckpt, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_window_rollup_chain",
+    stream_window_rollup_chain,
+    """WITH b1 AS (
+         SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS w15, event_type,
+                count(*) AS n1, sum(value::DECIMAL(12,4)) AS s1
+         FROM events GROUP BY 1, 2),
+       wm AS (
+         SELECT max(ts) - INTERVAL 1 HOUR - INTERVAL 15 MINUTE AS cutoff
+         FROM events)
+       SELECT time_bucket(INTERVAL 1 HOUR, w15) AS win_start, event_type,
+              sum(n1)::BIGINT AS n_events, sum(s1)::DOUBLE AS sum_value,
+              count(*) AS n_buckets
+       FROM b1, wm GROUP BY win_start, event_type, cutoff
+       HAVING win_start + INTERVAL 1 HOUR <= cutoff""",
 )

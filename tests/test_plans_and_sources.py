@@ -87,6 +87,9 @@ def test_all_batch_plans_stay_sane(spark):
         "agg_hll_sketch_merge",
         # 1-row broadcast of the global clip thresholds (scalar subquery)
         "winsorize_values",
+        # tiny broadcast codebook/LUT sides joined without an equi-key by
+        # design (PQ: every vector meets every codeword of its subspace)
+        "sim_pq_topk",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):

@@ -48,6 +48,85 @@ def _q10_groups(spark, li, o):
     }
 
 
+def _salted_corpus(spark, k: int):
+    """~k×5000 docs: k disjoint replicas of sf0.1 documents, every word
+    suffixed with a per-replica salt so replicas share NO shingles — the
+    candidate graph of the union must therefore be the disjoint union of the
+    per-replica graphs (linear growth), with any cross-replica pair being an
+    LSH false collision (128-bit band sigs: expected ~0)."""
+    docs = load(spark, SF_BENCH, "documents").select("doc_id", "text")
+    n = docs.count()
+    reps = []
+    for i in range(k):
+        w = F.split(F.trim(F.col("text")), r"\s+")
+        salted = F.array_join(
+            F.transform(w, lambda t: F.concat(t, F.lit(f"_{i}"))), " "
+        )
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                salted.alias("text"),
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionAll(r)
+    return out, n
+
+
+def test_dedup_minhash_lsh_linear_at_12x(spark):
+    """Candidate-pair volume over ~60k docs must grow linearly in corpus
+    replicas (VERDICT r1 item 6): per-replica pair counts stay near the mean
+    and zero pairs cross replicas — i.e. LSH banding produces a partitioned
+    equi-join graph, not an O(N²) blow-up."""
+    from flink_and_acyclic_schema_spark.operators import dedup
+
+    k = 12
+    corpus, n = _salted_corpus(spark, k)
+    pairs = dedup.minhash_candidate_pairs(corpus).select("doc_a", "doc_b")
+    per_rep = (
+        pairs.groupBy(
+            ((F.col("doc_a") - 1) / F.lit(n)).cast("long").alias("rep_a"),
+            ((F.col("doc_b") - 1) / F.lit(n)).cast("long").alias("rep_b"),
+        )
+        .count()
+        .collect()
+    )
+    cross = sum(r["count"] for r in per_rep if r["rep_a"] != r["rep_b"])
+    within = {r["rep_a"]: r["count"] for r in per_rep if r["rep_a"] == r["rep_b"]}
+    assert cross == 0, f"{cross} cross-replica LSH collisions"
+    assert len(within) == k and all(c > 0 for c in within.values()), within
+    mean = sum(within.values()) / k
+    # replicas differ only in hash draws; counts must cluster tightly
+    for rep, c in within.items():
+        assert abs(c - mean) <= 0.25 * mean + 5, (rep, c, mean)
+
+
+def test_dedup_clusters_converges_at_12x(spark):
+    """Connected components over the ~60k-doc candidate graph: clusters never
+    span replicas (graph really is partitioned) and min-label propagation
+    converges well under the max_iter guard — near-dup clusters are
+    star/clique-like, so the frontier should settle in a handful of rounds."""
+    from flink_and_acyclic_schema_spark.operators import dedup
+
+    k = 12
+    corpus, n = _salted_corpus(spark, k)
+    pairs = dedup.minhash_candidate_pairs(corpus).select("doc_a", "doc_b")
+    iters: list[int] = []
+    labels = dedup.connected_components(pairs, max_iter=20, iters_out=iters)
+    spans = (
+        labels.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(
+            ((F.col("lo") - 1) / F.lit(n)).cast("long")
+            != ((F.col("hi") - 1) / F.lit(n)).cast("long")
+        )
+        .count()
+    )
+    assert spans == 0, f"{spans} clusters span replicas"
+    assert iters and iters[0] <= 8, f"CC took {iters} iterations (expected <= 8)"
+
+
 def test_q10_linear_at_10x(spark):
     li1 = load(spark, SF_BENCH, "lineitem")
     o1 = load(spark, SF_BENCH, "orders")

@@ -307,3 +307,120 @@ def test_alive_join_tws_processor():
             [("P", None, 42, 1)],
         ]
     ) == {(7, 1): 2, (7, 2): 1}
+
+
+def test_stream_join_window_agg_watermark_boundary(spark, tmp_path):
+    """Pin the append-mode cutoff rule the stream_join_window_agg oracle
+    encodes (HAVING win_end < min(max p_ts, max c_ts) - 1h - 30min) with
+    synthetic events straddling the final watermark: window A ends strictly
+    before the cutoff, window B ends exactly ON it, window C ends after it.
+    Measured behavior this test pins: (1) the interval join's 30-minute
+    event-time range DELAYS the watermark reaching the downstream window agg
+    (Spark's multi-stateful-operator watermark propagation) — a 1h-only model
+    emits windows Spark still holds; (2) the == boundary window is NOT
+    emitted (strict <). At real SF the cutoff branch is unexercised, so this
+    is the only test that can catch a model error here."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_and_acyclic_schema_spark.registry import ORACLES, QUERIES
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ev(eid, minutes, etype):
+        return (eid, t0 + pd.Timedelta(minutes=minutes), 1, etype, 1.0, "{}")
+
+    rows = [
+        # window A [00:00, 00:15): ends well before the cutoff -> emitted
+        ev(1, 0, "click"),
+        ev(2, 5, "purchase"),
+        # window B [00:15, 00:30): win_end 00:30 == final cutoff exactly
+        ev(3, 16, "click"),
+        ev(4, 20, "purchase"),
+        # window C [02:00, 02:15): ends after the cutoff -> held in state
+        ev(5, 120, "click"),
+        ev(6, 120, "purchase"),  # max ts 02:00 -> cutoff 02:00 - 1h - 30m = 00:30
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # match the real testdata's physical type (TIMESTAMP NANOS), which load()
+    # reads via the nanosAsLong legacy path
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, str(tmp_path / "events.parquet"), version="2.6",
+                   coerce_timestamps=None)
+
+    got = {
+        (r["win_start"], r["n_pairs"])
+        for r in QUERIES["stream_join_window_agg"](spark, str(tmp_path)).collect()
+    }
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    want = {
+        (r[0], r[1]) for r in con.execute(ORACLES["stream_join_window_agg"]).fetchall()
+    }
+    assert got == want, f"spark={sorted(got)} oracle={sorted(want)}"
+    # window A must be out in both engines; C must not
+    starts = {s for s, _ in got}
+    assert t0 in starts, "window ending before the watermark was not emitted"
+    assert t0 + pd.Timedelta(minutes=120) not in starts, "open window leaked"
+
+
+def test_stream_window_rollup_chain_watermark_boundary(spark, tmp_path):
+    """Pin the chained-window-agg cutoff (HAVING win_end <= max ts - 1h - 15min)
+    with events straddling it: hour A ends before the cutoff, hour B ends
+    exactly ON it, hour C after. Measured: the 15-min pre-aggregate delays the
+    downstream watermark by its window size, and the == boundary window IS
+    emitted (inclusive <=) — the OPPOSITE boundary from the interval-join
+    chain pinned by test_stream_join_window_agg_watermark_boundary, which is
+    exactly why each chain shape gets its own synthetic probe."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_and_acyclic_schema_spark.registry import ORACLES, QUERIES
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ev(eid, minutes, etype, val):
+        return (eid, t0 + pd.Timedelta(minutes=minutes), 1, etype, val, "{}")
+
+    rows = [
+        # hour A [00:00, 01:00): two 15-min buckets -> emitted
+        ev(1, 5, "click", 1.0),
+        ev(2, 20, "click", 2.0),
+        # hour B [01:00, 02:00): win_end 02:00 == cutoff exactly
+        ev(3, 70, "click", 4.0),
+        # hour C and the max event: 03:15 -> cutoff = 03:15 - 1h - 15m = 02:00
+        ev(4, 195, "click", 8.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, str(tmp_path / "events.parquet"), version="2.6",
+                   coerce_timestamps=None)
+
+    got = {
+        (r["win_start"], r["n_events"], r["n_buckets"])
+        for r in QUERIES["stream_window_rollup_chain"](spark, str(tmp_path)).collect()
+    }
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = {
+        (r[0], r[2], r[4])
+        for r in con.execute(ORACLES["stream_window_rollup_chain"]).fetchall()
+    }
+    assert got == want, f"spark={sorted(got)} oracle={sorted(want)}"
+    starts = {s for s, _, _ in got}
+    assert t0 in starts, "hour ending before the cutoff was not emitted"
+    assert t0 + pd.Timedelta(hours=3) not in starts, "open window leaked"
