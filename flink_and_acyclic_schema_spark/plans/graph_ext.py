@@ -1,0 +1,305 @@
+"""Graph and order-theoretic analytics: triangle counting, interval-sweep
+concurrency, tolerance-bounded as-of join, Pareto frontier.
+
+The reference has no graph or interval operators (its whole dataflow is one
+acyclic FK join tree, DataFlow.java:26-61); these extend SURVEY.md §2.2's
+generalization contract with the remaining classic multi-join / sweep-line
+shapes a curation stack runs at corpus scale. Every plan here keeps the
+100 TB posture of the rest of the package: hub caps before quadratic
+projections, degree-ordered orientation instead of enumerating each triangle
+three times, sweep-line windows partitioned on a high-cardinality key, and
+tiny per-date/per-node aggregates as the only globally-sorted state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+
+# Hub cap for the co-occurrence projection: orders with more than this many
+# distinct suppliers are dropped BEFORE the quadratic pair expansion, the
+# standard guard that keeps a co-occurrence graph build linear-ish when a few
+# hub groups would otherwise contribute O(group^2) pairs each.
+_TRI_HUB_CAP = 10
+# Degree-ordering key packs (degree, node) into one BIGINT so "lower endpoint
+# first" is a single integer comparison in both engines. Node ids are supplier
+# keys, far below 1e9.
+_TRI_OKEY = 10**9
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the supplier co-occurrence graph (suppliers that
+    ship lines of the same order), by degree-ordered orientation.
+
+    Scale shape: (1) project order->supplier pairs with a hub cap (orders
+    with > 10 distinct suppliers are dropped before the self-join, so no
+    group contributes a quadratic blowup); (2) orient every undirected edge
+    from its lower-(degree,node) endpoint to the higher one — each triangle
+    then has exactly ONE wedge at its minimum vertex, so it is counted once,
+    not three times, and wedge fan-out is bounded by out-degree ~ sqrt(m)
+    rather than max degree; (3) wedges close by an equi-join back against the
+    oriented edge list. All joins are hash equi-joins on node ids; the degree
+    table (one row per supplier) broadcasts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    order_supp = li.select("l_orderkey", "l_suppkey").distinct()
+    small = order_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    ).filter(F.col("n_supp") <= _TRI_HUB_CAP)
+    capped = order_supp.join(small.select("l_orderkey"), "l_orderkey")
+    a, b = capped.alias("a"), capped.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(
+            "node", (F.col("d") * _TRI_OKEY + F.col("node")).alias("okey")
+        )
+    )
+    keyed = (
+        edges.join(F.broadcast(deg.withColumnRenamed("node", "u")), "u")
+        .withColumnRenamed("okey", "ku")
+        .join(
+            F.broadcast(
+                deg.select(F.col("node").alias("v"), F.col("okey").alias("kv"))
+            ),
+            "v",
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.least("ku", "kv").alias("skey"),
+        F.greatest("ku", "kv").alias("dkey"),
+    ).persist()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+        .filter(F.col("e1.dkey") < F.col("e2.dkey"))
+        .select(F.col("e1.dst").alias("x"), F.col("e2.dst").alias("y"))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+        ["x", "y"],
+    )
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    n_triangles = closed.count()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_triangles)],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint",
+    )
+
+
+register(
+    "graph_triangle_count",
+    graph_triangle_count,
+    # independent formulation: plain a<b<c three-way join (each triangle has
+    # exactly one increasing labeling) — no orientation, so agreement checks
+    # the orientation algebra, not just arithmetic
+    f"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       ok AS (SELECT l_orderkey FROM os GROUP BY l_orderkey
+              HAVING count(*) <= {_TRI_HUB_CAP}),
+       e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+             FROM os a JOIN ok USING (l_orderkey) JOIN os b USING (l_orderkey)
+             WHERE a.l_suppkey < b.l_suppkey),
+       nn AS (SELECT count(*) AS n_nodes FROM
+                (SELECT u AS x FROM e UNION SELECT v FROM e)),
+       ne AS (SELECT count(*) AS n_edges FROM e),
+       nt AS (SELECT count(*) AS n_triangles
+              FROM e e1 JOIN e e2 ON e1.v = e2.u
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+       SELECT n_nodes::BIGINT AS n_nodes, n_edges::BIGINT AS n_edges,
+              n_triangles::BIGINT AS n_triangles
+       FROM nn, ne, nt""",
+)
+
+
+def interval_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent open shipments per supplier: each lineitem holds a
+    supplier busy for the half-open 30-day window [l_shipdate, l_shipdate+30d);
+    the answer is the peak of the +1/-1 sweep.
+
+    Scale shape: the sweep is a running sum over a window PARTITIONED BY the
+    supplier key — one shuffle on l_suppkey, each partition sorted locally;
+    no global sort anywhere. Half-open semantics fall out of the sort key
+    (ts, delta): at an exact boundary the -1 sorts first, so a shipment
+    ending at t never overlaps one starting at t. Ties beyond that key are
+    permutations of identical deltas, which leave every prefix sum — and so
+    the max — unchanged, making the result deterministic in both engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    starts = li.select(
+        "l_suppkey", F.col("l_shipdate").alias("ts"), F.lit(1).alias("delta")
+    )
+    ends = li.select(
+        "l_suppkey",
+        F.expr("l_shipdate + INTERVAL 30 DAY").alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    ev = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("open_now", F.sum("delta").over(w))
+        .groupBy("l_suppkey")
+        .agg(F.max("open_now").cast("long").alias("max_open"))
+    )
+
+
+register(
+    "interval_overlap_sweep",
+    interval_overlap_sweep,
+    """WITH ev AS (
+         SELECT l_suppkey, l_shipdate AS ts, 1 AS delta FROM lineitem
+         UNION ALL
+         SELECT l_suppkey, l_shipdate + INTERVAL 30 DAY, -1 FROM lineitem),
+       s AS (SELECT l_suppkey,
+                    sum(delta) OVER (PARTITION BY l_suppkey ORDER BY ts, delta
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             FROM ev)
+       SELECT l_suppkey, max(c)::BIGINT AS max_open FROM s GROUP BY l_suppkey""",
+)
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound: each purchase matched to the latest
+    click at-or-before it by the same user, but only if that click is within
+    30 minutes — older matches become NULL (the pandas ``merge_asof
+    tolerance=`` semantics).
+
+    Same single-shuffle union+window shape as ``join_asof`` (core.py): since
+    the as-of pick is the LATEST candidate, the tolerance is a pure post-
+    filter on the matched timestamp — no second pass, no inequality join.
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("cid"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    u = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_purchase"),
+        "cid",
+        F.col("ts").alias("c_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_purchase"),
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(None).cast("timestamp_ntz").alias("c_ts"),
+            "event_id",
+            "value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_tol = F.col("m_ts") >= F.expr("ts - INTERVAL 30 MINUTE")
+    return (
+        u.withColumn("m_cid", F.last("cid", ignorenulls=True).over(w))
+        .withColumn("m_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.when(in_tol, F.col("m_cid")).alias("click_event_id"),
+            F.when(in_tol, F.col("m_ts")).alias("click_ts"),
+        )
+    )
+
+
+register(
+    "join_asof_tolerance",
+    join_asof_tolerance,
+    """WITH clicks AS (
+         SELECT user_id, ts, max(event_id) AS cid
+         FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+       p AS (SELECT event_id, user_id, ts, value FROM events
+             WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, p.ts, p.value,
+              CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.cid END
+                AS click_event_id,
+              CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.ts END
+                AS click_ts
+       FROM p ASOF LEFT JOIN clicks c
+         ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+
+
+def pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of orders under (later o_orderdate, higher
+    o_totalprice): an order is dominated iff some other order is strictly
+    later AND strictly more expensive; return the non-dominated set.
+
+    Scale shape: the frontier test only needs, per distinct date, the max
+    price over strictly-later dates. That suffix-max lives on the per-date
+    aggregate (a distributed groupBy that collapses ~billions of rows to a
+    few thousand dates), so the only ordered window runs over the tiny date
+    table — the same "global state is a per-key aggregate, never the fact
+    table" discipline as the kmeans centroid loop. The fact table then joins
+    the date->suffix-max map by broadcast; no global sort of orders ever
+    happens. A row survives iff its price >= that suffix max (equality is
+    not domination).
+    """
+    o = load(spark, sf_dir, "orders")
+    by_date = o.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("day_max")
+    )
+    w = (
+        Window.orderBy(F.col("o_orderdate").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    later_max = by_date.select(
+        "o_orderdate", F.max("day_max").over(w).alias("later_max")
+    )
+    return (
+        o.join(F.broadcast(later_max), "o_orderdate")
+        .filter(
+            F.col("later_max").isNull()
+            | (F.col("o_totalprice") >= F.col("later_max"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+register(
+    "pareto_frontier_2d",
+    pareto_frontier_2d,
+    # independent formulation: direct NOT EXISTS domination test
+    """SELECT o_orderkey, o_orderdate, o_totalprice
+       FROM orders o
+       WHERE NOT EXISTS (
+         SELECT 1 FROM orders x
+         WHERE x.o_orderdate > o.o_orderdate
+           AND x.o_totalprice > o.o_totalprice)""",
+)

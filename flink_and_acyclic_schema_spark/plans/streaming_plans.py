@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..schemas import SCHEMAS
-from ..tables import load
+from ..tables import events_ts_is_nanos, load
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", os.path.join(_REPO_ROOT, ".scratch"))
@@ -86,17 +86,43 @@ def _events_stream(spark: SparkSession, sf_dir: str, scratch: str) -> DataFrame:
     indir = os.path.join(scratch, "in")
     os.makedirs(indir, exist_ok=True)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(indir, "events.parquet"))
+    return _read_events_stream(spark, indir)
+
+
+def _read_events_stream(spark: SparkSession, indir: str, max_files: int | None = None) -> DataFrame:
+    """readStream over a directory of events parquet files, normalizing ``ts``
+    to TimestampType whether the generator wrote TIMESTAMP(NANOS) (legacy
+    nanos-as-long read + exact div) or MICROS (native read + exact epoch-micros
+    re-base, never a session-tz-dependent cast)."""
+    if events_ts_is_nanos(indir):
+        schema = (
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            reader = spark.readStream.schema(schema)
+            if max_files is not None:
+                reader = reader.option("maxFilesPerTrigger", max_files)
+            raw = reader.parquet(indir)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
         "value DOUBLE, props STRING"
     )
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        raw = spark.readStream.schema(schema).parquet(indir)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    reader = spark.readStream.schema(schema)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    raw = reader.parquet(indir)
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+        ),
+    )
 
 
 def _to_ntz(col: str):
@@ -251,20 +277,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(src, os.path.join(indir, "copy1.parquet"))
     shutil.copy(src, os.path.join(indir, "copy2.parquet"))
 
-    schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        raw = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(indir)
-        )
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    raw = _read_events_stream(spark, indir, max_files=1)
 
     deduped = raw.dropDuplicates(["event_id"])
     out = os.path.join(scratch, "out")
