@@ -408,3 +408,98 @@ register(
                                   ' ' ORDER BY seg), '') AS text_kept
        FROM ranked GROUP BY doc_id""",
 )
+
+
+# --- end-to-end curation pipeline -------------------------------------------
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel as ONE composed plan: Gopher quality rules
+    -> exact dedup -> normalized near-dup collapse -> stratified sampling ->
+    shard assignment -> per-shard stats. Individually these stages exist as
+    their own queries; composing them is the point — at 100 TB the funnel
+    runs as a single job so Catalyst pipelines every narrow stage into the
+    scan and the corpus is read ONCE, not once per stage.
+
+    Stage shapes: quality filter and sampling are narrow (codegen'd string
+    expressions / multiplicative hash — no shuffle, no Python); each dedup is
+    one hash-partitioned window on a content hash (uniform keys, no skew);
+    the final rollup is a map-side-combinable groupBy whose exchange carries
+    (source, shard) groups, not documents. Cheapest filters run first so
+    every later shuffle moves an already-reduced corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    mean_word_len = alpha / F.nullif(n_words, F.lit(0))
+    sym = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", "")
+    )
+    symbol_ratio = sym / F.nullif(F.length(F.col("text")), F.lit(0))
+    keep = F.coalesce(
+        (n_words >= 10)
+        & (n_words <= 100000)
+        & (mean_word_len >= 2.0)
+        & (mean_word_len <= 12.0)
+        & (symbol_ratio < 0.10),
+        F.lit(False),
+    )
+    q = docs.filter(keep)
+
+    w_exact = Window.partitionBy(F.md5("text"))
+    k1 = q.withColumn("m1", F.min("doc_id").over(w_exact)).filter(
+        F.col("doc_id") == F.col("m1")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    w_norm = Window.partitionBy(F.md5(norm))
+    k2 = k1.withColumn("m2", F.min("doc_id").over(w_norm)).filter(
+        F.col("doc_id") == F.col("m2")
+    )
+
+    bucket = (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH) % F.lit(4294967296)
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "zh", 30)
+        .otherwise(20)
+    )
+    sampled = k2.filter(bucket % 100 < rate)
+
+    return (
+        sampled.withColumn("shard", (bucket % 8).cast("int"))
+        .groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        )
+    )
+
+
+register(
+    "curation_pipeline_e2e",
+    curation_pipeline_e2e,
+    r"""WITH q AS (
+         SELECT doc_id, text, lang, source FROM documents
+         WHERE coalesce(
+           len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000
+           AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / nullif(len(string_split_regex(trim(text), '\s+')), 0)
+               BETWEEN 2.0 AND 12.0
+           AND (length(text)
+                - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+               / nullif(length(text), 0) < 0.10, false)),
+       d1 AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS m1 FROM q),
+       k1 AS (SELECT * FROM d1 WHERE doc_id = m1),
+       d2 AS (SELECT *, min(doc_id) OVER (PARTITION BY
+                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+              ) AS m2 FROM k1),
+       k2 AS (SELECT * FROM d2 WHERE doc_id = m2),
+       s AS (SELECT * FROM k2
+             WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 % 100 <
+               CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 30
+                    ELSE 20 END)
+       SELECT source,
+              ((doc_id % 2147483648) * 2654435761 % 4294967296 % 8)::INT
+                AS shard,
+              count(*)::BIGINT AS n_docs,
+              sum(length(text))::BIGINT AS sum_chars
+       FROM s GROUP BY source, shard""",
+)

@@ -142,3 +142,77 @@ register(
               upper(substr(text, 1, 16)) AS head_upper
        FROM documents""",
 )
+
+
+def arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``udf(..., useArrow=True)``) — the
+    third Python-UDF execution mode after row-pickled ``udf`` (deliberately
+    absent from this package: it serializes row-at-a-time) and ``pandas_udf``
+    (covered by ``pandas_udf_scalar``). Arrow optimization keeps the batch
+    transfer columnar while presenting scalars to plain Python — the
+    migration path for legacy per-row UDF code that can't be vectorized.
+
+    The function itself (digit-sum of the order key) is trivially exact in
+    SQL, which is what makes it oracle-checkable.
+    """
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def digit_sum(k: int) -> int:
+        return sum(int(c) for c in str(k))
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", digit_sum("o_orderkey").alias("digit_sum"))
+
+
+register(
+    "arrow_python_udf",
+    arrow_python_udf,
+    # digit sum via digit extraction over the decimal string
+    """SELECT o_orderkey,
+              (SELECT sum(CAST(d AS INT))
+               FROM unnest(string_split(o_orderkey::VARCHAR, '')) AS t(d))::INT
+                AS digit_sum
+       FROM orders""",
+)
+
+
+def arrow_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow``: whole-group custom aggregation against raw
+    pyarrow Tables — the zero-copy sibling of ``applyInPandas`` (covered by
+    ``grouped_map_embed_stats``), closing the grouped-map API matrix. Each
+    source's documents arrive as one Arrow table; compute kernels aggregate
+    without pandas object conversion.
+
+    Scale note: like all grouped-map ops, a whole group must fit in one
+    executor batch — fine for bounded per-source groups; unbounded groups
+    would use the two-phase agg forms elsewhere in the package.
+    """
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def per_source(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_chars": [pc.sum(table.column("n_chars")).as_py()],
+                "max_chars": [pc.max(table.column("n_chars")).as_py()],
+            }
+        )
+
+    return docs.groupBy("source").applyInArrow(
+        per_source, "source string, n_docs long, total_chars long, max_chars long"
+    )
+
+
+register(
+    "arrow_grouped_agg",
+    arrow_grouped_agg,
+    """SELECT source, count(*)::BIGINT AS n_docs,
+              sum(n_chars)::BIGINT AS total_chars,
+              max(n_chars)::BIGINT AS max_chars
+       FROM documents GROUP BY source""",
+)
