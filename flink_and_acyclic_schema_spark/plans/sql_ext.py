@@ -13,6 +13,7 @@ iteration, no driver-side loop at all.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
@@ -215,4 +216,105 @@ register(
               sum(n_chars)::BIGINT AS total_chars,
               max(n_chars)::BIGINT AS max_chars
        FROM documents GROUP BY source""",
+)
+
+
+def pipe_sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operators): the linear
+    filter → aggregate → order → limit flow written top-to-bottom the way
+    the optimizer reads it, instead of inside-out nested SELECTs. Pure
+    syntax surface — Catalyst compiles it to the identical plan as the
+    nested form (the DuckDB oracle is that nested form).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """FROM v_orders
+           |> WHERE o_orderstatus = 'O'
+           |> AGGREGATE count(*) AS n_orders,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(12,4)))
+                             AS DOUBLE) AS total_price
+              GROUP BY o_orderpriority
+           |> WHERE n_orders > 0
+           |> SELECT o_orderpriority, n_orders, total_price"""
+    )
+
+
+register(
+    "pipe_sql_topk",
+    pipe_sql_topk,
+    """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+              sum(o_totalprice::DECIMAL(12,4))::DOUBLE AS total_price
+       FROM orders WHERE o_orderstatus = 'O'
+       GROUP BY o_orderpriority HAVING count(*) > 0""",
+)
+
+
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit physical-strategy control: the orders⋈lineitem FK join forced
+    to a shuffled hash join via ``hint('shuffle_hash')`` — the right call when
+    the build side fits executor memory and the sort in sort-merge would be
+    pure overhead (e.g. output feeds a hash aggregate, not a merge). The
+    result is byte-identical to the unhinted join (the oracle); only the
+    physical plan differs — pinned by a plan-regression test.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+register(
+    "join_hint_shuffle_hash",
+    join_hint_shuffle_hash,
+    """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+              sum(l_quantity::DECIMAL(12,4))::DOUBLE AS sum_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderstatus = 'F'
+       GROUP BY o_orderpriority""",
+)
+
+
+def cache_branch_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once / consume-twice: an expensive filtered projection is
+    ``persist()``-ed and two different aggregations branch off it — the
+    classic DAG shape where, without caching, Spark recomputes the shared
+    subtree per action/branch. At 100 TB the cached intermediate lives at
+    StorageLevel MEMORY_AND_DISK across the executor fleet; the test pins
+    InMemoryTableScan in both branches' plans.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    base = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+        .persist()
+    )
+    by_supp = base.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_suppkey").alias("n_keys"),
+    ).select(F.lit("by_supp").alias("branch"), "n", "n_keys")
+    by_order = base.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_keys"),
+    ).select(F.lit("by_order").alias("branch"), "n", "n_keys")
+    return by_supp.unionByName(by_order)
+
+
+register(
+    "cache_branch_reuse",
+    cache_branch_reuse,
+    """WITH base AS (SELECT l_orderkey, l_suppkey, l_quantity
+                    FROM lineitem WHERE l_returnflag = 'R')
+       SELECT 'by_supp' AS branch, count(*)::BIGINT AS n,
+              count(DISTINCT l_suppkey)::BIGINT AS n_keys FROM base
+       UNION ALL
+       SELECT 'by_order', count(*)::BIGINT,
+              count(DISTINCT l_orderkey)::BIGINT FROM base""",
 )

@@ -226,3 +226,28 @@ def test_salted_join_partitions_on_salt(spark):
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     keyed = [p for p in parts if "salt" in p and ("l_orderkey" in p or "o_orderkey" in p)]
     assert len(keyed) >= 2, f"no (key, salt) exchanges found: {parts}"
+
+
+def test_join_hint_shuffle_hash_plan(spark):
+    """The shuffle_hash hint must actually flip the physical strategy: a
+    ShuffledHashJoin node, and no SortMergeJoin anywhere (the default for
+    this FK join when both sides exceed the broadcast threshold)."""
+    plan = _plan(spark, "join_hint_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cache_branch_reuse_hits_cache_twice(spark):
+    """Both aggregation branches must read the persisted intermediate
+    (InMemoryTableScan), not recompute the filtered projection."""
+    plan = _plan(spark, "cache_branch_reuse")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_pareto_frontier_broadcast_no_merge_join(spark):
+    """The date->suffix-max map must join back by broadcast: a SortMergeJoin
+    here would mean the fact table is being shuffled (and at 100 TB, sorted)
+    for a few-thousand-row dimension."""
+    plan = _plan(spark, "pareto_frontier_2d")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
