@@ -970,3 +970,63 @@ register(
        FROM b1, wm GROUP BY win_start, event_type, cutoff
        HAVING win_start + INTERVAL 1 HOUR <= cutoff""",
 )
+
+
+# --- custom Python DataSource, streaming form --------------------------------
+def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource read as a STREAM: the generator's
+    streaming reader paces itself via offsets (2,500 rows per micro-batch
+    over a 10,000-row range), each batch lands through foreachBatch with its
+    batch id, and the final aggregate must equal the batch read — plus a
+    multi_batch flag proving the run really executed several micro-batches
+    (offset tracking + commit + checkpoint), not one collapsed pass.
+
+    Scale story as the batch form (sources/pydatasource.py): the offset
+    range maps to a sharded queue; partitions() fans each batch's range
+    across executors."""
+    from ..sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    scratch = _scratch("pysrc_stream", sf_dir)
+    out = os.path.join(scratch, "out")
+    sdf = (
+        spark.readStream.format("synthetic_rows")
+        .option("rows", "10000")
+        .option("partitions", "4")
+        .option("maxRowsPerBatch", "2500")
+        .load()
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    multi = got.select(F.countDistinct("batch_id").alias("nb")).first()["nb"] >= 2
+    return got.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        # integer-exact score sum: score = (k*KNUTH % 1000)/1000 by construction
+        F.sum(F.round(F.col("score") * 1000).cast("bigint")).alias("sum_score_q"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    ).withColumn("multi_batch", F.lit(bool(multi)))
+
+
+register(
+    "source_python_datasource_stream",
+    source_python_datasource_stream,
+    """SELECT (k % 7)::INT AS bucket, count(*)::BIGINT AS n,
+              sum(k * 2654435761 % 1000)::BIGINT AS sum_score_q,
+              min(k) AS min_id, max(k) AS max_id, true AS multi_batch
+       FROM (SELECT unnest(range(0, 10000)) AS k)
+       GROUP BY (k % 7)::INT""",
+)

@@ -55,3 +55,54 @@ class SyntheticRowsReader(DataSourceReader):
 def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same name is allowed)."""
     spark.dataSource.register(SyntheticRowsSource)
+
+
+try:  # Spark 4 streaming DataSource API
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class SyntheticRowsStreamReader(DataSourceStreamReader):
+        """Micro-batched streaming form of the same generator: offsets are row
+        positions; each trigger advances by at most ``maxRowsPerBatch`` rows,
+        so a bounded run exercises REAL multi-batch streaming (offset
+        tracking, commit, checkpoint) with deterministic content. The 100 TB
+        analogue is an offset-ranged queue reader (Kafka-style): latestOffset
+        reports the head, partitions() splits the [start, end) range across
+        executors."""
+
+        def __init__(self, options) -> None:
+            self.n = int(options.get("rows", "1000"))
+            self.parts = int(options.get("partitions", "4"))
+            self.batch = int(options.get("maxRowsPerBatch", "250"))
+            self._pos = 0
+
+        def initialOffset(self) -> dict:
+            return {"pos": 0}
+
+        def latestOffset(self) -> dict:
+            self._pos = min(self._pos + self.batch, self.n)
+            return {"pos": self._pos}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = start["pos"], end["pos"]
+            span = hi - lo
+            bounds = [lo + span * i // self.parts for i in range(self.parts + 1)]
+            return [
+                InputPartition((bounds[i], bounds[i + 1]))
+                for i in range(self.parts)
+                if bounds[i] < bounds[i + 1]
+            ]
+
+        def read(self, partition):
+            lo, hi = partition.value
+            for k in range(lo, hi):
+                yield (k, k % 7, (k * _KNUTH % 1000) / 1000.0)
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    def _stream_reader(self, schema):
+        return SyntheticRowsStreamReader(self.options)
+
+    SyntheticRowsSource.streamReader = _stream_reader
+except ImportError:  # pragma: no cover - older pyspark without the API
+    pass

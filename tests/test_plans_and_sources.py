@@ -251,3 +251,47 @@ def test_pareto_frontier_broadcast_no_merge_join(spark):
     plan = _plan(spark, "pareto_frontier_2d")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_events_loader_adapts_to_ts_physical_type(spark, tmp_path):
+    """Testdata generations have written events.ts as TIMESTAMP(NANOS)
+    (round 1) and plain MICROS (round 2); tables.load must normalize both to
+    the same TIMESTAMP_NTZ values. Write the same rows under each physical
+    type and assert identical load() output."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_and_acyclic_schema_spark.tables import load
+
+    t0 = pd.Timestamp("2024-03-01 12:34:56.789012")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [t0, t0 + pd.Timedelta(minutes=90)],
+            "user_id": [7, 8],
+            "event_type": ["click", "purchase"],
+            "value": [1.5, 2.5],
+            "props": ["{}", "{}"],
+        }
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+
+    nanos_dir = tmp_path / "nanos"
+    micros_dir = tmp_path / "micros"
+    nanos_dir.mkdir(); micros_dir.mkdir()
+    # pandas default is ns; version 2.6 + no coercion keeps TIMESTAMP(NANOS)
+    pq.write_table(table, str(nanos_dir / "events.parquet"), version="2.6",
+                   coerce_timestamps=None)
+    pq.write_table(table.cast(table.schema.set(
+        1, pa.field("ts", pa.timestamp("us")))),
+        str(micros_dir / "events.parquet"))
+
+    got_nanos = load(spark, str(nanos_dir), "events")
+    got_micros = load(spark, str(micros_dir), "events")
+    assert dict(got_nanos.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(got_micros.dtypes)["ts"] == "timestamp_ntz"
+    rows_n = sorted(got_nanos.collect(), key=lambda r: r["event_id"])
+    rows_u = sorted(got_micros.collect(), key=lambda r: r["event_id"])
+    assert rows_n == rows_u
+    assert rows_n[0]["ts"] == t0.to_pydatetime()
