@@ -284,3 +284,65 @@ register(
        FROM (SELECT unnest(range(0, 10000)) AS k)
        GROUP BY (k % 7)::INT""",
 )
+
+
+def source_json_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance (PERMISSIVE mode): a JSON-lines feed where
+    every 7th record is truncated mid-object and every 13th has a wrong-typed
+    field. The read must neither fail nor silently drop rows — corrupt
+    records land in ``_corrupt_record`` and the query reports clean rows,
+    quarantined rows, and the clean aggregate. At 100 TB ingest this is the
+    difference between a nightly pipeline that survives one bad upstream
+    shard and one that dies at 3am; the quarantine column is the dead-letter
+    queue.
+
+    The corrupt lines are generated deterministically from o_orderkey, so
+    both engines agree on exactly which records are bad."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"src_json_corrupt_{tag}")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    line = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        # truncated mid-object: unparseable
+        F.concat(F.lit('{"o_orderkey": '), F.col("o_orderkey").cast("string"), F.lit(', "o_to')),
+    ).when(
+        F.col("o_orderkey") % 13 == 0,
+        # wrong-typed o_totalprice: parseable JSON, fails the declared schema
+        F.concat(
+            F.lit('{"o_orderkey": '), F.col("o_orderkey").cast("string"),
+            F.lit(', "o_totalprice": "not-a-number"}'),
+        ),
+    ).otherwise(
+        F.to_json(F.struct("o_orderkey", "o_totalprice"))
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    got = spark.read.schema(
+        "o_orderkey bigint, o_totalprice double, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+    return got.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_clean"),
+        F.count("_corrupt_record").alias("n_quarantined"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(),
+                F.col("o_totalprice").cast("decimal(12,4)"),
+            )
+        ).cast("double").alias("clean_total"),
+    )
+
+
+register(
+    "source_json_corrupt_permissive",
+    source_json_corrupt_permissive,
+    # the oracle knows which keys were corrupted by construction
+    """SELECT count(*)::BIGINT AS n_rows,
+              count(*) FILTER (WHERE o_orderkey % 7 != 0
+                               AND o_orderkey % 13 != 0)::BIGINT AS n_clean,
+              count(*) FILTER (WHERE o_orderkey % 7 = 0
+                               OR o_orderkey % 13 = 0)::BIGINT AS n_quarantined,
+              sum(o_totalprice::DECIMAL(12,4))
+                FILTER (WHERE o_orderkey % 7 != 0
+                        AND o_orderkey % 13 != 0)::DOUBLE AS clean_total
+       FROM orders""",
+)

@@ -503,3 +503,106 @@ register(
               sum(length(text))::BIGINT AS sum_chars
        FROM s GROUP BY source, shard""",
 )
+
+
+# --- semantic dedup (SemDeDup-style) -----------------------------------------
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    embedding space, then prune near-duplicates ONLY within each cluster —
+    the trick that turns O(N²) pairwise cosine into O(N²/k) while catching
+    the semantically-redundant mass that lexical minhash misses.
+
+    One-pass variant: assignment to k deterministic centroids (the k lowest
+    vec_ids — the fixed-iteration Lloyd loop lives in cluster_kmeans_lloyd),
+    then within-cluster exact quantized cosine; a vector is pruned when a
+    near-dup (cosine >= 0.30) with a LOWER vec_id shares its cluster. The
+    drop rule depends only on the pair set, not on pruning order, so the
+    verdict is deterministic and engine-exact.
+
+    Scale shape: assignment is the kmeans pattern (literal-broadcast k×64
+    centroid array, JVM-only fold, min_by partial agg — shuffles N rows,
+    never N×k); the pair stage self-joins on the cluster key, so work is
+    bounded by the largest cluster, and at 100 TB k grows with the corpus to
+    hold cluster sizes flat (the SemDeDup paper's regime)."""
+    from ..operators.similarity import int_dot, with_quantized
+
+    k, thr = 8, 0.30
+    emb = load(spark, sf_dir, "embeddings")
+    qz = with_quantized(emb).select("vec_id", "q")
+    init = qz.orderBy("vec_id").limit(k).collect()
+    c_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(int(x)).cast("long") for x in r["q"]]).alias("cvec"),
+            )
+            for i, r in enumerate(init)
+        ]
+    )
+    dist = F.aggregate(
+        F.zip_with("q", F.col("c.cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        qz.select("vec_id", "q", F.explode(c_arr).alias("c"))
+        .withColumn("dist", dist)
+        .groupBy("vec_id", "q")
+        .agg(
+            F.min_by(F.col("c.cid"), F.struct(F.col("dist"), F.col("c.cid"))).alias(
+                "cluster"
+            )
+        )
+        .persist()
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("q").alias("qa")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("vec_b"), F.col("q").alias("qb")
+    )
+    cosine = int_dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(int_dot(F.col("qa"), F.col("qa")).cast("double"))
+        * F.sqrt(int_dot(F.col("qb"), F.col("qb")).cast("double"))
+    )
+    pruned = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= thr)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return assigned.join(pruned, "vec_id", "left").select(
+        "vec_id", "cluster", F.col("hit").isNull().alias("keep")
+    )
+
+
+register(
+    "dedup_semantic_semdedup",
+    dedup_semantic_semdedup,
+    """WITH qe AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)) AS q
+       FROM embeddings),
+       cents AS (SELECT cid, q AS cvec FROM (
+           SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+           FROM qe) WHERE cid < 8),
+       asg AS (SELECT vec_id, q, cluster FROM (
+           SELECT qe.vec_id, qe.q, c.cid AS cluster,
+                  row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+                    list_dot_product(qe.q, qe.q)
+                      - 2 * list_dot_product(qe.q, c.cvec)
+                      + list_dot_product(c.cvec, c.cvec), c.cid) AS rn
+           FROM qe CROSS JOIN cents c) WHERE rn = 1),
+       pruned AS (SELECT DISTINCT b.vec_id
+           FROM asg a JOIN asg b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.q, b.q)
+                 / (sqrt(list_dot_product(a.q, a.q))
+                    * sqrt(list_dot_product(b.q, b.q))) >= 0.30)
+       SELECT asg.vec_id, cluster::INT AS cluster,
+              (pruned.vec_id IS NULL) AS keep
+       FROM asg LEFT JOIN pruned ON asg.vec_id = pruned.vec_id""",
+)
