@@ -148,3 +148,38 @@ def resize_pool(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "resized"])
 
     return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+AUDIO_WIN = 32  # bytes per analysis window
+AUDIO_HOP = 16  # hop size: 50% overlap
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_windows(media: DataFrame) -> DataFrame:
+    """Audio-style overlapping analysis windows over binary payloads: 32-byte
+    windows at a 16-byte hop (50% overlap), per-window integer energy
+    (sum of squared byte values — exact in any engine). The stub stand-in for
+    an STFT/MFCC frame pass (swap the energy for librosa on a cluster that
+    has it); what's exercised is the overlapping-window fan-out shape that
+    audio featurization needs and frame_sample's strided windows don't:
+    each byte lands in up to two output rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_wins = (n - AUDIO_WIN) // AUDIO_HOP + 1 if n >= AUDIO_WIN else 0
+                for k in range(n_wins):
+                    chunk = payload[k * AUDIO_HOP : k * AUDIO_HOP + AUDIO_WIN]
+                    rows.append((int(doc_id), k, int(sum(b * b for b in chunk))))
+            yield pd.DataFrame(rows, columns=["doc_id", "win_idx", "energy"])
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)

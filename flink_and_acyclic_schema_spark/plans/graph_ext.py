@@ -303,3 +303,80 @@ register(
          WHERE x.o_orderdate > o.o_orderdate
            AND x.o_totalprice > o.o_totalprice)""",
 )
+
+
+# --- pure range join via bin replication -------------------------------------
+_BIN_DAYS = 7
+
+
+def join_range_binned_noequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join — NO equi key anywhere: each purchase event matched to
+    every order placed in the 7 days before it, aggregated per event.
+
+    The naive plan for a keyless interval predicate is a broadcast-nested-
+    loop O(N·M) scan. The scale technique is BIN REPLICATION (the range-join
+    optimization Databricks/Snowflake ship natively): bucket time into bins
+    the size of the window (7 days), put each order in its one bin, replicate
+    each event's lookback window to the (at most 2) bins it overlaps, then
+    equi-join ON THE BIN and apply the exact interval predicate to the
+    survivors. The cross product never materializes; the join is an ordinary
+    hash equi-join whose fan-out is bounded by rows-per-bin, and bin width
+    tunes the replication/selectivity trade. The plan-sweep test pins the
+    absence of BroadcastNestedLoopJoin for exactly this query.
+
+    Left-join semantics: purchases with no orders in window keep n_orders=0.
+    """
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts",
+        F.expr(f"timestampdiff(DAY, {epoch}, ts - INTERVAL 7 DAY) div {_BIN_DAYS}").alias("bin_lo"),
+        F.expr(f"timestampdiff(DAY, {epoch}, ts) div {_BIN_DAYS}").alias("bin_hi"),
+    )
+    p_binned = p.select(
+        "event_id", "ts",
+        F.explode(F.array_distinct(F.array("bin_lo", "bin_hi"))).alias("bin"),
+    )
+    ob = o.select(
+        "o_orderkey", "o_orderdate", "o_totalprice",
+        F.expr(f"timestampdiff(DAY, {epoch}, o_orderdate) div {_BIN_DAYS}").alias("bin"),
+    )
+    matches = (
+        p_binned.join(ob, "bin")
+        .filter(
+            (F.col("o_orderdate") >= F.expr("ts - INTERVAL 7 DAY"))
+            & (F.col("o_orderdate") < F.col("ts"))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("t"),
+        )
+    )
+    return (
+        p.select("event_id").distinct()
+        .join(matches, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("t"), F.lit(0).cast("decimal(12,4)"))
+            .cast("double")
+            .alias("total_window_price"),
+        )
+    )
+
+
+register(
+    "join_range_binned_noequi",
+    join_range_binned_noequi,
+    # the oracle states the SEMANTICS (a plain keyless interval join); the
+    # bin replication is purely physical
+    """SELECT e.event_id, count(o.o_orderkey)::BIGINT AS n_orders,
+              coalesce(sum(o.o_totalprice::DECIMAL(12,4)), 0)::DOUBLE
+                AS total_window_price
+       FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') e
+       LEFT JOIN orders o
+         ON o.o_orderdate >= e.ts - INTERVAL 7 DAY AND o.o_orderdate < e.ts
+       GROUP BY e.event_id""",
+)

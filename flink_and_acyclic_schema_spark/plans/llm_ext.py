@@ -606,3 +606,33 @@ register(
               (pruned.vec_id IS NULL) AS keep
        FROM asg LEFT JOIN pruned ON asg.vec_id = pruned.vec_id""",
 )
+
+
+def multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio analysis windows (32-byte window, 16-byte hop) with
+    exact integer energy per window — the fourth multimodal UDF signature:
+    overlapping multi-row fan-out, each payload byte feeding up to two
+    output rows (operators/multimodal.py:audio_windows). ASCII-payload
+    filter pins the text-as-payload test encoding, as in resize_pool."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.encode(F.col("text"), "UTF-8")) == F.char_length(F.col("text"))
+    )
+    return multimodal.audio_windows(multimodal.to_media_table(docs))
+
+
+register(
+    "multimodal_audio_window",
+    multimodal_audio_window,
+    """SELECT doc_id, k::INT AS win_idx,
+              list_sum(list_transform(
+                  range(k * 16 + 1, k * 16 + 32 + 1),
+                  j -> ascii(substring(text, j, 1))
+                       * ascii(substring(text, j, 1))))::BIGINT AS energy
+       FROM (SELECT doc_id, text,
+                    unnest(range(0, greatest((strlen(text) - 32) // 16 + 1, 0)))
+                      AS k
+             FROM documents
+             WHERE strlen(text) = length(text))""",
+)
