@@ -379,3 +379,80 @@ register(
          ON o.o_orderdate >= e.ts - INTERVAL 7 DAY AND o.o_orderdate < e.ts
        GROUP BY e.event_id""",
 )
+
+
+# --- fuzzy string-similarity join via segment blocking -----------------------
+def join_fuzzy_hamming_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on supplier names: all equal-length pairs within
+    Hamming distance <= 2, found by SEGMENT BLOCKING (the PassJoin
+    pigeonhole): split each name into 3 contiguous segments — two strings
+    with <= 2 substitutions must agree EXACTLY on at least one segment, so
+    candidates come from an equi-join on (segment_idx, length, segment
+    value) and the exact distance is computed only on candidates. Never an
+    all-pairs scan: at 100 TB the block join's fan-out is bounded by
+    rows-per-block, the same guarantee as the LSH band joins. (Full edit
+    distance with shifts needs PassJoin's shifted-segment variant — same
+    plan shape, more segments.) Emits the Levenshtein distance alongside,
+    which for aligned pairs is <= the Hamming distance."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.length("s_name").alias("len"),
+                F.expr(
+                    f"substring(s_name, {i} * length(s_name) div 3 + 1, "
+                    f"({i + 1} * length(s_name) div 3) - ({i} * length(s_name) div 3))"
+                ).alias("val"),
+            )
+            for i in range(3)
+        ]
+    )
+    blocks = s.select("s_suppkey", "s_name", F.explode(segs).alias("b"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("supp_a"),
+            F.col("a.s_name").alias("name_a"),
+            F.col("b.s_suppkey").alias("supp_b"),
+            F.col("b.s_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, length(name_a)), 0, (acc, i) -> "
+        "acc + if(substring(name_a, i, 1) = substring(name_b, i, 1), 0, 1))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 2)
+        .select(
+            "supp_a",
+            "supp_b",
+            "hamming",
+            F.levenshtein("name_a", "name_b").alias("lev"),
+        )
+    )
+
+
+register(
+    "join_fuzzy_hamming_blocked",
+    join_fuzzy_hamming_blocked,
+    # direct all-pairs semantics — the blocking is purely physical
+    """SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+              list_sum(list_transform(range(1, length(a.s_name) + 1),
+                i -> (substring(a.s_name, i, 1)
+                      != substring(b.s_name, i, 1))::INT))::INT AS hamming,
+              levenshtein(a.s_name, b.s_name)::INT AS lev
+       FROM supplier a JOIN supplier b
+         ON a.s_suppkey < b.s_suppkey
+        AND length(a.s_name) = length(b.s_name)
+       WHERE list_sum(list_transform(range(1, length(a.s_name) + 1),
+               i -> (substring(a.s_name, i, 1)
+                     != substring(b.s_name, i, 1))::INT)) <= 2""",
+)
