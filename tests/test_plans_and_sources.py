@@ -90,8 +90,6 @@ def test_all_batch_plans_stay_sane(spark):
         # tiny broadcast codebook/LUT sides joined without an equi-key by
         # design (PQ: every vector meets every codeword of its subspace)
         "sim_pq_topk",
-        # three 1-row count aggregates combined by broadcast cross join
-        "graph_triangle_count",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
