@@ -636,3 +636,67 @@ register(
              FROM documents
              WHERE strlen(text) = length(text))""",
 )
+
+
+def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb "limit pages per domain"
+    step): keep at most 15 documents per source, chosen by a deterministic
+    pseudo-random rank (Knuth hash of doc_id) so hub domains can't dominate
+    the mixture and reruns pick the identical sample. One window per source
+    partition — the same single-shuffle shape as topk_per_group; no rand(),
+    no seed coordination."""
+    docs = load(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH) % F.lit(4294967296)).alias("h")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .select("doc_id", "source", "n_chars", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+register(
+    "sample_cap_per_group",
+    sample_cap_per_group,
+    """SELECT doc_id, source, n_chars, rk::INT AS rk FROM (
+         SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source ORDER BY
+                  (doc_id % 2147483648) * 2654435761 % 4294967296, doc_id) AS rk
+         FROM documents)
+       WHERE rk <= 15""",
+)
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5 by Knuth-hash bucket) with
+    per-split, per-language stats — the reproducible-split contract every
+    training pipeline needs: membership is a pure function of doc_id, so
+    re-runs, engines, and partitionings all agree, and no document can leak
+    between splits. Narrow map + one small aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH) % F.lit(4294967296) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+register(
+    "split_train_val_test",
+    split_train_val_test,
+    """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                   ELSE 'test' END AS split,
+              lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+       FROM (SELECT lang, n_chars,
+                    (doc_id % 2147483648) * 2654435761 % 4294967296 % 100 AS b
+             FROM documents)
+       GROUP BY 1, 2""",
+)
