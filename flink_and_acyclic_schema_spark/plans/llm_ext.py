@@ -700,3 +700,89 @@ register(
              FROM documents)
        GROUP BY 1, 2""",
 )
+
+
+def ngram_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top-20 (the LM-data n-gram statistics step):
+    tokenize JVM-side, pair adjacent tokens with zip_with over the array and
+    its tail (narrow — the fan-out explodes AFTER pairing, so no
+    per-token shuffle), then one map-side-combinable groupBy whose exchange
+    carries the bigram vocabulary, not the corpus. Unigram counts live in
+    word_freq_topk; trigram fan-out in udtf_trigrams."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: F.length(t) >= 1
+    )
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+register(
+    "ngram_bigram_counts",
+    ngram_bigram_counts,
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                    x -> length(x) >= 1) AS t
+         FROM documents),
+       bi AS (
+         SELECT t[i] || ' ' || t[i + 1] AS bigram
+         FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u)
+       SELECT bigram, count(*)::BIGINT AS n
+       FROM bi GROUP BY bigram
+       ORDER BY n DESC, bigram ASC LIMIT 20""",
+)
+
+
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by Median Absolute Deviation: per event type,
+    median(value) and MAD = median(|value - median|), then flag rows with
+    |value - med| > 3 * MAD. Unlike the mean/stddev z-score (anomaly_zscore),
+    the breakdown point is 50% — outliers can't drag the threshold that
+    detects them. Two grouped exact-median passes (each a shuffle on the
+    small per-type grain) + a broadcast join back; medians interpolate
+    identically in both engines on exact doubles."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
+        )
+    )
+
+
+register(
+    "anomaly_mad_robust",
+    anomaly_mad_robust,
+    """WITH med AS (SELECT event_type, median(value) AS med
+                   FROM events GROUP BY event_type),
+       dev AS (SELECT e.event_type, abs(e.value - med.med) AS adev, med.med
+               FROM events e JOIN med USING (event_type)),
+       mad AS (SELECT event_type, median(adev) AS mad
+               FROM dev GROUP BY event_type)
+       SELECT dev.event_type, count(*)::BIGINT AS n_events,
+              max(dev.med) AS med, max(mad.mad) AS mad,
+              count(*) FILTER (WHERE dev.adev > 3 * mad.mad)::BIGINT
+                AS n_outliers
+       FROM dev JOIN mad USING (event_type)
+       GROUP BY dev.event_type""",
+)
