@@ -318,3 +318,34 @@ register(
        SELECT 'by_order', count(*)::BIGINT,
               count(DISTINCT l_orderkey)::BIGINT FROM base""",
 )
+
+
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers + typed args) — the
+    injection-safe templating surface an engine's SQL API owes its users:
+    the literals never enter the query text, so plans cache by shape and
+    untrusted values can't alter the query. Catalyst binds :status and
+    :cutoff at analysis time; the oracle inlines the same constants."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                    AS total_price
+           FROM v_orders
+           WHERE o_orderstatus = :status
+             AND o_orderdate >= :cutoff
+           GROUP BY o_orderpriority""",
+        args={"status": "F", "cutoff": "1996-01-01 00:00:00"},
+    )
+
+
+register(
+    "sql_parameterized",
+    sql_parameterized,
+    """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+              sum(o_totalprice::DECIMAL(12,4))::DOUBLE AS total_price
+       FROM orders
+       WHERE o_orderstatus = 'F'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       GROUP BY o_orderpriority""",
+)

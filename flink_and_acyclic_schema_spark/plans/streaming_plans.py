@@ -1030,3 +1030,85 @@ register(
        FROM (SELECT unnest(range(0, 10000)) AS k)
        GROUP BY (k % 7)::INT""",
 )
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark`` holds
+    a key's state only until the watermark passes its event time — the
+    100 TB form of stream_dedup_watermark, whose plain ``dropDuplicates``
+    state grows forever. The events file is fed twice (one micro-batch
+    each); batch 2's replays are suppressed either as in-state duplicates
+    (ts >= watermark) or as late data (ts < watermark), so the final count
+    per type equals plain distinct — while state stays bounded by the
+    10-minute delay instead of the corpus."""
+    scratch = _scratch("dedup_ww", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(indir, "copy1.parquet"))
+    shutil.copy(src, os.path.join(indir, "copy2.parquet"))
+
+    raw = _read_events_stream(spark, indir, max_files=1)
+    deduped = raw.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = os.path.join(scratch, "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    return got.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+register(
+    "stream_dedup_within_watermark",
+    stream_dedup_within_watermark,
+    """SELECT event_type, count(DISTINCT event_id)::BIGINT AS n_events
+       FROM events GROUP BY event_type""",
+)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined per
+    micro-batch against a STATIC customer dimension (the standard streaming
+    enrichment shape — stateless, no watermark bookkeeping, the static side
+    broadcast fresh each batch so slowly-changing dims re-resolve), then a
+    running aggregate by the enriched key."""
+    scratch = _scratch("enrich", sf_dir)
+    ev = _events_stream(spark, sf_dir, scratch)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+    )
+    name = f"enrich_{os.getpid()}_{next(_uniq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_static_enrich",
+    stream_static_enrich,
+    """SELECT c_nationkey, count(*)::BIGINT AS n_events,
+              sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY c_nationkey""",
+)
