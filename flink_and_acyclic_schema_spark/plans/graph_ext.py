@@ -462,3 +462,63 @@ register(
                i -> (substring(a.s_name, i, 1)
                      != substring(b.s_name, i, 1))::INT)) <= 2""",
 )
+
+
+# --- multi-source BFS shortest hops ------------------------------------------
+_BFS_ROUNDS = 8
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from the seed set (suppliers
+    with s_suppkey % 37 == 0) over the undirected binary org tree (k <-> k
+    div 2), computed as 8 Bellman-Ford rounds — dist_{i+1}(v) = min(dist_i(v),
+    1 + min over neighbors) — so the result is exactly "min distance
+    reachable within 8 hops" in ANY engine, with no tie or visit-order
+    dependence. The iterative-frontier shape label propagation, BFS, and
+    sssp all share: one equi-join + one min-aggregate per round, nothing on
+    the driver, lineage kept shallow by the fixed unroll (localCheckpoint
+    for open-ended runs, as in dedup_clusters)."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey")
+    child = s.filter(F.col("s_suppkey") > 0).select(
+        F.col("s_suppkey").alias("a"),
+        F.expr("s_suppkey div 2").alias("b"),
+    )
+    parents = s.select(F.col("s_suppkey").alias("node"))
+    # keep only edges whose parent endpoint exists in the table
+    child = child.join(parents.withColumnRenamed("node", "b"), "b").select("a", "b")
+    edges = child.unionByName(
+        child.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    dist = s.filter(F.col("s_suppkey") % 37 == 0).select(
+        F.col("s_suppkey").alias("node"), F.lit(0).alias("hops")
+    )
+    for _ in range(_BFS_ROUNDS):
+        nxt = (
+            dist.join(edges, dist.node == edges.a)
+            .select(F.col("b").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+def _bfs_oracle() -> str:
+    return f"""WITH RECURSIVE
+       e AS (SELECT a.s_suppkey AS a, a.s_suppkey // 2 AS b
+             FROM supplier a JOIN supplier p ON p.s_suppkey = a.s_suppkey // 2
+             WHERE a.s_suppkey > 0),
+       ed AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       walk (node, hops) AS (
+         SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey % 37 = 0
+         UNION
+         SELECT ed.b, w.hops + 1
+         FROM walk w JOIN ed ON ed.a = w.node
+         WHERE w.hops + 1 <= {_BFS_ROUNDS}
+       )
+       SELECT node, min(hops)::INT AS hops FROM walk GROUP BY node"""
+
+
+register("graph_bfs_hops", graph_bfs_hops, _bfs_oracle())
