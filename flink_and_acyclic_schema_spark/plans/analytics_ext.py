@@ -580,3 +580,77 @@ register(
     + """
        SELECT node, r AS rank_q FROM r3""",
 )
+
+
+# --- association mining: market basket affinity ------------------------------
+def market_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over order baskets: for the 20 most co-ordered part
+    pairs, support counts and the lift ratio against independence
+    (co * N / (n_a * n_b)) — the classic retail affinity operator.
+
+    Scale shape: same hub-capped co-occurrence projection as the triangle
+    count (baskets with > 8 distinct parts dropped before the quadratic pair
+    expansion), then one map-side-combinable groupBy on the pair; per-part
+    counts are a vocabulary-sized broadcast. Ordering is on the exact
+    integer pair-count (ties by part ids), never on the float lift, so the
+    top-20 cut is engine-deterministic; lift rides along rounded."""
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    small = basket.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    ).filter(F.col("n_parts") <= 8)
+    capped = basket.join(small.select("l_orderkey"), "l_orderkey").persist()
+    n_baskets = capped.select("l_orderkey").distinct().count()
+    part_n = capped.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("part_a"),
+                                      F.col("n_part").alias("n_a"))), "part_a")
+        .join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("part_b"),
+                                      F.col("n_part").alias("n_b"))), "part_b")
+        .select(
+            "part_a", "part_b", "co", "n_a", "n_b",
+            F.round(
+                F.col("co") * F.lit(n_baskets)
+                / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("co"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+register(
+    "market_basket_affinity",
+    market_basket_affinity,
+    """WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey
+              HAVING count(*) <= 8),
+       capped AS (SELECT basket.* FROM basket JOIN ok USING (l_orderkey)),
+       nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM capped),
+       pn AS (SELECT l_partkey, count(*) AS n_part FROM capped GROUP BY 1),
+       pairs AS (
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS co
+         FROM capped a JOIN capped b USING (l_orderkey)
+         WHERE a.l_partkey < b.l_partkey
+         GROUP BY 1, 2)
+       SELECT part_a, part_b, co::BIGINT AS co,
+              pa.n_part::BIGINT AS n_a, pb.n_part::BIGINT AS n_b,
+              round(co * nb.n / (pa.n_part * pb.n_part), 6) AS lift
+       FROM pairs
+       JOIN pn pa ON pa.l_partkey = part_a
+       JOIN pn pb ON pb.l_partkey = part_b
+       CROSS JOIN nb
+       ORDER BY co DESC, part_a ASC, part_b ASC LIMIT 20""",
+)

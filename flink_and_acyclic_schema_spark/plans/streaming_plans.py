@@ -1112,3 +1112,89 @@ register(
        FROM events JOIN customer ON user_id = c_custkey
        GROUP BY c_nationkey""",
 )
+
+
+def stream_tumbling_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode + upsert sink: the tumbling aggregation streams in
+    two time-split micro-batches; update mode re-emits only windows changed
+    by each batch, and the foreachBatch sink upserts them (latest batch_id
+    wins per window key) — the changelog-consuming sink contract the
+    reference's own output implies (SURVEY §1.3) that append mode can't
+    express and complete mode makes O(result) per batch. The final upserted
+    table must equal the from-scratch batch aggregate. The watermark delay
+    is set beyond the data span so batch order can't drop either half as
+    late — the lateness/eviction semantics have their own dedicated queries
+    (stream_late_data_drop, stream_dedup_within_watermark)."""
+    scratch = _scratch("upd_mode", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    ev_all = load(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+        ),
+    )
+    cut = "1998-01-01 00:00:00"
+    ev_all.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(indir)
+    import time as _time
+
+    _time.sleep(1.2)  # file-source ordering is by mod time; keep halves ordered
+    ev_all.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(indir)
+
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    agg = (
+        raw.withWatermark("ts", "3000 days")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+    out = os.path.join(scratch, "out")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    from pyspark.sql.window import Window as W
+
+    latest = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("win_start", "event_type").orderBy(F.desc("batch_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return latest.select(
+        _to_ntz("win_start").alias("win_start"), "event_type", "n_events", "sum_value"
+    )
+
+
+register(
+    "stream_tumbling_update_mode",
+    stream_tumbling_update_mode,
+    """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, event_type,
+              count(*) AS n_events, sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
