@@ -112,3 +112,45 @@ def test_interval_sweep_matches_bruteforce(spark, tmp_path_factory, ships):
         for r in QUERIES["interval_overlap_sweep"](spark, sf_dir).collect()
     }
     assert got == _sweep_model(ships), ships
+
+
+def test_asof_tolerance_boundary(spark, tmp_path):
+    """Pin the tolerance boundary rule of join_asof_tolerance: a click exactly
+    30 minutes before the purchase IS matched (>= ts - 30min, inclusive); one
+    microsecond older is NULLed. Both engines encode the same rule — this
+    probe pins it against synthetic events straddling the boundary."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_and_acyclic_schema_spark.registry import ORACLES, QUERIES
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    rows = [
+        # user 1: click exactly 30 min before -> matched
+        (1, t0 - pd.Timedelta(minutes=30), 1, "click", 0.0, "{}"),
+        (2, t0, 1, "purchase", 9.0, "{}"),
+        # user 2: click 30 min + 1 us before -> out of tolerance -> NULL
+        (3, t0 - pd.Timedelta(minutes=30, microseconds=1), 2, "click", 0.0, "{}"),
+        (4, t0, 2, "purchase", 7.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    table = table.cast(table.schema.set(1, pa.field("ts", pa.timestamp("us"))))
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_id"]: r["click_event_id"]
+        for r in QUERIES["join_asof_tolerance"](spark, str(tmp_path)).collect()
+    }
+    assert got == {2: 1, 4: None}, got
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = {
+        r[0]: r[4] for r in con.execute(ORACLES["join_asof_tolerance"]).fetchall()
+    }
+    assert want == {2: 1, 4: None}, want
