@@ -476,8 +476,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable within 8 hops" in ANY engine, with no tie or visit-order
     dependence. The iterative-frontier shape label propagation, BFS, and
     sssp all share: one equi-join + one min-aggregate per round, nothing on
-    the driver, lineage kept shallow by the fixed unroll (localCheckpoint
-    for open-ended runs, as in dedup_clusters)."""
+    the driver. Each round references the previous dist table TWICE (itself
+    union its relaxation), so a pure unroll doubles the plan per round —
+    2^8 subtrees by round 8; ``localCheckpoint`` after each round truncates
+    the lineage to a scan, keeping the plan linear (the dedup_clusters
+    discipline, pinned by the plan-sweep blow-up guard)."""
     s = load(spark, sf_dir, "supplier").select("s_suppkey")
     child = s.filter(F.col("s_suppkey") > 0).select(
         F.col("s_suppkey").alias("a"),
@@ -501,6 +504,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(nxt)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
         )
     return dist.select("node", F.col("hops").cast("int").alias("hops"))
 
