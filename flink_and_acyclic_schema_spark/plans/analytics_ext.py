@@ -654,3 +654,52 @@ register(
        CROSS JOIN nb
        ORDER BY co DESC, part_a ASC, part_b ASC LIMIT 20""",
 )
+
+
+# --- time-weighted aggregation (TWAP) ----------------------------------------
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted value aggregation (the TWAP/sensor-rollup shape): each
+    event's value holds until the user's next event; per user, accumulate
+    value x holding-duration. Irregular samples mean a plain AVG
+    over-weights bursts — the classic time-series bias this op removes.
+
+    One window per user partition (lead(ts)) — the single-shuffle as-of
+    family shape. Engine-exact: values quantize to int 1e-4 quanta
+    (floor(v*10000+0.5), the similarity.py trick), durations are whole
+    seconds via timestampdiff, and the emitted sums are pure int64 — the
+    consumer divides; no cross-engine float accumulation order exists."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("timestampdiff(SECOND, ts, next_ts)").alias("dur_s"),
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("vq"),
+        )
+    )
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_s").alias("sum_dur_s"),
+        F.sum(F.col("vq") * F.col("dur_s")).alias("sum_value_dur_q"),
+    )
+
+
+register(
+    "time_weighted_value",
+    time_weighted_value,
+    """WITH held AS (
+         SELECT user_id,
+                (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id))
+                 - epoch_us(ts)) // 1000000 AS dur_s,
+                CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vq
+         FROM events)
+       SELECT user_id, count(*)::BIGINT AS n_intervals,
+              sum(dur_s)::BIGINT AS sum_dur_s,
+              sum(vq * dur_s)::BIGINT AS sum_value_dur_q
+       FROM held WHERE dur_s IS NOT NULL
+       GROUP BY user_id""",
+)
