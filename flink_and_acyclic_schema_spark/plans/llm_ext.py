@@ -786,3 +786,57 @@ register(
        FROM dev JOIN mad USING (event_type)
        GROUP BY dev.event_type""",
 )
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage: build the top-100 corpus vocabulary
+    (by frequency, ties broken by term so the cut is engine-deterministic),
+    then measure per-document token count and out-of-vocabulary count — the
+    fertility/coverage report that decides whether a tokenizer's vocab fits
+    a corpus. The vocabulary is broadcast (vocab-sized, like the tf-idf df
+    table); per-doc counting is one map-side-combinable groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: F.length(t) >= 1
+            )
+        ).alias("term"),
+    )
+    vocab = (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(100)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tokens.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
+
+
+register(
+    "tokenizer_vocab_coverage",
+    tokenizer_vocab_coverage,
+    """WITH tokens AS (
+         SELECT doc_id, t.term
+         FROM documents,
+              LATERAL (SELECT unnest(list_filter(
+                         string_split_regex(lower(text), '[^a-z]+'),
+                         x -> length(x) >= 1)) AS term) t),
+       vocab AS (
+         SELECT term FROM (
+           SELECT term, count(*) AS n FROM tokens GROUP BY term
+           ORDER BY n DESC, term ASC LIMIT 100)),
+       j AS (SELECT tokens.doc_id, vocab.term AS hit
+             FROM tokens LEFT JOIN vocab USING (term))
+       SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              count(*) FILTER (WHERE hit IS NULL)::BIGINT AS n_oov
+       FROM j GROUP BY doc_id""",
+)
