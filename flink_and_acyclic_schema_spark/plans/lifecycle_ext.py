@@ -346,3 +346,61 @@ register(
                         AND o_orderkey % 13 != 0)::DOUBLE AS clean_total
        FROM orders""",
 )
+
+
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each order resolved against the SCD2
+    dimension version valid AT its order date — the warehouse lookup that
+    answers "what was the customer's state when this fact happened", the
+    non-negotiable join for ML feature backfills (using current attributes
+    leaks the future into training data).
+
+    Dimension versions are each user's click history as SCD2 intervals
+    (valid_from = click ts, valid_to = next click ts, NULL while current);
+    facts are the user's purchases. The join is an ordinary hash EQUI-join
+    on the entity key with the interval containment as a post-join filter —
+    per-entity version counts are small, so no binning is needed (the
+    keyless variant is join_range_binned_noequi); at most one version
+    contains each fact by construction."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "ts")
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.user_id == dim.user_id)
+            & (dim.valid_from <= fact.ts)
+            & (dim.valid_to.isNull() | (fact.ts < dim.valid_to)),
+        )
+        .select("purchase_id", fact.user_id, "ts", "value", "version_id")
+    )
+
+
+register(
+    "join_point_in_time_scd2",
+    join_point_in_time_scd2,
+    """WITH dim AS (
+         SELECT user_id, event_id AS version_id, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS valid_to
+         FROM events WHERE event_type = 'click')
+       SELECT p.event_id AS purchase_id, p.user_id, p.ts, p.value, version_id
+       FROM (SELECT event_id, user_id, ts, value FROM events
+             WHERE event_type = 'purchase') p
+       JOIN dim ON p.user_id = dim.user_id
+        AND valid_from <= p.ts
+        AND (valid_to IS NULL OR p.ts < valid_to)""",
+)

@@ -983,3 +983,90 @@ register(
                    ELSE 'new' END AS status
        FROM d LEFT JOIN old ON d.content_hash = old.h""",
 )
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: today's delta batch (doc_id % 3 == 0, the
+    arrival convention of dedup_incremental_ingest) checked for NEAR
+    duplicates against the existing corpus — minhash signatures for both
+    sides, LSH band join of delta bands against the corpus band index,
+    exact estimated Jaccard (matches/64, an exact multiple of 1/64 in both
+    engines) only on candidates, verdict per delta doc (lowest matching
+    corpus doc, or NULL).
+
+    At 100 TB the corpus side is a PERSISTED signature/band index (32 bytes
+    x 16 bands per doc), bucketed on (band, sig) — per-day work is
+    O(delta bands ⋈ index), never a corpus rescan: the near-dup twin of the
+    exact-hash incremental ingest."""
+    docs = load(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    mh_d = dedup.minhash_signatures(delta).persist()
+    mh_c = dedup.minhash_signatures(corpus).persist()
+    bd, bc = dedup.lsh_bands(mh_d), dedup.lsh_bands(mh_c)
+    cand = (
+        bd.alias("a")
+        .join(
+            bc.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col("a.doc_id").alias("d"), F.col("b.doc_id").alias("c"))
+        .distinct()
+    )
+    ma, mb = mh_d.alias("ma"), mh_c.alias("mb")
+    matches = sum(
+        (F.col(f"ma.h{i}") == F.col(f"mb.h{i}")).cast("int")
+        for i in range(dedup.N_MINHASH)
+    )
+    hits = (
+        cand.join(ma, cand.d == F.col("ma.doc_id"))
+        .join(mb, cand.c == F.col("mb.doc_id"))
+        .withColumn("est", matches / F.lit(float(dedup.N_MINHASH)))
+        .filter(F.col("est") >= 0.5)
+        .groupBy("d")
+        .agg(F.min("c").alias("near_dup_of"), F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        delta.select("doc_id")
+        .join(hits, delta.doc_id == hits.d, "left")
+        .select(
+            "doc_id",
+            "near_dup_of",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+    )
+
+
+register(
+    "dedup_minhash_incremental",
+    dedup_minhash_incremental,
+    f"""WITH
+       words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                 FROM documents),
+       shingles AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         FROM words),
+       mh AS (
+         SELECT doc_id,
+           {_MH_COLS}
+         FROM shingles GROUP BY doc_id),
+       bands AS (
+         {_BANDS_SQL}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d, b.doc_id AS c
+         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 != 0),
+       est AS (
+         SELECT d, c, {_EST_JACCARD_SQL}
+         FROM cand JOIN mh ma ON cand.d = ma.doc_id
+         JOIN mh mb ON cand.c = mb.doc_id),
+       hits AS (
+         SELECT d, min(c) AS near_dup_of, count(*) AS n_matches
+         FROM est WHERE est_jaccard >= 0.5 GROUP BY d)
+       SELECT doc_id, near_dup_of,
+              coalesce(n_matches, 0)::BIGINT AS n_matches
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) delta
+       LEFT JOIN hits ON delta.doc_id = hits.d""",
+)
