@@ -703,3 +703,50 @@ register(
        FROM held WHERE dur_s IS NOT NULL
        GROUP BY user_id""",
 )
+
+
+def seasonality_month_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal index by calendar month: each month-of-year's average daily
+    order volume relative to the overall daily average, as exact
+    parts-per-thousand integers — the seasonal-decomposition factor a
+    demand forecast divides out. Two tiny aggregates (per-date, then
+    per-month); the overall average broadcasts as one row; no float
+    division anywhere (index = (1000 * month_total * total_days) div
+    (total * month_days))."""
+    o = load(spark, sf_dir, "orders")
+    per_date = o.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_month = per_date.groupBy("m").agg(
+        F.sum("n").alias("month_total"), F.count(F.lit(1)).alias("month_days")
+    )
+    tot = per_month.agg(
+        F.sum("month_total").alias("total"), F.sum("month_days").alias("total_days")
+    )
+    return per_month.crossJoin(F.broadcast(tot)).select(
+        "m",
+        "month_total",
+        "month_days",
+        F.expr("(1000 * month_total * total_days) div (total * month_days)")
+        .alias("index_ppt"),
+    )
+
+
+register(
+    "seasonality_month_index",
+    seasonality_month_index,
+    """WITH per_date AS (
+         SELECT o_orderdate::DATE AS d, month(o_orderdate) AS m, count(*) AS n
+         FROM orders GROUP BY 1, 2),
+       per_month AS (
+         SELECT m, sum(n) AS month_total, count(*) AS month_days
+         FROM per_date GROUP BY m),
+       t AS (SELECT sum(month_total) AS total, sum(month_days) AS total_days
+             FROM per_month)
+       SELECT m::INT AS m, month_total::BIGINT AS month_total,
+              month_days::BIGINT AS month_days,
+              ((1000 * month_total * total_days)
+               // (total * month_days))::BIGINT AS index_ppt
+       FROM per_month CROSS JOIN t""",
+)

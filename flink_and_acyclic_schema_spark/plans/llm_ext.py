@@ -840,3 +840,75 @@ register(
               count(*) FILTER (WHERE hit IS NULL)::BIGINT AS n_oov
        FROM j GROUP BY doc_id""",
 )
+
+
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per language, document and character
+    volume plus exact parts-per-million share of the corpus — the
+    before/after dashboard every mixture change is judged against.
+    Shares are floor(1e6 * n / total) integer arithmetic (no float
+    division), so the report hashes identically in any engine; the 1-row
+    total broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    tot = by_lang.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("sum_chars").alias("t_chars")
+    )
+    return by_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        F.expr("(1000000 * n_docs) div t_docs").alias("doc_share_ppm"),
+        F.expr("(1000000 * sum_chars) div t_chars").alias("char_share_ppm"),
+    )
+
+
+register(
+    "corpus_mix_report",
+    corpus_mix_report,
+    """WITH b AS (SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+                 FROM documents GROUP BY lang),
+       t AS (SELECT sum(n_docs) AS t_docs, sum(sum_chars) AS t_chars FROM b)
+       SELECT lang, n_docs::BIGINT AS n_docs, sum_chars::BIGINT AS sum_chars,
+              ((1000000 * n_docs) // t_docs)::BIGINT AS doc_share_ppm,
+              ((1000000 * sum_chars) // t_chars)::BIGINT AS char_share_ppm
+       FROM b CROSS JOIN t""",
+)
+
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (alpha = 0.5): the standard
+    multilingual rebalancing rule w_i ∝ n_i^alpha that upweights tail
+    languages (Conneau & Lample's T=2 sampling). sqrt of an integer count
+    is correctly-rounded IEEE in every engine, and the emitted weight is
+    the floor-quantized integer floor(1e6 * sqrt(n_i)) plus the total —
+    consumers derive the normalized fraction; no float summation order
+    exists in the result."""
+    docs = load(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    wq = by_lang.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs")) * 1000000).cast("long").alias("w_sqrt_q"),
+    )
+    tot = wq.agg(F.sum("w_sqrt_q").alias("t_w"))
+    return wq.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "w_sqrt_q", "t_w"
+    )
+
+
+register(
+    "mixture_temperature_weights",
+    mixture_temperature_weights,
+    """WITH b AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       w AS (SELECT lang, n_docs,
+                    CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w_sqrt_q
+             FROM b),
+       t AS (SELECT sum(w_sqrt_q) AS t_w FROM w)
+       SELECT lang, n_docs::BIGINT AS n_docs, w_sqrt_q,
+              t_w::BIGINT AS t_w
+       FROM w CROSS JOIN t""",
+)
