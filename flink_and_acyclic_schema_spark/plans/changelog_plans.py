@@ -197,3 +197,75 @@ register(
        GROUP BY c_custkey, c_name, c_acctbal, n_name
        HAVING sum(li.weight * o.weight) > 0""",
 )
+
+
+def delta_agg_avg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental grouped AVG with retraction: AVG is not directly
+    retractable, but it factors into two maintained sums —
+    sum(w·x) / sum(w) — so the changelog algebra extends to it for free.
+    Emits the maintained numerator, denominator AND the derived average,
+    proving the algebra generalizes past the reference's single SUM
+    (Q10AggregateProcessFunction.java:43-52 hardcodes one revenue sum).
+    The average is DECIMAL/BIGINT division cast to double — identical in
+    both engines on exact inputs."""
+    cl = synth_changelog(spark, sf_dir, "lineitem", "l_orderkey")
+    net = cl.groupBy("l_returnflag").agg(
+        F.sum(F.col("weight") * dec("l_extendedprice")).alias("sum_price_w"),
+        F.sum("weight").alias("net_rows"),
+    ).filter(F.col("net_rows") > 0)
+    return net.select(
+        "l_returnflag",
+        F.col("sum_price_w").cast("double").alias("sum_price"),
+        F.col("net_rows").cast("long").alias("net_rows"),
+        (F.col("sum_price_w") / F.col("net_rows")).cast("double").alias("avg_price"),
+    )
+
+
+register(
+    "delta_agg_avg_incremental",
+    delta_agg_avg_incremental,
+    f"""WITH changelog AS ({_CHANGELOG_SQL.format(t="lineitem", k="l_orderkey")})
+       SELECT l_returnflag,
+              sum(weight * l_extendedprice::DECIMAL(12,4))::DOUBLE AS sum_price,
+              sum(weight)::BIGINT AS net_rows,
+              (sum(weight * l_extendedprice::DECIMAL(12,4))
+               / sum(weight))::DOUBLE AS avg_price
+       FROM changelog
+       GROUP BY l_returnflag
+       HAVING sum(weight) > 0""",
+)
+
+
+def delta_count_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT(DISTINCT) with retraction — the aggregate that
+    CANNOT be maintained as a single scalar: deleting a value only removes
+    it from the distinct set when its LAST copy dies. The fix is two-level
+    weight algebra: maintain the per-(group, value) net multiplicity (the
+    inner state, exactly the changelog_apply shape), then the distinct
+    count is COUNT of values whose net > 0 (the outer fold). Per batch the
+    inner state updates by O(Δ); the outer count by the values Δ touched.
+    The reference's set-based state gets this wrong for duplicate inserts
+    (SURVEY.md §8 B4) — the %5 dup keys in the synthetic changelog hit
+    exactly that case."""
+    cl = synth_changelog(spark, sf_dir, "orders", "o_orderkey")
+    inner = cl.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum("weight").alias("m")
+    )
+    return (
+        inner.filter(F.col("m") > 0)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_custs"))
+    )
+
+
+register(
+    "delta_count_distinct_incremental",
+    delta_count_distinct_incremental,
+    f"""WITH changelog AS ({_CHANGELOG_SQL.format(t="orders", k="o_orderkey")}),
+       inner_state AS (
+         SELECT o_orderpriority, o_custkey, sum(weight) AS m
+         FROM changelog GROUP BY o_orderpriority, o_custkey)
+       SELECT o_orderpriority, count(*)::BIGINT AS n_distinct_custs
+       FROM inner_state WHERE m > 0
+       GROUP BY o_orderpriority""",
+)
