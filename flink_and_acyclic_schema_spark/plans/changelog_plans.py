@@ -269,3 +269,42 @@ register(
        FROM inner_state WHERE m > 0
        GROUP BY o_orderpriority""",
 )
+
+
+def delta_minmax_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MIN/MAX with retraction — the other non-scalar-maintainable
+    aggregate: deleting the current extremum forces a fallback to the
+    runner-up, so the state must be the per-(group, value) net multiset
+    (same inner state as delta_count_distinct_incremental), and MIN/MAX
+    fold over the alive values (net > 0). Completes the retractable-
+    aggregate family: SUM/COUNT (one scalar), AVG (two scalars),
+    COUNT(DISTINCT)/MIN/MAX (value-level state) — the %7 deletes in the
+    synthetic changelog do kill group extrema, exercising the fallback."""
+    cl = synth_changelog(spark, sf_dir, "orders", "o_orderkey")
+    inner = cl.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.sum("weight").alias("m")
+    )
+    return (
+        inner.filter(F.col("m") > 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count(F.lit(1)).cast("long").alias("n_alive_values"),
+        )
+    )
+
+
+register(
+    "delta_minmax_incremental",
+    delta_minmax_incremental,
+    f"""WITH changelog AS ({_CHANGELOG_SQL.format(t="orders", k="o_orderkey")}),
+       inner_state AS (
+         SELECT o_orderpriority, o_totalprice, sum(weight) AS m
+         FROM changelog GROUP BY o_orderpriority, o_totalprice)
+       SELECT o_orderpriority, min(o_totalprice) AS min_price,
+              max(o_totalprice) AS max_price,
+              count(*)::BIGINT AS n_alive_values
+       FROM inner_state WHERE m > 0
+       GROUP BY o_orderpriority""",
+)
