@@ -1198,3 +1198,58 @@ register(
               count(*) AS n_events, sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
        FROM events GROUP BY 1, 2""",
 )
+
+
+def incremental_count_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming COUNT(DISTINCT) with retraction across micro-batches: the
+    two-level weight algebra of delta_count_distinct_incremental run as a
+    REAL stream — the maintained state is the per-(group, value) net
+    multiplicity (IncrementalGroupAgg keyed by group + value, support-only),
+    updated O(batch) per micro-batch; the distinct count folds over alive
+    values at read time. Values whose net multiplicity hits zero (the
+    changelog's %7 deletes) retire from state and from the count — the
+    duplicate-insert/delete interplay the reference's set state broke on."""
+    from ..sources.changelog_source import generate_changelog_files, parse_changelog
+    from ..streaming.incremental import IncrementalGroupAgg
+
+    scratch = _scratch("ivm_cd", sf_dir)
+    changelog_dir = generate_changelog_files(
+        spark, sf_dir, os.path.join(scratch, "changelog"), n_chunks=3
+    )
+    ivm = IncrementalGroupAgg(
+        spark,
+        os.path.join(scratch, "state"),
+        group_cols=["l_returnflag", "l_orderkey"],
+        measures={},
+    )
+
+    def on_batch(lines: DataFrame, batch_id: int) -> None:
+        ivm.process_batch(parse_changelog(lines)["lineitem"])
+
+    q = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(changelog_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        ivm.result()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_orders"))
+    )
+
+
+register(
+    "incremental_count_distinct_stream",
+    incremental_count_distinct_stream,
+    # net multiplicities mirror generate_changelog_files
+    """SELECT l_returnflag, count(*)::BIGINT AS n_distinct_orders
+       FROM (SELECT l_returnflag, l_orderkey,
+                    sum(1 + (l_orderkey % 5 = 0)::INT
+                          - (l_orderkey % 7 = 0)::INT) AS m
+             FROM lineitem GROUP BY l_returnflag, l_orderkey)
+       WHERE m > 0 GROUP BY l_returnflag""",
+)
