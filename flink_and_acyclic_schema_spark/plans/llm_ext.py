@@ -912,3 +912,94 @@ register(
               t_w::BIGINT AS t_w
        FROM w CROSS JOIN t""",
 )
+
+
+def span_corruption_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: ~15% of tokens are masked by a
+    deterministic hash of (doc_id, position), consecutive masked tokens
+    collapse into one sentinel in the corrupted text, and the masked
+    tokens become the target sequence — the denoising-objective prep step,
+    reproducible across engines, runs and partitionings (no rand()).
+
+    Plan shape: posexplode fan-out, one lag window per document partition
+    (to detect span starts), then a grouped reassembly via sorted
+    collect_list + array_join — the same narrow/one-shuffle discipline as
+    doc_chunking and sequence_packing."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    h = (
+        ((F.col("doc_id") * 1000 + F.col("pos")) % F.lit(2**31))
+        * F.lit(_KNUTH)
+        % F.lit(4294967296)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = (
+        toks.withColumn("masked", (h % 100) < 15)
+        .withColumn(
+            "span_start",
+            F.col("masked") & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "out",
+            F.when(~F.col("masked"), F.col("tok"))
+            .when(F.col("span_start"), F.lit("<X>"))
+            .otherwise(F.lit("")),
+        )
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "out", "masked", "tok")))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("masked"), 1)).cast("long").alias("n_masked"),
+        F.count(F.when(F.col("span_start"), 1)).cast("long").alias("n_spans"),
+        F.array_join(
+            F.filter(
+                F.transform(ordered, lambda s: s.out), lambda x: x != F.lit("")
+            ),
+            " ",
+        ).alias("corrupted"),
+        F.array_join(
+            F.filter(
+                F.transform(
+                    ordered, lambda s: F.when(s.masked, s.tok).otherwise(F.lit(""))
+                ),
+                lambda x: x != F.lit(""),
+            ),
+            " ",
+        ).alias("targets"),
+    )
+
+
+register(
+    "span_corruption_masking",
+    span_corruption_masking,
+    f"""WITH toks AS (
+         SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1
+                  AS pos,
+                unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       flagged AS (
+         SELECT doc_id, pos, tok,
+                ((doc_id * 1000 + pos) % 2147483648) * {_KNUTH}
+                  % 4294967296 % 100 < 15 AS masked
+         FROM toks),
+       spans AS (
+         SELECT *,
+                masked AND NOT coalesce(
+                  lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), false)
+                  AS span_start
+         FROM flagged)
+       SELECT doc_id,
+              count(*)::BIGINT AS n_tokens,
+              count(*) FILTER (WHERE masked)::BIGINT AS n_masked,
+              count(*) FILTER (WHERE span_start)::BIGINT AS n_spans,
+              coalesce(string_agg(
+                CASE WHEN NOT masked THEN tok
+                     WHEN span_start THEN '<X>' END, ' ' ORDER BY pos), '')
+                AS corrupted,
+              coalesce(string_agg(CASE WHEN masked THEN tok END,
+                                  ' ' ORDER BY pos), '') AS targets
+       FROM spans GROUP BY doc_id""",
+)
