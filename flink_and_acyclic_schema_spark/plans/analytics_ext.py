@@ -750,3 +750,57 @@ register(
                // (total * month_days))::BIGINT AS index_ppt
        FROM per_month CROSS JOIN t""",
 )
+
+
+# --- Z-order (Morton) layout codes -------------------------------------------
+def layout_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve codes for multi-dimensional data layout: interleave the
+    low 16 bits of (customer key, order day) into one Morton code — the sort
+    key behind OPTIMIZE ZORDER-style clustering, which keeps rows close in
+    BOTH dimensions close on disk so min/max file statistics prune scans on
+    either predicate. Emitted per order with its 256-bucket prefix (the
+    file-assignment grain); the code is pure 64-bit shift/mask arithmetic,
+    identical in any engine. At scale this is the sortWithinPartitions key
+    of the ingest rewrite (sources/layout.py); here the query surface pins
+    the code itself."""
+    o = load(spark, sf_dir, "orders")
+    epoch_day = "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+    morton = (
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+        " + (((x >> i) & 1) << (2 * i))"
+        " + (((y >> i) & 1) << (2 * i + 1)))"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.expr("o_custkey % 65536").alias("x"),
+            F.expr(f"({epoch_day}) % 65536").alias("y"),
+        )
+        .select(
+            "o_orderkey",
+            F.expr(morton).alias("zcode"),
+        )
+        .select(
+            "o_orderkey",
+            "zcode",
+            F.expr("zcode >> 24").cast("int").alias("zbucket"),
+        )
+    )
+
+
+register(
+    "layout_zorder_morton",
+    layout_zorder_morton,
+    """WITH d AS (
+         SELECT o_orderkey, o_custkey % 65536 AS x,
+                (epoch_us(o_orderdate) // 86400000000) % 65536 AS y
+         FROM orders)
+       SELECT o_orderkey,
+              list_sum(list_transform(range(0, 16),
+                i -> (((x >> i) & 1) << (2 * i))
+                     + (((y >> i) & 1) << (2 * i + 1))))::BIGINT AS zcode,
+              (list_sum(list_transform(range(0, 16),
+                i -> (((x >> i) & 1) << (2 * i))
+                     + (((y >> i) & 1) << (2 * i + 1)))) >> 24)::INT AS zbucket
+       FROM d""",
+)
