@@ -804,3 +804,173 @@ register(
                      + (((y >> i) & 1) << (2 * i + 1)))) >> 24)::INT AS zbucket
        FROM d""",
 )
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with fixed
+    deterministic thresholds: per customer, days since last order relative
+    to the corpus max date, order count, and total spend; each dimension
+    scored 0/1/2 by constant cut-offs and combined into the 27-cell segment
+    code. All narrow arithmetic over one per-customer aggregate (a single
+    map-side-combinable shuffle); the corpus max date broadcasts as one
+    row. Fixed thresholds (not quantiles) keep the scores engine-exact and
+    stable as the corpus grows — the production choice for comparable
+    segments across runs."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("monetary_d"),
+    )
+    maxd = o.agg(F.max("o_orderdate").alias("corpus_max"))
+    scored = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.expr("timestampdiff(DAY, last_order, corpus_max)").alias("recency_days"),
+        "frequency",
+        F.col("monetary_d").cast("double").alias("monetary"),
+        F.expr(
+            "CASE WHEN timestampdiff(DAY, last_order, corpus_max) <= 180 THEN 2 "
+            "WHEN timestampdiff(DAY, last_order, corpus_max) <= 720 THEN 1 ELSE 0 END"
+        ).alias("r_score"),
+        F.expr("CASE WHEN frequency >= 15 THEN 2 WHEN frequency >= 8 THEN 1 ELSE 0 END").alias(
+            "f_score"
+        ),
+        F.expr(
+            "CASE WHEN monetary_d >= 2000000 THEN 2 "
+            "WHEN monetary_d >= 1000000 THEN 1 ELSE 0 END"
+        ).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("o_custkey").alias("example_cust"),
+    )
+
+
+register(
+    "rfm_segmentation",
+    rfm_segmentation,
+    """WITH per_cust AS (
+         SELECT o_custkey, max(o_orderdate) AS last_order,
+                count(*) AS frequency,
+                sum(o_totalprice::DECIMAL(12,4)) AS monetary_d
+         FROM orders GROUP BY o_custkey),
+       m AS (SELECT max(o_orderdate) AS corpus_max FROM orders),
+       scored AS (
+         SELECT o_custkey,
+                CASE WHEN date_diff('day', last_order, corpus_max) <= 180 THEN 2
+                     WHEN date_diff('day', last_order, corpus_max) <= 720 THEN 1
+                     ELSE 0 END AS r_score,
+                CASE WHEN frequency >= 15 THEN 2 WHEN frequency >= 8 THEN 1
+                     ELSE 0 END AS f_score,
+                CASE WHEN monetary_d >= 2000000 THEN 2
+                     WHEN monetary_d >= 1000000 THEN 1 ELSE 0 END AS m_score
+         FROM per_cust CROSS JOIN m)
+       SELECT r_score::INT AS r_score, f_score::INT AS f_score,
+              m_score::INT AS m_score,
+              count(*)::BIGINT AS n_customers,
+              min(o_custkey) AS example_cust
+       FROM scored GROUP BY 1, 2, 3""",
+)
+
+
+def percent_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month change of order volume as exact parts-per-thousand
+    integers: monthly totals (distributed groupBy), then lag over the tiny
+    month table — the only ordered window runs on ~dozens of rows, the
+    same "global state is an aggregate" discipline as the Pareto frontier.
+    delta_ppt = 1000 * (cur - prev) div prev; NULL for the first month."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("m")
+    return monthly.select(
+        "m",
+        "n_orders",
+        F.lag("n_orders").over(w).alias("prev_n"),
+        F.expr(
+            "CASE WHEN lag(n_orders) OVER (ORDER BY m) IS NOT NULL THEN "
+            "(1000 * (n_orders - lag(n_orders) OVER (ORDER BY m)))"
+            " div lag(n_orders) OVER (ORDER BY m) END"
+        ).alias("delta_ppt"),
+    )
+
+
+register(
+    "percent_change_mom",
+    percent_change_mom,
+    """WITH monthly AS (
+         SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders
+         FROM orders GROUP BY 1)
+       SELECT m, n_orders::BIGINT AS n_orders,
+              lag(n_orders) OVER (ORDER BY m)::BIGINT AS prev_n,
+              CASE WHEN lag(n_orders) OVER (ORDER BY m) IS NOT NULL THEN
+                ((1000 * (n_orders - lag(n_orders) OVER (ORDER BY m)))
+                 // lag(n_orders) OVER (ORDER BY m))::BIGINT END AS delta_ppt
+       FROM monthly""",
+)
+
+
+def gaps_and_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each supplier's longest streak of CONSECUTIVE
+    shipping days, via the classic day_number - dense_rank trick (rows in
+    the same island share the difference). Two windows, both PARTITIONED BY
+    the supplier key (no global sort); the island aggregation is an
+    ordinary two-level groupBy. The streak-detection shape behind uptime,
+    login-run and continuous-coverage reports."""
+    li = load(spark, sf_dir, "lineitem")
+    days = (
+        li.select(
+            "l_suppkey",
+            F.expr(
+                "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " date_trunc('day', l_shipdate))"
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("d")
+    islands = days.withColumn(
+        "island", F.col("d") - F.dense_rank().over(w)
+    )
+    streaks = islands.groupBy("l_suppkey", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("start_d"),
+    )
+    w2 = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("len"), F.asc("start_d")
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_suppkey",
+            F.col("len").cast("long").alias("longest_streak_days"),
+            F.col("start_d").alias("streak_start_epoch_day"),
+        )
+    )
+
+
+register(
+    "gaps_and_islands_streaks",
+    gaps_and_islands_streaks,
+    """WITH days AS (
+         SELECT DISTINCT l_suppkey,
+                epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS d
+         FROM lineitem),
+       islands AS (
+         SELECT l_suppkey, d,
+                d - dense_rank() OVER (PARTITION BY l_suppkey ORDER BY d)
+                  AS island
+         FROM days),
+       streaks AS (
+         SELECT l_suppkey, island, count(*) AS len, min(d) AS start_d
+         FROM islands GROUP BY l_suppkey, island),
+       best AS (
+         SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                                      ORDER BY len DESC, start_d ASC) AS rk
+         FROM streaks)
+       SELECT l_suppkey, len::BIGINT AS longest_streak_days,
+              start_d::BIGINT AS streak_start_epoch_day
+       FROM best WHERE rk = 1""",
+)
