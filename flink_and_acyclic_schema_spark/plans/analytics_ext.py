@@ -974,3 +974,53 @@ register(
               start_d::BIGINT AS streak_start_epoch_day
        FROM best WHERE rk = 1""",
 )
+
+
+def anomaly_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over the event stream: hourly buckets whose count
+    exceeds 2x the trailing 24-hour average — the monitoring alarm shape.
+    Event rows collapse to the hourly aggregate first (distributed
+    groupBy); the trailing-average window runs over the small bucket table
+    (rows frame, exact integer sums; the comparison 24*n > 2*trailing_sum
+    stays in integers so no float division exists). Buckets with fewer
+    than 24 predecessors are unflagged (insufficient baseline)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("h").rowsBetween(-24, -1)
+    return hourly.select(
+        "h",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count("n").over(w).cast("long").alias("trail_n"),
+    ).select(
+        "h",
+        "n",
+        "trail_sum",
+        "trail_n",
+        (
+            (F.col("trail_n") == 24)
+            & (F.col("n") * F.col("trail_n") > F.lit(2) * F.col("trail_sum"))
+        ).alias("is_burst"),
+    )
+
+
+register(
+    "anomaly_burst_windows",
+    anomaly_burst_windows,
+    """WITH hourly AS (
+         SELECT date_trunc('hour', ts) AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       t AS (
+         SELECT h, n,
+                sum(n) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING
+                             AND 1 PRECEDING) AS trail_sum,
+                count(n) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING
+                               AND 1 PRECEDING) AS trail_n
+         FROM hourly)
+       SELECT h, n::BIGINT AS n, trail_sum::BIGINT AS trail_sum,
+              trail_n::BIGINT AS trail_n,
+              (trail_n = 24 AND n * trail_n > 2 * trail_sum) AS is_burst
+       FROM t""",
+)

@@ -1003,3 +1003,56 @@ register(
                                   ' ' ORDER BY pos), '') AS targets
        FROM spans GROUP BY doc_id""",
 )
+
+
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) transform: split each document into
+    prefix / middle / suffix at two deterministic cut points (Knuth hash of
+    doc_id — reproducible, no rand()) and emit the PSM reordering
+    (prefix, suffix, middle) plus the cut offsets — the code-model
+    pretraining transform (Bavarian et al. 2022), pure narrow substring
+    arithmetic at scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    h1 = (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH) % F.lit(4294967296)
+    h2 = ((F.col("doc_id") + 7) % F.lit(2**31)) * F.lit(_KNUTH) % F.lit(4294967296)
+    n = F.char_length("text")
+    # two cuts in [1, n]; ordered so lo <= hi
+    c1 = (h1 % n) + 1
+    c2 = (h2 % n) + 1
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    return docs.select(
+        "doc_id",
+        lo.cast("int").alias("cut_lo"),
+        hi.cast("int").alias("cut_hi"),
+        F.expr("substring(text, 1, cut_lo - 1)").alias("prefix"),
+        F.expr("substring(text, cut_hi)").alias("suffix"),
+        F.expr("substring(text, cut_lo, cut_hi - cut_lo)").alias("middle"),
+    ).select(
+        "doc_id",
+        "cut_lo",
+        "cut_hi",
+        F.concat_ws(
+            "", F.lit("<PRE>"), "prefix", F.lit("<SUF>"), "suffix",
+            F.lit("<MID>"), "middle"
+        ).alias("psm"),
+    )
+
+
+register(
+    "fim_transform",
+    fim_transform,
+    f"""WITH cuts AS (
+         SELECT doc_id, text,
+                ((doc_id % 2147483648) * {_KNUTH} % 4294967296)
+                  % length(text) + 1 AS c1,
+                (((doc_id + 7) % 2147483648) * {_KNUTH} % 4294967296)
+                  % length(text) + 1 AS c2
+         FROM documents),
+       o AS (SELECT doc_id, text, least(c1, c2) AS cut_lo,
+                    greatest(c1, c2) AS cut_hi FROM cuts)
+       SELECT doc_id, cut_lo::INT AS cut_lo, cut_hi::INT AS cut_hi,
+              '<PRE>' || substring(text, 1, cut_lo - 1)
+              || '<SUF>' || substring(text, cut_hi)
+              || '<MID>' || substring(text, cut_lo, cut_hi - cut_lo) AS psm
+       FROM o""",
+)
