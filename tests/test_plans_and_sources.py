@@ -90,10 +90,12 @@ def test_all_batch_plans_stay_sane(spark):
         # tiny broadcast codebook/LUT sides joined without an equi-key by
         # design (PQ: every vector meets every codeword of its subspace)
         "sim_pq_topk",
-        # 1-row broadcast of the grand-total row (ppm/weight normalization)
+        # 1-row broadcast of the grand-total row (ppm/weight normalization,
+        # corpus max date)
         "corpus_mix_report",
         "mixture_temperature_weights",
         "seasonality_month_index",
+        "rfm_segmentation",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
