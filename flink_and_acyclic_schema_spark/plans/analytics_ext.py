@@ -1024,3 +1024,90 @@ register(
               (trail_n = 24 AND n * trail_n > 2 * trail_sum) AS is_burst
        FROM t""",
 )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: counts of consecutive
+    event-type pairs per user timeline (lead over the per-user window),
+    plus each row's share of its source state in exact parts-per-thousand —
+    the empirical Markov chain behind next-action prediction and funnel
+    drop-off analysis. One shuffle for the lead window, one for the pair
+    count; the per-source totals are a broadcast-sized dimension."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("from_total"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(1000 * n) div from_total").alias("share_ppt"),
+    )
+
+
+register(
+    "events_markov_transitions",
+    events_markov_transitions,
+    """WITH pairs AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS to_type
+         FROM events),
+       c AS (SELECT from_type, to_type, count(*) AS n FROM pairs
+             WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT from_type, sum(n) AS from_total FROM c GROUP BY 1)
+       SELECT c.from_type, to_type, n::BIGINT AS n,
+              ((1000 * n) // from_total)::BIGINT AS share_ppt
+       FROM c JOIN t ON c.from_type = t.from_type""",
+)
+
+
+def active_users_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the WAU metric. COUNT(DISTINCT)
+    over a sliding window can't partial-aggregate directly; the scale trick
+    is dedup-then-replicate: collapse events to distinct (user, day) pairs
+    first (the big shuffle, on a shrinking key space), then explode each
+    pair to the 7 report days it contributes to (narrow ×7 fan-out of the
+    SMALL deduped set) and count distinct per report day. Days with fewer
+    than 7 predecessors report partial windows, as the metric does in
+    production."""
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(
+        "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " date_trunc('day', ts))"
+    )
+    user_days = ev.select("user_id", day.alias("d")).distinct()
+    span = user_days.agg(F.max("d").alias("max_d"))
+    exploded = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("report_d"),
+    )
+    return (
+        exploded.join(F.broadcast(span), F.col("report_d") <= F.col("max_d"))
+        .groupBy("report_d")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+
+
+register(
+    "active_users_rolling_7d",
+    active_users_rolling_7d,
+    """WITH ud AS (
+         SELECT DISTINCT user_id,
+                epoch_us(date_trunc('day', ts)) // 86400000000 AS d
+         FROM events),
+       span AS (SELECT max(d) AS max_d FROM ud),
+       ex AS (
+         SELECT user_id, d + o AS report_d
+         FROM ud, LATERAL (SELECT unnest(range(0, 7)) AS o) t)
+       SELECT report_d::BIGINT AS report_d,
+              count(DISTINCT user_id)::BIGINT AS wau
+       FROM ex CROSS JOIN span
+       WHERE report_d <= max_d
+       GROUP BY report_d""",
+)

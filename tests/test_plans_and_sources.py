@@ -96,6 +96,8 @@ def test_all_batch_plans_stay_sane(spark):
         "mixture_temperature_weights",
         "seasonality_month_index",
         "rfm_segmentation",
+        # 1-row broadcast of the max-day bound for partial-window clipping
+        "active_users_rolling_7d",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
