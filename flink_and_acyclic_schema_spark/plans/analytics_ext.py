@@ -1111,3 +1111,55 @@ register(
        WHERE report_d <= max_d
        GROUP BY report_d""",
 )
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group: the smallest quantity whose
+    cumulative extended-price weight reaches half the group total — the
+    robust center for revenue-weighted distributions (an unweighted median
+    treats a 10-unit and a 10,000-unit line the same). Weights accumulate
+    in DECIMAL(12,4), so the running sum is exact and the half-total
+    comparison (2*cum >= total) has no float rounding; the cumulative
+    window is partitioned by the group key (no global sort), and value
+    ties don't affect the min-satisfying-value answer."""
+    li = load(spark, sf_dir, "lineitem")
+    wt = F.col("l_extendedprice").cast("decimal(12,4)")
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    scored = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum(wt).over(wcum).alias("cum_w"),
+        F.sum(wt).over(wall).alias("total_w"),
+    )
+    return (
+        scored.filter(F.lit(2) * F.col("cum_w") >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("weighted_median_qty"),
+            F.max(F.col("total_w").cast("double")).alias("total_weight"),
+        )
+    )
+
+
+register(
+    "agg_weighted_median",
+    agg_weighted_median,
+    """WITH scored AS (
+         SELECT l_returnflag, l_quantity,
+                sum(l_extendedprice::DECIMAL(12,4)) OVER (
+                  PARTITION BY l_returnflag
+                  ORDER BY l_quantity, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+                sum(l_extendedprice::DECIMAL(12,4)) OVER (
+                  PARTITION BY l_returnflag) AS total_w
+         FROM lineitem)
+       SELECT l_returnflag, min(l_quantity) AS weighted_median_qty,
+              max(total_w)::DOUBLE AS total_weight
+       FROM scored WHERE 2 * cum_w >= total_w
+       GROUP BY l_returnflag""",
+)

@@ -526,3 +526,83 @@ def _bfs_oracle() -> str:
 
 
 register("graph_bfs_hops", graph_bfs_hops, _bfs_oracle())
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas ``merge_asof
+    direction='nearest'``): each purchase matched to the click closest in
+    time in EITHER direction, ties to the earlier click. Same single-
+    shuffle union+window family as join_asof: one pass computes the last
+    click at-or-before (backward) and the first click after (forward,
+    a mirrored window over the same sorted partition), then a pure
+    projection picks the smaller absolute gap — no second shuffle, no
+    inequality join."""
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("cid"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    u = clicks.select(
+        "user_id", "ts", F.lit(0).alias("is_p"), "cid",
+        F.col("ts").alias("c_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts", F.lit(1).alias("is_p"),
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(None).cast("timestamp_ntz").alias("c_ts"),
+            "event_id", "value",
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("is_p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_b = F.expr("timestampdiff(MICROSECOND, b_ts, ts)")
+    gap_f = F.expr("timestampdiff(MICROSECOND, ts, f_ts)")
+    pick_b = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (gap_b <= gap_f)
+    )
+    return (
+        u.withColumn("b_cid", F.last("cid", ignorenulls=True).over(wb))
+        .withColumn("b_ts", F.last("c_ts", ignorenulls=True).over(wb))
+        .withColumn("f_cid", F.last("cid", ignorenulls=True).over(wf))
+        .withColumn("f_ts", F.last("c_ts", ignorenulls=True).over(wf))
+        .filter(F.col("is_p") == 1)
+        .select(
+            "event_id", "user_id", "ts", "value",
+            F.when(pick_b, F.col("b_cid")).otherwise(F.col("f_cid")).alias("click_event_id"),
+            F.when(pick_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias("click_ts"),
+        )
+    )
+
+
+register(
+    "join_asof_nearest",
+    join_asof_nearest,
+    # independent formulation: per-purchase lateral nearest-neighbor lookup
+    """WITH clicks AS (
+         SELECT user_id, ts, max(event_id) AS cid
+         FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+       p AS (SELECT event_id, user_id, ts, value FROM events
+             WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, p.ts, p.value,
+              n.cid AS click_event_id, n.ts AS click_ts
+       FROM p LEFT JOIN LATERAL (
+         SELECT c.cid, c.ts
+         FROM clicks c WHERE c.user_id = p.user_id
+         ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts
+         LIMIT 1
+       ) n ON true""",
+)
