@@ -411,22 +411,10 @@ register(
 
 
 # --- end-to-end curation pipeline -------------------------------------------
-def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole curation funnel as ONE composed plan: Gopher quality rules
-    -> exact dedup -> normalized near-dup collapse -> stratified sampling ->
-    shard assignment -> per-shard stats. Individually these stages exist as
-    their own queries; composing them is the point — at 100 TB the funnel
-    runs as a single job so Catalyst pipelines every narrow stage into the
-    scan and the corpus is read ONCE, not once per stage.
-
-    Stage shapes: quality filter and sampling are narrow (codegen'd string
-    expressions / multiplicative hash — no shuffle, no Python); each dedup is
-    one hash-partitioned window on a content hash (uniform keys, no skew);
-    the final rollup is a map-side-combinable groupBy whose exchange carries
-    (source, shard) groups, not documents. Cheapest filters run first so
-    every later shuffle moves an already-reduced corpus.
-    """
-    docs = load(spark, sf_dir, "documents")
+def curation_funnel(docs: DataFrame) -> DataFrame:
+    """The curation funnel over any (doc_id, text, lang, source) frame —
+    factored out of the registered query so the opt-in 12x scale smoke can
+    drive it over a salted synthetic corpus."""
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_words = F.size(words)
     alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
@@ -471,6 +459,24 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).cast("long").alias("sum_chars"),
         )
     )
+
+
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel as ONE composed plan: Gopher quality rules
+    -> exact dedup -> normalized near-dup collapse -> stratified sampling ->
+    shard assignment -> per-shard stats. Individually these stages exist as
+    their own queries; composing them is the point — at 100 TB the funnel
+    runs as a single job so Catalyst pipelines every narrow stage into the
+    scan and the corpus is read ONCE, not once per stage.
+
+    Stage shapes: quality filter and sampling are narrow (codegen'd string
+    expressions / multiplicative hash — no shuffle, no Python); each dedup is
+    one hash-partitioned window on a content hash (uniform keys, no skew);
+    the final rollup is a map-side-combinable groupBy whose exchange carries
+    (source, shard) groups, not documents. Cheapest filters run first so
+    every later shuffle moves an already-reduced corpus.
+    """
+    return curation_funnel(load(spark, sf_dir, "documents"))
 
 
 register(

@@ -140,3 +140,80 @@ def test_q10_linear_at_10x(spark):
         rev10, n10 = scaled[k]
         assert n10 == 10 * n, (k, n, n10)
         assert abs(rev10 - 10 * rev) <= 1e-6 * max(1.0, abs(rev10)), (k, rev, rev10)
+
+
+def test_curation_funnel_consistent_at_12x(spark):
+    """The composed curation funnel over a 12x digit-salted corpus (~60k
+    docs, every text globally unique) must equal a DIRECT single-pass
+    computation: with unique texts both dedup stages are provable no-ops,
+    so survivors = quality-pass ∩ hash-sample, computable with narrow
+    expressions alone. Agreement proves the two content-hash windows
+    neither drop nor duplicate rows at real shuffle volume, and that the
+    staged composition commutes with replication."""
+    from flink_and_acyclic_schema_spark.plans.llm_ext import _KNUTH, curation_funnel
+
+    base = load(spark, SF_BENCH, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n = base.count()
+    reps = []
+    for i in range(12):
+        w = F.split(F.trim(F.col("text")), r"\s+")
+        salted = F.array_join(
+            F.transform(w, lambda t: F.concat(t, F.lit(str(i)))), " "
+        )
+        new_id = F.col("doc_id") + F.lit(i * n)
+        # the base corpus contains exact-duplicate texts; a per-doc uid token
+        # makes every text globally unique so BOTH dedup stages are provable
+        # no-ops (the token also survives the lowercase/alnum normalization)
+        reps.append(
+            base.select(
+                new_id.alias("doc_id"),
+                F.concat(
+                    salted, F.lit(" uid"), new_id.cast("string")
+                ).alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    corpus = reps[0]
+    for r in reps[1:]:
+        corpus = corpus.unionAll(r)
+    corpus = corpus.persist()
+
+    got = {
+        (r["source"], r["shard"]): (r["n_docs"], r["sum_chars"])
+        for r in curation_funnel(corpus).collect()
+    }
+
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    mwl = alpha / F.nullif(n_words, F.lit(0))
+    sym = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", "")
+    )
+    sr = sym / F.nullif(F.length(F.col("text")), F.lit(0))
+    keep = F.coalesce(
+        (n_words >= 10) & (n_words <= 100000) & (mwl >= 2.0) & (mwl <= 12.0)
+        & (sr < 0.10),
+        F.lit(False),
+    )
+    bucket = (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH) % F.lit(4294967296)
+    rate = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "zh", 30).otherwise(20)
+    )
+    want = {
+        (r["source"], r["shard"]): (r["n_docs"], r["sum_chars"])
+        for r in corpus.filter(keep)
+        .filter(bucket % 100 < rate)
+        .withColumn("shard", (bucket % 8).cast("int"))
+        .groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) > 0, "degenerate funnel (0 survivors)"
