@@ -1253,3 +1253,69 @@ register(
              FROM lineitem GROUP BY l_returnflag, l_orderkey)
        WHERE m > 0 GROUP BY l_returnflag""",
 )
+
+
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream join: each purchase emitted at most once, as
+    soon as ANY click by the same user lands in its preceding-30-minute
+    window — the streaming existence test (fraud gates, consent checks)
+    where the inner join's match multiplicity would double-count. Same
+    watermark + range-bound state expiry as stream_stream_join; a semi
+    match needs no eviction wait, so with one availableNow batch the result
+    is exactly the EXISTS semantics the oracle states."""
+    scratch = _scratch("sssemi", sf_dir)
+    p = (
+        _events_stream(spark, sf_dir, scratch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        _events_stream(spark, sf_dir, scratch)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_semi",
+    ).select(
+        "purchase_id", "user_id", _to_ntz("p_ts").alias("purchase_ts"), "value"
+    )
+    name = f"sssemi_{os.getpid()}_{next(_uniq)}"
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_stream_semi_join",
+    stream_stream_semi_join,
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+              p.value
+       FROM events p
+       WHERE p.event_type = 'purchase'
+         AND EXISTS (
+           SELECT 1 FROM events c
+           WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)""",
+)
