@@ -1070,3 +1070,102 @@ register(
        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) delta
        LEFT JOIN hits ON delta.doc_id = hits.d""",
 )
+
+
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) scoring: embeddings are
+    treated as 4 sub-vectors of 16 dims ("token vectors"); a query scores a
+    document by SUM over query sub-vectors of the MAX dot product against
+    any document sub-vector — the multi-vector retrieval scoring that beats
+    single-vector dot products on fine-grained matches. Queries are the 5
+    lowest vec_ids; top-3 documents per query by exact int64 MaxSim
+    (quantized components, so sums/maxes are bit-identical cross-engine;
+    ties break to the lower vec_id).
+
+    Scale shape: the 5x4 query sub-vectors are a LITERAL broadcast (like
+    the kmeans centroids); per document the 4x4 dot-product grid folds
+    JVM-side via aggregate/zip_with; the only shuffle is the final top-k
+    window on the query key."""
+    from ..operators.similarity import quantize
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    queries = [
+        (int(r["vec_id"]), [int(x) for x in r["q"]])
+        for r in emb.orderBy("vec_id").limit(5).collect()
+    ]
+    sub = lambda vec, s: vec[16 * s : 16 * (s + 1)]
+    q_arr = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                *[
+                    F.array(*[F.lit(x).cast("long") for x in sub(vec, s)]).alias(f"qs{s}")
+                    for s in range(4)
+                ],
+            )
+            for qid, vec in queries
+        ]
+    )
+    doc_subs = [
+        F.slice("q", 16 * s + 1, 16).alias(f"ds{s}") for s in range(4)
+    ]
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    maxsim = sum(
+        F.greatest(*[dot(F.col(f"qry.qs{s}"), F.col(f"ds{d}")) for d in range(4)])
+        for s in range(4)
+    )
+    scored = (
+        emb.select("vec_id", *doc_subs)
+        .select("vec_id", "ds0", "ds1", "ds2", "ds3", F.explode(q_arr).alias("qry"))
+        .select(
+            F.col("qry.query_id").alias("query_id"),
+            "vec_id",
+            maxsim.alias("maxsim_q"),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "maxsim_q", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+register(
+    "sim_maxsim_late_interaction",
+    sim_maxsim_late_interaction,
+    """WITH qe AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)) AS q
+       FROM embeddings),
+       subs AS (
+         SELECT vec_id,
+                q[1:16] AS s0, q[17:32] AS s1, q[33:48] AS s2, q[49:64] AS s3
+         FROM qe),
+       queries AS (SELECT * FROM subs ORDER BY vec_id LIMIT 5),
+       scored AS (
+         SELECT qr.vec_id AS query_id, d.vec_id,
+                greatest(list_dot_product(qr.s0, d.s0), list_dot_product(qr.s0, d.s1),
+                         list_dot_product(qr.s0, d.s2), list_dot_product(qr.s0, d.s3))
+              + greatest(list_dot_product(qr.s1, d.s0), list_dot_product(qr.s1, d.s1),
+                         list_dot_product(qr.s1, d.s2), list_dot_product(qr.s1, d.s3))
+              + greatest(list_dot_product(qr.s2, d.s0), list_dot_product(qr.s2, d.s1),
+                         list_dot_product(qr.s2, d.s2), list_dot_product(qr.s2, d.s3))
+              + greatest(list_dot_product(qr.s3, d.s0), list_dot_product(qr.s3, d.s1),
+                         list_dot_product(qr.s3, d.s2), list_dot_product(qr.s3, d.s3))
+                AS maxsim_raw
+         FROM queries qr CROSS JOIN subs d
+         WHERE qr.vec_id != d.vec_id),
+       ranked AS (
+         SELECT query_id, vec_id, CAST(maxsim_raw AS BIGINT) AS maxsim_q,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim_raw DESC, vec_id ASC) AS rk
+         FROM scored)
+       SELECT query_id, vec_id, maxsim_q, rk::INT AS rk
+       FROM ranked WHERE rk <= 3""",
+)
