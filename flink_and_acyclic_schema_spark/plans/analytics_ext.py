@@ -1163,3 +1163,83 @@ register(
        FROM scored WHERE 2 * cum_w >= total_w
        GROUP BY l_returnflag""",
 )
+
+
+def agg_skew_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic — the report you run BEFORE deciding to
+    salt: per candidate key column (here l_orderkey's FK distribution), the
+    top-5 hottest keys with their share of all rows in exact ppm, plus the
+    hot/mean ratio in ppt. All integers (counts and floor divisions); the
+    only data-sized operation is one map-side-combined count per key."""
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_key.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("l_orderkey"))
+    return (
+        per_key.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            F.col("l_orderkey").alias("hot_key"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.expr("(1000000 * n) div total_rows").alias("share_ppm"),
+            F.expr("(1000 * n * n_keys) div total_rows").alias("hot_over_mean_ppt"),
+        )
+    )
+
+
+register(
+    "agg_skew_detector",
+    agg_skew_detector,
+    """WITH per_key AS (
+         SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey),
+       t AS (SELECT sum(n) AS total_rows, count(*) AS n_keys FROM per_key),
+       ranked AS (
+         SELECT l_orderkey, n,
+                row_number() OVER (ORDER BY n DESC, l_orderkey ASC) AS rk
+         FROM per_key)
+       SELECT rk::INT AS rk, l_orderkey AS hot_key, n::BIGINT AS n_rows,
+              ((1000000 * n) // total_rows)::BIGINT AS share_ppm,
+              ((1000 * n * n_keys) // total_rows)::BIGINT AS hot_over_mean_ppt
+       FROM ranked CROSS JOIN t WHERE rk <= 5""",
+)
+
+
+def table_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-validation checksums — how a 100 TB migration is verified
+    WITHOUT a row-by-row diff: per priority stripe, the row count and an
+    order-independent content checksum (sum of the first-15-hex md5 of the
+    canonical row string, a 60-bit int that sums without overflow at any
+    realistic stripe size). Equal stripe checksums <=> equal row multisets
+    with overwhelming probability; stripes localize any mismatch. The
+    oracle computes the identical checksum independently — the driver's
+    hash gate is itself the source/target comparison."""
+    o = load(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(12,4)").cast("string"),
+    )
+    cksum = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(20,0)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cksum).cast("decimal(38,0)").cast("string").alias("stripe_checksum"),
+    )
+
+
+register(
+    "table_checksum_reconcile",
+    table_checksum_reconcile,
+    """SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+              sum(CAST(('0x' || substring(md5(
+                    o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|'
+                    || o_orderstatus || '|'
+                    || o_totalprice::DECIMAL(12,4)::VARCHAR
+                  ), 1, 15))::UBIGINT AS HUGEINT))::VARCHAR AS stripe_checksum
+       FROM orders GROUP BY o_orderpriority""",
+)

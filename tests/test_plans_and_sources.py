@@ -98,6 +98,8 @@ def test_all_batch_plans_stay_sane(spark):
         "rfm_segmentation",
         # 1-row broadcast of the max-day bound for partial-window clipping
         "active_users_rolling_7d",
+        # 1-row broadcast of (total_rows, n_keys) for the skew ratios
+        "agg_skew_detector",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
