@@ -1319,3 +1319,92 @@ register(
            WHERE c.event_type = 'click' AND c.user_id = p.user_id
              AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)""",
 )
+
+
+def q10_batch_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Cquirrel prefix-correctness property as a SELF-CHECKING query:
+    run the REAL streaming incremental Q10 (file-source micro-batches,
+    foreachBatch IVM state merge) AND an independent batch weight-algebra
+    recompute over the same changelog multiplicities, full-outer-join the
+    two result sets, and report group counts plus whether every group's
+    revenue agrees EXACTLY (both paths sum in DECIMAL(12,4) before the
+    double cast, so agreement is bit-exact, not approximate). This is the
+    reference's entire reason to exist — continuous Q10 == from-scratch
+    Q10 after any prefix — expressed as one verifiable result row."""
+    stream = incremental_q10_stream(spark, sf_dir)
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "m",
+        F.lit(1)
+        + (F.col("l_orderkey") % 5 == 0).cast("int")
+        - (F.col("l_orderkey") % 7 == 0).cast("int"),
+    )
+    o = load(spark, sf_dir, "orders").withColumn(
+        "mo", F.lit(1) - (F.col("o_orderkey") % 7 == 0).cast("int")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    from ..functions.numeric import dec
+
+    batch = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.col("m") * F.col("mo")
+                * dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+            ).cast("double").alias("revenue_b"),
+            F.sum(F.col("m") * F.col("mo")).alias("support"),
+        )
+        .filter(F.col("support") > 0)
+        .select("c_custkey", "revenue_b")
+    )
+    s = stream.select("c_custkey", F.col("revenue").alias("revenue_s"))
+    j = batch.join(s, "c_custkey", "full_outer")
+    return j.agg(
+        F.count("revenue_b").cast("long").alias("n_batch_groups"),
+        F.count("revenue_s").cast("long").alias("n_stream_groups"),
+        F.count(
+            F.when(F.col("revenue_b") == F.col("revenue_s"), 1)
+        ).cast("long").alias("n_matching"),
+        F.bool_and(
+            F.col("revenue_b").isNotNull()
+            & F.col("revenue_s").isNotNull()
+            & (F.col("revenue_b") == F.col("revenue_s"))
+        ).alias("all_match"),
+    )
+
+
+register(
+    "q10_batch_stream_parity",
+    q10_batch_stream_parity,
+    # the oracle recomputes the group count once; parity itself must hold
+    """WITH li AS (
+         SELECT *, 1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
+         FROM lineitem),
+       o AS (SELECT *, 1 - (o_orderkey % 7 = 0)::INT AS m FROM orders),
+       g AS (
+         SELECT c_custkey
+         FROM li JOIN o ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1995-10-01'
+           AND o_orderdate <  TIMESTAMP '1996-01-01'
+         GROUP BY c_custkey, c_name, c_acctbal,
+                  (SELECT n_name FROM nation WHERE n_nationkey = c_nationkey)
+         HAVING sum(li.m * o.m) > 0)
+       SELECT count(*)::BIGINT AS n_batch_groups,
+              count(*)::BIGINT AS n_stream_groups,
+              count(*)::BIGINT AS n_matching,
+              true AS all_match
+       FROM g""",
+)
