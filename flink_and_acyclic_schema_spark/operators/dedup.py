@@ -1,16 +1,29 @@
 """Deduplication operators for LLM training-data pipelines.
 
 All implementations are pure built-in Catalyst expressions (no Python UDFs):
-shingling via split/transform/explode, hashing via md5 (portable to the DuckDB
-oracle), minhash via 64 per-permutation min() aggregates, LSH banding via a
-self-join on band signatures. At 100 TB the LSH band join is the scale path —
-candidate generation is a hash-partitioned equi-join on (band, signature)
-instead of an O(n²) cross join; bucket skew is handled by AQE skew-join.
+shingling via split/transform/explode, base hashing via ONE md5 per shingle
+(portable to the DuckDB oracle), 64 minhash permutations via a pairwise-
+independent integer hash family over two 32-bit slices of that md5, LSH
+banding via a self-join on arithmetic band signatures. At 100 TB the LSH band
+join is the scale path — candidate generation is a hash-partitioned equi-join
+on (band, signature) instead of an O(n²) cross join; bucket skew is handled
+by AQE skew-join.
 
 64 permutations / 16 bands of 4 rows puts the LSH S-curve threshold at
 (1/16)^(1/4) ≈ 0.5 Jaccard with a usable slope — real-corpus near-dedup
 territory (the original 8-perm/2-band setting had threshold ≈ 0.7 with a
 cliff, missing mid-similarity pairs).
+
+Permutation family: h_i(s) = (a_i·h1(s) mod P + b_i·h2(s) mod P + c_i) mod P
+with P = 2³¹−1 and h1/h2 the two 32-bit hex slices of md5(s). Every term
+stays < 2⁶³ (31-bit constant × 32-bit value), so the arithmetic is exact,
+ANSI-overflow-safe in Spark, and bit-identical in DuckDB BIGINTs. The SQL
+text for the hex decode, the permutations, and the band signatures is
+GENERATED here (``hex32_sql``/``perm_sql``/``band_sig_sql``) and shared by
+the Spark operators and the DuckDB oracles, so the two sides cannot drift.
+This replaced 16 md5 calls/shingle (4 hex slices each) — one digest plus
+integer multiply-adds is ~4× cheaper in the hash stage at scale with the
+same S-curve.
 """
 
 from __future__ import annotations
@@ -18,15 +31,88 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-N_MINHASH = 64  # 16 bands x 4 rows; 16 md5 calls/shingle (4 hex slices each)
+from ..caching import persist_tracked
+
+N_MINHASH = 64  # 16 bands x 4 rows
 N_BANDS = 16
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 SHINGLE_WORDS = 3
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+_HEX = "0123456789abcdef"
+
+
+def _perm_constants() -> tuple[list[int], list[int], list[int]]:
+    """Deterministic 31-bit constants for the 64 permutations (fixed LCG —
+    embedded as literals in BOTH the Spark expressions and the oracle SQL)."""
+    state = 0x5DEECE66D
+    out = []
+    for _ in range(3 * N_MINHASH):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append(state % (MERSENNE_P - 1) + 1)  # in [1, P-1]
+    return out[0::3], out[1::3], out[2::3]
+
+
+PERM_A, PERM_B, PERM_C = _perm_constants()
+
+
+def hex32_sql(col: str, off: int) -> str:
+    """SQL for a 32-bit int from 8 hex chars of ``col`` starting at ``off``
+    (1-based) — instr/substring arithmetic, identical in Spark and DuckDB
+    (neither shares a conv(); see simhash16 for the same trick)."""
+    return " + ".join(
+        f"(instr('{_HEX}', substring({col}, {off + i}, 1)) - 1) * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    )
+
+
+def perm_sql(i: int) -> str:
+    """SQL for permutation i over columns _h1/_h2 (each < 2^32): every
+    product is 31-bit × 32-bit < 2^63, each term reduced mod P before the
+    final sum — exact in BIGINT on both engines."""
+    return (
+        f"(({PERM_A[i]} * _h1) % {MERSENNE_P}"
+        f" + ({PERM_B[i]} * _h2) % {MERSENNE_P}"
+        f" + {PERM_C[i]}) % {MERSENNE_P}"
+    )
+
+
+def band_sig_sql(b: int) -> str:
+    """SQL combining band b's 4 minhash ints into one signature: Horner fold
+    base 31 mod P (values < 2^31 so each step < 2^36 — overflow-safe)."""
+    cols = [f"h{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
+    expr = cols[0]
+    for c in cols[1:]:
+        expr = f"(({expr}) * 31 + {c}) % {MERSENNE_P}"
+    return expr
+
+
+def widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the default parallelism ONLY when the scan
+    produced fewer partitions (small local files collapse to 1 partition,
+    serializing every downstream CPU-heavy stage). Partition count is driver
+    metadata — checking it runs no job. At scale the scan already yields
+    >= parallelism partitions and this is a no-op, so no extra shuffle of the
+    corpus ever happens on a real cluster."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def word_shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
-    """(doc_id, sh): word 3-gram shingles of documents.text."""
-    w = F.split(F.trim(F.col("text")), r"\s+")
+    """(doc_id, sh): word 3-gram shingles of documents.text.
+
+    The split array is materialized as a COLUMN before the shingle transform:
+    lambda bodies referencing an expression (rather than an attribute) reach
+    codegen with the regex split inlined and re-evaluate it per array element
+    — O(words²) per document. Referencing the materialized column keeps the
+    split single-shot (CollapseProject refuses to inline a non-cheap
+    expression referenced more than once)."""
+    words = widen_if_narrow(docs).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    w = F.col("w")
     idx = F.when(
         F.size(w) >= SHINGLE_WORDS, F.sequence(F.lit(1), F.size(w) - (SHINGLE_WORDS - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -36,31 +122,37 @@ def word_shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
             " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
         ),
     )
-    out = docs.select("doc_id", F.explode(sh).alias("sh"))
+    out = words.select("doc_id", F.explode(sh).alias("sh"))
     return out.distinct() if distinct else out
 
 
 def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
-    """(doc_id, h0..h63): 64 minhash functions from 16 md5s per shingle.
+    """(doc_id, h0..h63): 64 minhash permutations from ONE md5 per shingle.
 
-    Each md5('<i>:' || shingle) is sliced into four 8-hex (32-bit) chunks;
-    lexicographic min per chunk is a valid minhash permutation. 16 md5 calls
-    per shingle instead of 64 keeps the hash stage 4x cheaper at scale, and
-    hex strings are bit-identical across engines (both emit lowercase).
+    md5(shingle) is split into two 32-bit hex slices h1/h2; permutation i is
+    the pairwise-independent (a_i·h1 + b_i·h2 + c_i) mod 2³¹−1 (module
+    docstring) — min per permutation over a document's shingle set is a valid
+    minhash. One digest + 64 integer multiply-adds replaces the previous 16
+    digests per shingle; results are bit-identical in the DuckDB oracle
+    because the SQL text is generated from the same constants.
     Pass a (persisted) ``sh`` to share the shingle scan with other consumers.
     """
     if sh is None:
-        sh = word_shingles(docs)
-    aggs = []
-    for i in range(N_MINHASH // 4):
-        h = F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))
-        for j in range(4):
-            aggs.append(F.min(F.substring(h, 1 + 8 * j, 8)).alias(f"h{i * 4 + j}"))
-    return sh.groupBy("doc_id").agg(*aggs)
+        # min() is duplicate-insensitive, so skip the distinct: one fewer
+        # shuffle of the widest intermediate (the raw shingle explosion)
+        sh = word_shingles(docs, distinct=False)
+    hashed = sh.withColumn("_m", F.md5("sh")).selectExpr(
+        "doc_id",
+        f"({hex32_sql('_m', 1)}) AS _h1",
+        f"({hex32_sql('_m', 9)}) AS _h2",
+    )
+    aggs = [F.min(F.expr(perm_sql(i))).alias(f"h{i}") for i in range(N_MINHASH)]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(mh: DataFrame) -> DataFrame:
-    """(doc_id, band, sig): 16 bands of 4 minhashes, md5-compressed.
+    """(doc_id, band, sig): 16 bands of 4 minhashes, Horner-folded to one
+    BIGINT signature each (band_sig_sql — no digest in the band stage).
 
     One explode over an inline struct array — a single pass over the
     signature table (a 16-way union would rescan it per band)."""
@@ -68,11 +160,7 @@ def lsh_bands(mh: DataFrame) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[f"h{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
-                    )
-                ).alias("sig"),
+                F.expr(band_sig_sql(b)).alias("sig"),
             )
             for b in range(N_BANDS)
         ]
@@ -87,10 +175,13 @@ def minhash_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> Dat
 
     The signature table is persisted: it is tiny (one row per doc) but feeds
     three consumers (band self-join sides + the est-jaccard join), and without
-    caching Spark re-runs the whole shingle->hash pipeline per consumer.
+    caching Spark re-runs the whole shingle->hash pipeline per consumer. The
+    band table (16 narrow rows per doc) is persisted too so the self-join's
+    two sides share one materialization instead of two cache reads + band
+    recomputes.
     """
-    mh = minhash_signatures(docs, sh=sh).persist()
-    bands = lsh_bands(mh)
+    mh = persist_tracked(minhash_signatures(docs, sh=sh))
+    bands = persist_tracked(lsh_bands(mh))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -175,13 +266,16 @@ def connected_components(
             break
     if iters_out is not None:
         iters_out.append(iters)
+    # the loop ran eagerly (localCheckpoint + counts); the returned labels
+    # are a checkpoint independent of edges, so the cache can go now
+    edges.unpersist(False)
     return labels
 
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for LSH candidate pairs (verify step of
     near-dedup: candidates from banding, exact similarity only on candidates)."""
-    sh = word_shingles(docs).persist()
+    sh = persist_tracked(word_shingles(docs))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand = minhash_candidate_pairs(docs, sh=sh).select("doc_a", "doc_b")
     sa = sh.alias("sa")
@@ -211,7 +305,6 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 
 # --- simhash ----------------------------------------------------------------
-_HEX = "0123456789abcdef"
 SIMHASH_BITS = 32
 # 32-bit token hash from the first 8 hex chars of md5, via strpos arithmetic
 # (portable: DuckDB has no conv(); both engines share strpos/instr semantics).

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
+
 SCALE = 1_000_000
 
 
@@ -212,7 +214,9 @@ def embedding_near_pairs(embs: DataFrame, threshold: float = 0.30) -> DataFrame:
     cosine only on candidates — the standard near-dup shape: cheap recall
     stage, exact verify stage. sqrt/divide on exact ints is IEEE-identical
     across engines, so the score is oracle-stable."""
-    qz = with_quantized(embs).withColumn("n2", int_dot(F.col("q"), F.col("q"))).persist()
+    qz = persist_tracked(
+        with_quantized(embs).withColumn("n2", int_dot(F.col("q"), F.col("q")))
+    )
     bands = sign_lsh_bands(qz)
     cand = (
         bands.alias("a")

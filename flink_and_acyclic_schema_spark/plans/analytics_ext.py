@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import persist_tracked
 from ..registry import register
 from ..tables import load
 
@@ -531,8 +532,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
-        .persist()
     )
+    edges = persist_tracked(edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     n = edges.select("src").distinct().count()  # driver scalar, like kmeans k
     base = (15 * _PR_SCALE) // (100 * n)
@@ -599,7 +600,9 @@ def market_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = basket.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_parts")
     ).filter(F.col("n_parts") <= 8)
-    capped = basket.join(small.select("l_orderkey"), "l_orderkey").persist()
+    capped = persist_tracked(
+        basket.join(small.select("l_orderkey"), "l_orderkey")
+    )
     n_baskets = capped.select("l_orderkey").distinct().count()
     part_n = capped.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     a, b = capped.alias("a"), capped.alias("b")

@@ -104,6 +104,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = deg.count()
     n_edges = edges.count()
     n_triangles = closed.count()
+    # counts were the only consumers — release the caches before returning
+    oriented.unpersist(False)
+    edges.unpersist(False)
     return spark.createDataFrame(
         [(n_nodes, n_edges, n_triangles)],
         "n_nodes bigint, n_edges bigint, n_triangles bigint",
@@ -506,6 +509,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hops").alias("hops"))
             .localCheckpoint()
         )
+    # the loop ran eagerly (localCheckpoint each round); dist no longer
+    # references edges, so the cache can go now
+    edges.unpersist(False)
     return dist.select("node", F.col("hops").cast("int").alias("hops"))
 
 

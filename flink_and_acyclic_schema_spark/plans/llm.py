@@ -14,41 +14,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import persist_tracked
 from ..operators import dedup, similarity, text
 from ..registry import register
 from ..tables import load
 
 # shared oracle CTEs -----------------------------------------------------------
-# The minhash CTEs are GENERATED from the same constants the Spark operators
-# use (operators/dedup.py: 64 perms = 16 md5s x 4 hex slices, 16 bands of 4) so
-# the two sides cannot drift when the parameters are tuned.
+# The minhash CTEs are GENERATED from the same SQL-text generators the Spark
+# operators use (operators/dedup.py: hex32_sql/perm_sql/band_sig_sql — one md5
+# per shingle, 64 arithmetic permutations mod 2^31-1, 16 bands of 4) so the
+# two sides cannot drift when the parameters are tuned.
 _MH_COLS = ",\n    ".join(
-    f"min(substring(md5('{i}:' || sh), {1 + 8 * j}, 8)) AS h{i * 4 + j}"
-    for i in range(dedup.N_MINHASH // 4)
-    for j in range(4)
+    f"min(({dedup.perm_sql(i)})) AS h{i}" for i in range(dedup.N_MINHASH)
 )
 _BANDS_SQL = "\n  UNION ALL\n  ".join(
-    "SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM mh".format(
-        b=b,
-        cat=" || '|' || ".join(
-            f"h{b * dedup.ROWS_PER_BAND + j}" for j in range(dedup.ROWS_PER_BAND)
-        ),
-    )
+    f"SELECT doc_id, {b} AS band, ({dedup.band_sig_sql(b)}) AS sig FROM mh"
     for b in range(dedup.N_BANDS)
 )
-_SHINGLES_CTE = rf"""
+# words -> shingles -> per-shingle 32-bit slices -> minhash -> bands: the full
+# signature chain, reused by every minhash-family oracle.
+_MH_CHAIN_CTE = rf"""
 words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 shingles AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
   FROM words),
+hv AS (
+  SELECT doc_id,
+         ({dedup.hex32_sql('_m', 1)}) AS _h1,
+         ({dedup.hex32_sql('_m', 9)}) AS _h2
+  FROM (SELECT doc_id, md5(sh) AS _m FROM shingles)),
 mh AS (
   SELECT doc_id,
     {_MH_COLS}
-  FROM shingles GROUP BY doc_id),
+  FROM hv GROUP BY doc_id),
 bands AS (
-  {_BANDS_SQL}),
+  {_BANDS_SQL})"""
+_SHINGLES_CTE = rf"""{_MH_CHAIN_CTE},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -764,14 +767,20 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training shingles with zero shuffle of the big side."""
     docs = load(spark, sf_dir, "documents")
     n = 5
-    w = F.split(F.trim(F.col("text")), r"\s+")
+    # materialize the split as a column before the transform (dedup.word_shingles
+    # discipline): a lambda referencing the raw split EXPRESSION re-evaluates
+    # the regex per array element — O(words²) per document
+    words = dedup.widen_if_narrow(docs).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    w = F.col("w")
     idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
     )
-    shingled = docs.select("doc_id", F.explode(sh).alias("sh")).distinct()
+    shingled = words.select("doc_id", F.explode(sh).alias("sh")).distinct()
     is_eval = F.col("doc_id") % 10 == 0
     eval_sh = shingled.filter(is_eval).select("sh").distinct()
     hits = (
@@ -1001,8 +1010,8 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     delta = docs.filter(F.col("doc_id") % 3 == 0)
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
-    mh_d = dedup.minhash_signatures(delta).persist()
-    mh_c = dedup.minhash_signatures(corpus).persist()
+    mh_d = persist_tracked(dedup.minhash_signatures(delta))
+    mh_c = persist_tracked(dedup.minhash_signatures(corpus))
     bd, bc = dedup.lsh_bands(mh_d), dedup.lsh_bands(mh_c)
     cand = (
         bd.alias("a")
@@ -1040,20 +1049,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "dedup_minhash_incremental",
     dedup_minhash_incremental,
-    f"""WITH
-       words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                 FROM documents),
-       shingles AS (
-         SELECT DISTINCT doc_id,
-                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-         FROM words),
-       mh AS (
-         SELECT doc_id,
-           {_MH_COLS}
-         FROM shingles GROUP BY doc_id),
-       bands AS (
-         {_BANDS_SQL}),
+    f"""WITH {_MH_CHAIN_CTE},
        cand AS (
          SELECT DISTINCT a.doc_id AS d, b.doc_id AS c
          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig

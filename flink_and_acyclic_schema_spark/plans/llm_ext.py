@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import persist_tracked
 from ..registry import register
 from ..tables import load
 
@@ -133,7 +134,10 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score still rides along as an informational column, rounded to 6 digits
     so it hashes stably."""
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar dimension; at scale: countApprox or a stats table
+    # corpus size as a 1-row broadcast aggregate crossJoined into the plan
+    # (same pattern as corpus_mix_report) — nothing executes at plan-build
+    # time and the count rides the same job instead of a second scan
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     tokens = docs.select(
         "doc_id",
         F.explode(
@@ -144,16 +148,20 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf").cast("double")
-            * F.log((F.lit(n_docs) + 1.0) / (F.col("df").cast("double") + 1.0)),
-            6,
-        ).alias("score"),
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("_n_docs") + 1.0) / (F.col("df").cast("double") + 1.0)),
+                6,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
     return (
@@ -559,8 +567,8 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cluster"
             )
         )
-        .persist()
     )
+    assigned = persist_tracked(assigned)
     a = assigned.select(
         F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("q").alias("qa")
     )
@@ -950,9 +958,13 @@ def span_corruption_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "out",
-            F.when(~F.col("masked"), F.col("tok"))
-            .when(F.col("span_start"), F.lit("<X>"))
-            .otherwise(F.lit("")),
+            # NULL (not '') for collapsed span-continuation slots: array_join
+            # skips NULLs exactly like the oracle's string_agg skips its CASE
+            # NULLs, while genuine '' tokens (consecutive spaces in the text)
+            # survive symmetrically on both sides
+            F.when(~F.col("masked"), F.col("tok")).when(
+                F.col("span_start"), F.lit("<X>")
+            ),
         )
     )
     ordered = F.array_sort(F.collect_list(F.struct("pos", "out", "masked", "tok")))
@@ -960,20 +972,9 @@ def span_corruption_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.count(F.when(F.col("masked"), 1)).cast("long").alias("n_masked"),
         F.count(F.when(F.col("span_start"), 1)).cast("long").alias("n_spans"),
+        F.array_join(F.transform(ordered, lambda s: s.out), " ").alias("corrupted"),
         F.array_join(
-            F.filter(
-                F.transform(ordered, lambda s: s.out), lambda x: x != F.lit("")
-            ),
-            " ",
-        ).alias("corrupted"),
-        F.array_join(
-            F.filter(
-                F.transform(
-                    ordered, lambda s: F.when(s.masked, s.tok).otherwise(F.lit(""))
-                ),
-                lambda x: x != F.lit(""),
-            ),
-            " ",
+            F.transform(ordered, lambda s: F.when(s.masked, s.tok)), " "
         ).alias("targets"),
     )
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..registry import register
 from ..tables import load
 
@@ -294,8 +295,8 @@ def cache_branch_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         li.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_suppkey", "l_quantity")
-        .persist()
     )
+    base = persist_tracked(base)
     by_supp = base.groupBy().agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("l_suppkey").alias("n_keys"),

@@ -83,7 +83,11 @@ try:  # Spark 4 streaming DataSource API
             return {"pos": self._pos}
 
         def partitions(self, start: dict, end: dict):
-            lo, hi = start["pos"], end["pos"]
+            # after a checkpoint restart _pos re-inits to 0 while `start`
+            # carries the committed offset — re-seed so the next
+            # latestOffset() never reports an end behind the committed start
+            self._pos = max(self._pos, start["pos"])
+            lo, hi = start["pos"], max(end["pos"], start["pos"])
             span = hi - lo
             bounds = [lo + span * i // self.parts for i in range(self.parts + 1)]
             return [

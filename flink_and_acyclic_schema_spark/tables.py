@@ -32,6 +32,11 @@ def events_ts_is_nanos(path: str) -> bool:
         schema = pq.read_schema(path)
     except (OSError, IOError):  # a directory of part files
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(
+                f"no parquet footer to sniff: {path!r} is neither a parquet "
+                "file nor a directory containing *.parquet part files"
+            ) from None
         schema = pq.read_schema(parts[0])
     return str(schema.field("ts").type).startswith("timestamp[ns")
 

@@ -91,7 +91,8 @@ def test_all_batch_plans_stay_sane(spark):
         # design (PQ: every vector meets every codeword of its subspace)
         "sim_pq_topk",
         # 1-row broadcast of the grand-total row (ppm/weight normalization,
-        # corpus max date)
+        # corpus max date, tf-idf corpus size)
+        "tfidf_topk",
         "corpus_mix_report",
         "mixture_temperature_weights",
         "seasonality_month_index",
