@@ -78,13 +78,25 @@ def perm_sql(i: int) -> str:
 
 
 def band_sig_sql(b: int) -> str:
-    """SQL combining band b's 4 minhash ints into one signature: Horner fold
-    base 31 mod P (values < 2^31 so each step < 2^36 — overflow-safe)."""
+    """SQL combining band b's 4 minhash ints into one 62-bit signature: two
+    Horner folds mod P with different multipliers, packed as s31·2³¹ + s37.
+
+    62 bits matter: a single 31-bit fold collides at ~2⁻³¹ per (band, pair) —
+    at 60k docs × 16 bands that is ~13 expected FALSE candidate pairs (the
+    12× scale smoke caught exactly this); at corpus scale it grows O(N²).
+    Two folds bring it to ~2⁻⁶², i.e. zero in practice, like the md5 band
+    signature this replaced. Every step stays < 2⁶³ (fold values < 2³¹,
+    multipliers ≤ 37; the pack is < 2⁶²+2³¹) — overflow-safe in both
+    engines."""
     cols = [f"h{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
-    expr = cols[0]
-    for c in cols[1:]:
-        expr = f"(({expr}) * 31 + {c}) % {MERSENNE_P}"
-    return expr
+
+    def fold(mult: int) -> str:
+        expr = cols[0]
+        for c in cols[1:]:
+            expr = f"(({expr}) * {mult} + {c}) % {MERSENNE_P}"
+        return expr
+
+    return f"({fold(31)}) * 2147483648 + ({fold(37)})"
 
 
 def widen_if_narrow(df: DataFrame) -> DataFrame:
