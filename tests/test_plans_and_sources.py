@@ -50,6 +50,41 @@ def test_q1_partial_agg_before_exchange(spark):
     assert not agg_before_exchange or True  # order in 'formatted' is root-first
 
 
+def test_bloom_runtime_filter_engages(spark):
+    """join_bloom_runtime_pruned's docstring claim, proven at plan level:
+    with the size thresholds scaled down to the test data, Spark's runtime
+    bloom-filter injection must plant a might_contain probe on the fact side
+    of the selective join (at 100 TB: row-group pruning before the
+    shuffle)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # tiny thresholds so the injection triggers at sf0.001; broadcast off
+        # because a broadcast join needs no runtime filter
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["join_bloom_runtime_pruned"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_lsh_candidates_no_cartesian(spark):
     for name in ["dedup_minhash_lsh", "dedup_embedding_cosine", "sim_ivf_topk"]:
         plan = _plan(spark, name)
