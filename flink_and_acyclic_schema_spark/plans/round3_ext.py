@@ -401,3 +401,143 @@ register(
          AND o_orderdate < TIMESTAMP '1995-03-08'
        GROUP BY o_orderpriority""",
 )
+
+
+# --- lang-id evaluation: confusion matrix ------------------------------------
+from ..operators import text as _text  # noqa: E402  (module-local import order)
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against the
+    labeled lang column, with per-true-language shares in exact integer ppm —
+    the classifier-quality report that decides whether lang_id is good
+    enough to gate a training mix. Composes the registered lang_id operator;
+    the oracle nests lang_id's own oracle SQL, so the two can never drift."""
+    pred = _text.lang_id(load(spark, sf_dir, "documents"))
+    tot = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    g = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        g.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr("n * 1000000 div n_lang").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+register(
+    "lang_confusion_matrix",
+    lang_confusion_matrix,
+    f"""WITH pred AS ({_ORACLES['lang_id']}),
+       tot AS (SELECT lang, count(*) AS n_lang FROM pred GROUP BY lang),
+       g AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+             FROM pred GROUP BY lang, lang_pred)
+       SELECT g.lang, g.lang_pred, n,
+              (n * 1000000 // n_lang)::BIGINT AS share_ppm
+       FROM g JOIN tot ON g.lang = tot.lang""",
+)
+
+
+# --- near-dup-aware keep set --------------------------------------------------
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION, not just the clusters: every document mapped to
+    its near-dup cluster (singletons included), with the cluster size and a
+    keep flag for the canonical representative (min doc_id — which IS the
+    min-label cluster id). This is the table a curation pipeline joins
+    against to drop near-duplicates while keeping one witness per group.
+
+    Composes minhash-LSH candidates + connected components; the oracle nests
+    the dedup_clusters recursive-CTE oracle and adds singletons by left
+    join."""
+    docs = load(spark, sf_dir, "documents")
+    cand = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    labels = dedup.connected_components(cand)
+    full = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    sizes = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return full.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+register(
+    "dedup_cluster_representatives",
+    dedup_cluster_representatives,
+    f"""WITH cc AS (SELECT * FROM ({_ORACLES['dedup_clusters']})),
+       everydoc AS (
+         SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+       sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                 FROM everydoc GROUP BY cluster_id)
+       SELECT doc_id, everydoc.cluster_id, cluster_size,
+              doc_id = everydoc.cluster_id AS keep
+       FROM everydoc JOIN sizes ON everydoc.cluster_id = sizes.cluster_id""",
+)
+
+
+# --- training-mix epoch schedule ---------------------------------------------
+def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch plan per language for a target token budget: available tokens
+    (whitespace token count, engine-exact), a fixed per-language target, and
+    the repeat factor ceil(target/available) — the "how many epochs of each
+    source" arithmetic behind mixture_upsample, as an auditable report.
+    Pure two-stage aggregate; every number is an exact integer."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    avail = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("avail_tokens"),
+    )
+    target = (
+        F.when(F.col("lang") == "en", 200_000)
+        .when(F.col("lang") == "zh", 100_000)
+        .otherwise(50_000)
+        .cast("long")
+    )
+    return avail.withColumn("target_tokens", target).selectExpr(
+        "lang",
+        "n_docs",
+        "avail_tokens",
+        "target_tokens",
+        "CASE WHEN avail_tokens = 0 THEN 0L ELSE"
+        " (target_tokens + avail_tokens - 1) div avail_tokens END AS epochs",
+    )
+
+
+register(
+    "mixture_epoch_schedule",
+    mixture_epoch_schedule,
+    r"""WITH toks AS (
+         SELECT lang, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+         FROM documents),
+       avail AS (
+         SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS avail_tokens
+         FROM toks GROUP BY lang),
+       t AS (SELECT *, (CASE WHEN lang = 'en' THEN 200000
+                             WHEN lang = 'zh' THEN 100000
+                             ELSE 50000 END)::BIGINT AS target_tokens
+             FROM avail)
+       SELECT lang, n_docs, avail_tokens, target_tokens,
+              (CASE WHEN avail_tokens = 0 THEN 0
+                    ELSE (target_tokens + avail_tokens - 1) // avail_tokens
+               END)::BIGINT AS epochs
+       FROM t""",
+)
