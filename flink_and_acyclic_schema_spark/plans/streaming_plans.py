@@ -29,8 +29,31 @@ SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", os.path.join(_REPO_ROOT, ".scrat
 _uniq = itertools.count()
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return False
+    return True
+
+
 def _scratch(tag: str, sf_dir: str) -> str:
     sf = os.path.basename(sf_dir.rstrip("/"))
+    # GC leftovers from DEAD processes first: every call creates a unique
+    # dir (pid + counter) for checkpoint/source isolation, so without this
+    # the scratch area grows without bound across driver rounds (observed:
+    # >1000 dirs after two rounds). Own-pid dirs stay — their streams may
+    # still be running.
+    prefix = f"{tag}_{sf}_"
+    try:
+        for entry in os.listdir(SCRATCH):
+            if not entry.startswith(prefix):
+                continue
+            parts = entry.rsplit("_", 2)
+            if len(parts) == 3 and parts[1].isdigit() and not _pid_alive(int(parts[1])):
+                shutil.rmtree(os.path.join(SCRATCH, entry), ignore_errors=True)
+    except FileNotFoundError:
+        pass
     d = os.path.join(SCRATCH, f"{tag}_{sf}_{os.getpid()}_{next(_uniq)}")
     if os.path.exists(d):
         shutil.rmtree(d)

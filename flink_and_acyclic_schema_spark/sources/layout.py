@@ -33,6 +33,20 @@ _SPLIT_TABLES = ["lineitem", "orders"]
 _LINK_TABLES = ["customer", "part", "supplier", "nation", "region", "events", "documents", "embeddings"]
 
 
+def _src_mtime(sf_dir: str) -> float:
+    """Latest mtime across the source tables that get REWRITTEN (the linked
+    tables always resolve through their symlinks). The testdata is
+    regenerated between driver rounds in the same workspace, so an
+    existence-only marker would silently serve last round's lineitem/orders
+    — the marker is only valid if it postdates the sources."""
+    times = []
+    for name in _SPLIT_TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            times.append(os.path.getmtime(p))
+    return max(times, default=0.0)
+
+
 def optimize_layout(spark: SparkSession, sf_dir: str, out_dir: str, splits: int | None = None) -> str:
     """Rewrite the big tables under ``out_dir`` as ``splits``-way parquet
     (one file per split → one scan task per split); link the rest. Idempotent
@@ -42,7 +56,7 @@ def optimize_layout(spark: SparkSession, sf_dir: str, out_dir: str, splits: int 
     if splits is None:
         splits = spark.sparkContext.defaultParallelism
     marker = os.path.join(out_dir, f"_layout_ok_{splits}")
-    if os.path.exists(marker):
+    if os.path.exists(marker) and os.path.getmtime(marker) >= _src_mtime(sf_dir):
         return out_dir
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)

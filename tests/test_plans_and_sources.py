@@ -341,3 +341,47 @@ def test_events_loader_adapts_to_ts_physical_type(spark, tmp_path):
     rows_u = sorted(got_micros.collect(), key=lambda r: r["event_id"])
     assert rows_n == rows_u
     assert rows_n[0]["ts"] == t0.to_pydatetime()
+
+
+def test_events_sniff_empty_dir_raises_clearly(tmp_path):
+    """An empty .parquet directory must raise a descriptive error, not
+    IndexError (ADVICE r2)."""
+    import pytest as _pytest
+
+    from flink_and_acyclic_schema_spark.tables import events_ts_is_nanos
+
+    empty = tmp_path / "events.parquet"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError, match="no parquet footer"):
+        events_ts_is_nanos(str(empty))
+
+
+def test_stream_reader_reseeds_after_restart():
+    """After a checkpoint restart the stream reader's in-memory position
+    resets to 0 while the committed start offset persists; partitions() must
+    re-seed so the next latestOffset() never regresses behind the committed
+    start (ADVICE r2)."""
+    from flink_and_acyclic_schema_spark.sources.pydatasource import (
+        SyntheticRowsStreamReader,
+    )
+
+    fresh = SyntheticRowsStreamReader({"rows": "1000", "maxRowsPerBatch": "250"})
+    # simulate restart: committed offset 500, no rows pending
+    assert fresh.partitions({"pos": 500}, {"pos": 500}) == []
+    assert fresh.latestOffset()["pos"] >= 500
+
+
+def test_scratch_gc_reaps_dead_pid_dirs(tmp_path, monkeypatch):
+    """_scratch garbage-collects leftovers owned by dead processes but keeps
+    live-pid dirs (checkpoint dirs of streams still running)."""
+    from flink_and_acyclic_schema_spark.plans import streaming_plans as sp
+
+    monkeypatch.setattr(sp, "SCRATCH", str(tmp_path))
+    dead = tmp_path / "alive_join_sf0.001_999999999_0"
+    dead.mkdir(parents=True)
+    live = tmp_path / f"alive_join_sf0.001_{os.getpid()}_77"
+    live.mkdir(parents=True)
+    d = sp._scratch("alive_join", "/root/testdata/sf0.001")
+    assert not dead.exists(), "dead-pid dir not reaped"
+    assert live.exists(), "live-pid dir must survive"
+    assert os.path.isdir(d)
