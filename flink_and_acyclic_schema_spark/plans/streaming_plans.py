@@ -1431,3 +1431,94 @@ register(
               true AS all_match
        FROM g""",
 )
+
+
+# --- chained stateful operators: dedup -> windowed agg in ONE query ----------
+def stream_chained_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained inside one streaming query — exactly-once
+    dedup state feeding a watermarked tumbling-window aggregate (the Spark
+    3.5+/4 multi-stateful-operator capability; before it, this required two
+    queries with an intermediate sink). The events file is fed through TWICE
+    (two files, separate micro-batches), ``dropDuplicates`` suppresses the
+    second copy, and the 5-minute windows downstream count each event once.
+
+    Emission in append mode needs the watermark to pass each window's end, so
+    a single sentinel event 1 day past the real data is appended as the last
+    file: the final watermark closes every real window; the sentinel's own
+    window stays open and is never emitted, keeping the oracle the plain
+    batch recompute over the real events.
+
+    At 100 TB the dedup state is hash-partitioned on event_id and the window
+    state on (window, event_type) — two independent exchanges, both RocksDB-
+    backed and watermark-evicted; nothing accumulates beyond the dedup
+    horizon.
+    """
+    scratch = _scratch("chained", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(indir, "a_copy1.parquet"))
+    shutil.copy(src, os.path.join(indir, "b_copy2.parquet"))
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    # single-FILE parquet (pyarrow, not df.write which makes a directory the
+    # non-recursive file-stream listing would never discover), typed exactly
+    # like the source file so the stream schema applies unchanged
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_schema = pq.read_schema(src)
+    sent_vals = {
+        "event_id": [-1],
+        "ts": [max_ts + datetime.timedelta(days=1)],
+        "user_id": [-1],
+        "event_type": ["__sentinel__"],
+        "value": [0.0],
+        "props": ["{}"],
+    }
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array(sent_vals[f.name]).cast(f.type)
+                for f in src_schema
+            ],
+            schema=src_schema,
+        ),
+        os.path.join(indir, "z_sentinel.parquet"),
+    )
+
+    raw = _read_events_stream(spark, indir, max_files=1)
+    deduped = raw.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    agg = (
+        deduped.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+        .withColumn("win_start", _to_ntz("win_start"))
+    )
+    out = os.path.join(scratch, "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+register(
+    "stream_chained_dedup_window",
+    stream_chained_dedup_window,
+    """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, event_type,
+              count(*) AS n_events, sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
