@@ -24,34 +24,44 @@ from ..tables import load
 # --- scalar subquery: share of corpus-wide total ---------------------------
 def subquery_scalar_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation revenue share of the global total via a SQL *scalar
-    subquery* — the decorrelation surface the DataFrame API hides. Catalyst
-    plans the inner aggregate once as a 1-row broadcast (Subquery scalar
-    node), NOT once per outer row; at 100 TB the total is one extra
-    pass over the (already filtered+pruned) fact columns, and the outer
-    aggregate shuffles only its 25 nation groups.
+    subquery* — the decorrelation surface the DataFrame API hides: the inner
+    aggregate is planned once as a 1-row Subquery node, never per outer row.
+
+    Catalyst INLINES a WITH-CTE referenced twice (verified via .explain: the
+    4-way join aggregate appeared in both the subquery and the outer query),
+    which at 100 TB would double the fact pass — so the per-nation aggregate
+    is persisted first and exposed as a temp view; both the outer query and
+    the scalar subquery then read the 25-row cache, and the expensive join
+    tree runs exactly once.
 
     Both sums are exact DECIMAL(12,4); the share is one IEEE double division
     of the two exact values, so Spark and DuckDB agree bit-for-bit.
     """
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
-    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
-    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
-    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    from ..caching import persist_tracked
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)")
+            ).alias("r")
+        )
+    )
+    persist_tracked(rev).createOrReplaceTempView("v_rev")
     return spark.sql(
-        """WITH rev AS (
-             SELECT n_name,
-                    sum(CAST(l_extendedprice AS DECIMAL(12,4))
-                        * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS r
-             FROM v_lineitem
-             JOIN v_orders   ON l_orderkey = o_orderkey
-             JOIN v_customer ON o_custkey = c_custkey
-             JOIN v_nation   ON c_nationkey = n_nationkey
-             GROUP BY n_name)
-           SELECT n_name,
+        """SELECT n_name,
                   CAST(r AS DOUBLE) AS revenue,
-                  CAST(r AS DOUBLE) / CAST((SELECT sum(r) FROM rev) AS DOUBLE)
+                  CAST(r AS DOUBLE) / CAST((SELECT sum(r) FROM v_rev) AS DOUBLE)
                     AS share
-           FROM rev"""
+           FROM v_rev"""
     )
 
 
@@ -574,4 +584,152 @@ register(
        SELECT doc_id, lang, n_bigrams,
               qsum::DOUBLE / n_bigrams::DOUBLE / 1e4 AS avg_loglik
        FROM scored""",
+)
+
+
+# --- null-safe equality join ------------------------------------------------
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (Spark ``<=>`` / SQL ``IS NOT DISTINCT FROM``):
+    the three-valued-logic corner where a plain ``=`` join silently drops
+    every NULL key. Event types are deterministically nullified on every 7th
+    event, and a small category dim carries an explicit NULL member — the
+    null-safe join routes the nullified facts to it instead of losing them.
+
+    ``<=>`` is a real equi-join key for Catalyst (EqualNullSafe hashes NULL
+    like a value), so this stays a broadcast/shuffle HASH join — not the
+    nested-loop a general null-tolerant predicate would force. The dim is
+    broadcast; one narrow pass + 6-group aggregate.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 7 != 0, F.col("event_type")).alias("et"),
+        "value",
+    )
+    dim = (
+        load(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("et"))
+        .distinct()
+        .withColumn("category", F.concat(F.lit("cat_"), F.col("et")))
+        .unionAll(
+            spark.createDataFrame(
+                [(None, "cat_unknown")], "et STRING, category STRING"
+            )
+        )
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.et.eqNullSafe(dim.et))
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+register(
+    "join_null_safe_eq",
+    join_null_safe_eq,
+    """WITH ev AS (
+         SELECT CASE WHEN event_id % 7 != 0 THEN event_type END AS et, value
+         FROM events),
+       dim AS (
+         SELECT DISTINCT event_type AS et, 'cat_' || event_type AS category
+         FROM events
+         UNION ALL SELECT NULL, 'cat_unknown')
+       SELECT d.category,
+              count(*)::BIGINT AS n_events,
+              sum(e.value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM ev e JOIN dim d ON e.et IS NOT DISTINCT FROM d.et
+       GROUP BY d.category""",
+)
+
+
+# --- running COUNT(DISTINCT) over a window ----------------------------------
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user in event order — the
+    "how many distinct behaviors so far" session signal. Neither engine
+    accepts DISTINCT inside a window aggregate, so both sides use the
+    portable set-accumulation idiom (``size(collect_set() OVER ...)`` /
+    ``len(list_distinct(list() OVER ...))``).
+
+    One shuffle on user_id; the running set is bounded by the event-type
+    vocabulary (5 values), so state per row is O(|vocab|), not O(history) —
+    safe at any user history length. Keyed on (user_id, ts, event_id), a
+    total order, so reruns are identical.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
+    )
+
+
+register(
+    "window_running_distinct",
+    window_running_distinct,
+    """SELECT event_id, user_id, ts,
+              len(list_distinct(list(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::INT
+                AS n_distinct_types
+       FROM events""",
+)
+
+
+# --- one-pass corpus health report ------------------------------------------
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard in ONE pass: volume, exact-dup
+    rate, short-doc rate, mean length, language spread — the summary table a
+    curation run publishes next to its output so drift is visible per
+    ingest. All ratios are exact integer ppm (no float sums), every metric
+    partial-aggregates map-side, and the single exchange carries one row per
+    source.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.col("n_chars")).cast("bigint").alias("tot_chars"),
+        F.count_if(n_words < 10).cast("bigint").alias("n_short"),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        ((F.col("n_docs") - F.col("n_unique")) * 1000000 / F.col("n_docs"))
+        .cast("bigint")
+        .alias("dup_ppm"),
+        (F.col("n_short") * 1000000 / F.col("n_docs")).cast("bigint").alias("short_ppm"),
+        (F.col("tot_chars").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_chars"
+        ),
+        "n_langs",
+    )
+
+
+register(
+    "corpus_health_report",
+    corpus_health_report,
+    """WITH per_src AS (
+         SELECT source,
+                count(*)::BIGINT AS n_docs,
+                count(DISTINCT md5(text))::BIGINT AS n_unique,
+                count(DISTINCT lang)::BIGINT AS n_langs,
+                sum(n_chars)::BIGINT AS tot_chars,
+                count(*) FILTER (WHERE len(string_split_regex(trim(text), '\\s+')) < 10)::BIGINT
+                  AS n_short
+         FROM documents GROUP BY source)
+       SELECT source, n_docs,
+              ((n_docs - n_unique) * 1000000 // n_docs)::BIGINT AS dup_ppm,
+              (n_short * 1000000 // n_docs)::BIGINT AS short_ppm,
+              tot_chars::DOUBLE / n_docs::DOUBLE AS mean_chars,
+              n_langs
+       FROM per_src""",
 )
