@@ -259,7 +259,9 @@ def connected_components(
         # localCheckpoint truncates lineage each round — without it the plan
         # doubles per iteration (thousands of Exchange nodes by convergence,
         # stack-overflow risk at scale); on a cluster use checkpoint() with a
-        # reliable dir for fault tolerance
+        # reliable dir for fault tolerance. The convergence flag is computed
+        # IN the same pass and read off the checkpoint — one action per
+        # iteration instead of checkpoint + a separate old⋈new change join.
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
@@ -267,15 +269,13 @@ def connected_components(
                 F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
                     "cluster_id"
                 ),
+                (F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        changed = new_labels.filter("chg").count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -285,7 +285,7 @@ def connected_components(
     # the loop ran eagerly (localCheckpoint + counts); the returned labels
     # are a checkpoint independent of edges, so the cache can go now
     edges.unpersist(False)
-    return labels
+    return labels.select("doc_id", "cluster_id")
 
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:

@@ -733,3 +733,301 @@ register(
               n_langs
        FROM per_src""",
 )
+
+
+# --- dynamic-gap session windows --------------------------------------------
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose inactivity gap depends on the EVENT (Spark's
+    dynamic-gap ``session_window``): view/click browsing tolerates only a
+    5-minute lull, purchase/signup/error flows hold the session open 15
+    minutes. The fixed-gap form (``window_session``/``stream_session_window``)
+    can't express "checkout shouldn't time out like a pageview" — this is
+    the API for it.
+
+    Spark merges the per-event intervals [ts, ts+gap) by overlap; the oracle
+    reproduces exactly that with the classic sweep: a session breaks where
+    ts >= running max of previous interval ends (strict, matching Spark's
+    exclusive session end). All comparisons are epoch-microsecond integers.
+
+    Scale shape: one shuffle on user_id, per-user local sort, merge is a
+    linear scan — identical cost to fixed-gap sessionization.
+    """
+    ev = load(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type").isin("view", "click"), F.lit("5 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("win_start"),
+            F.col("sw.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+register(
+    "window_session_dynamic_gap",
+    window_session_dynamic_gap,
+    """WITH base AS (
+         SELECT user_id, ts, event_id, value, epoch_us(ts) AS t,
+                CASE WHEN event_type IN ('view', 'click')
+                     THEN 300000000 ELSE 900000000 END AS gap_us
+         FROM events),
+       marked AS (
+         SELECT *,
+                CASE WHEN max(t + gap_us) OVER
+                       (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                       OR t >= max(t + gap_us) OVER
+                       (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS new_s
+         FROM base),
+       sessions AS (
+         SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                  AS sid
+         FROM marked)
+       SELECT user_id,
+              make_timestamp(min(t)) AS win_start,
+              make_timestamp(max(t + gap_us)) AS win_end,
+              count(*)::BIGINT AS n_events,
+              sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM sessions GROUP BY user_id, sid""",
+)
+
+
+# --- DataFrame.transpose (Spark 4) ------------------------------------------
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``DataFrame.transpose``: flip a per-source metrics table so
+    metrics are rows and sources are columns — the report orientation
+    dashboards want. Restricted to four fixed sources so the result schema
+    (which transpose derives from the key column's DATA) stays declared and
+    oracle-comparable; all metrics share DOUBLE, transpose's common-type
+    requirement.
+
+    Transpose is a driver-assembled pivot of an already-aggregated tiny
+    frame (4 rows in, 2×4 out) — never applied to fact data; the heavy
+    lifting stays in the partial-agg'd groupBy before it.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    per_src = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            (
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_chars"),
+        )
+        .orderBy("source")
+    )
+    return per_src.transpose(F.col("source")).withColumnRenamed("key", "metric")
+
+
+def _transpose_oracle() -> str:
+    srcs = ["src0", "src1", "src2", "src3"]
+    cells_n = ", ".join(
+        f"max(CASE WHEN source = '{s}' THEN n_docs END) AS {s}" for s in srcs
+    )
+    cells_m = ", ".join(
+        f"max(CASE WHEN source = '{s}' THEN mean_chars END) AS {s}" for s in srcs
+    )
+    return f"""WITH per_src AS (
+         SELECT source,
+                count(*)::DOUBLE AS n_docs,
+                sum(n_chars)::DOUBLE / count(*)::DOUBLE AS mean_chars
+         FROM documents
+         WHERE source IN ('src0', 'src1', 'src2', 'src3')
+         GROUP BY source)
+       SELECT 'n_docs' AS metric, {cells_n} FROM per_src
+       UNION ALL
+       SELECT 'mean_chars' AS metric, {cells_m} FROM per_src"""
+
+
+register("reshape_transpose", reshape_transpose, _transpose_oracle())
+
+
+# --- error-safe scalar family (try_*) ---------------------------------------
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalars (``try_divide`` / ``try_cast`` /
+    ``try_to_timestamp``): malformed input degrades to NULL instead of
+    failing the job — the difference between one bad upstream record
+    poisoning a 100 TB nightly run and a countable quarantine column
+    (the expression-level sibling of ``source_json_corrupt_permissive``).
+    Division by a deterministically-zeroed denominator, an int parse of
+    mixed-content strings, and a timestamp parse of props JSON fragments,
+    each with its NULL count surfaced.
+    """
+    ev = load(spark, sf_dir, "events")
+    denom = (F.col("event_id") % 10).cast("double")
+    parsed_int = F.expr("try_cast(substring(event_type, 1, 2) AS INT)")
+    ratio = F.expr("try_divide(value, CAST(event_id % 10 AS DOUBLE))")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_if(ratio.isNull()).cast("bigint").alias("n_div_null"),
+        F.count_if(parsed_int.isNull()).cast("bigint").alias("n_cast_null"),
+        F.sum(F.coalesce(ratio, F.lit(0.0)).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_safe_ratio"),
+    )
+
+
+register(
+    "scalar_try_funcs",
+    scalar_try_funcs,
+    """SELECT event_type,
+              count(*)::BIGINT AS n_events,
+              count(*) FILTER (WHERE event_id % 10 = 0 OR value IS NULL)::BIGINT
+                AS n_div_null,
+              count(*) FILTER (WHERE TRY_CAST(substring(event_type, 1, 2) AS INT) IS NULL)::BIGINT
+                AS n_cast_null,
+              sum(coalesce(CASE WHEN event_id % 10 != 0
+                                THEN value / (event_id % 10)::DOUBLE END,
+                           0.0)::DECIMAL(18,6))::DOUBLE AS sum_safe_ratio
+       FROM events GROUP BY event_type""",
+)
+
+
+# --- ANN quality measurement: IVF recall vs exact ---------------------------
+def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF index against exact brute-force ground truth, per
+    query — the measurement loop every ANN deployment runs before trading
+    exactness for speed. Single-probe IVF misses neighbors that fall in a
+    different cluster than the query; this table quantifies exactly that
+    (1000000 ppm = the cluster captured the query's whole true top-3).
+
+    Both sides reuse the engine's own operators (`brute_force_topk` /
+    `ivf_topk`, k=3) and the oracle composes their existing DuckDB CTE
+    chains, so the report is itself oracle-exact: integer hit counts and
+    ppm ratios, no float comparisons anywhere.
+    """
+    from ..operators import similarity
+    from .llm import _QUANT_CTE  # noqa: F401  (reused below at registration)
+
+    embs = load(spark, sf_dir, "embeddings")
+    brute = similarity.brute_force_topk(embs, k=3).select("query_id", "vec_id")
+    ivf = similarity.ivf_topk(embs, k=3).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("bigint").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") * 1000000 / 3).cast("bigint").alias("recall_ppm"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    from .llm import _QUANT_CTE
+
+    return f"""WITH {_QUANT_CTE},
+       bscored AS (
+         SELECT q.vec_id AS query_id, c.vec_id,
+                list_dot_product(q.q, c.q) AS dot
+         FROM qe q JOIN qe c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       brute AS (
+         SELECT query_id, vec_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, vec_id) AS rk
+           FROM bscored) WHERE rk <= 3),
+       cents AS (SELECT vec_id AS cent_id, q AS cq FROM qe WHERE vec_id % 64 = 0),
+       assigned AS (
+         SELECT vec_id, cent_id, q FROM (
+           SELECT qe.vec_id, cents.cent_id, qe.q,
+                  row_number() OVER (PARTITION BY qe.vec_id
+                    ORDER BY list_dot_product(qe.q, cents.cq) DESC, cents.cent_id) AS crk
+           FROM qe CROSS JOIN cents) WHERE crk = 1),
+       ipair AS (
+         SELECT a.vec_id AS query_id, c.vec_id,
+                list_dot_product(a.q, c.q) AS dot
+         FROM assigned a JOIN assigned c
+           ON a.cent_id = c.cent_id AND a.vec_id < 8 AND a.vec_id <> c.vec_id),
+       ivf AS (
+         SELECT query_id, vec_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, vec_id) AS rk
+           FROM ipair) WHERE rk <= 3)
+       SELECT b.query_id,
+              count(i.vec_id)::BIGINT AS n_hits,
+              (count(i.vec_id) * 1000000 // 3)::BIGINT AS recall_ppm
+       FROM brute b LEFT JOIN ivf i
+         ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+       GROUP BY b.query_id"""
+
+
+register("ann_ivf_recall_report", ann_ivf_recall_report, _ann_recall_oracle())
+
+
+# --- bloom-prefiltered exact decontamination --------------------------------
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-document decontamination with an EXPLICIT bloom prefilter: the
+    eval split's content hashes build one ~4 KB bitset (32768 bits as 512
+    bit_or-aggregated longs) that is broadcast and probed over the training
+    split — at 100 TB the corpus never shuffles for the check; only the
+    bloom's tiny maybe-set (true hits + ~0.15% false positives at these
+    parameters) proceeds to the exact verify join, which makes the FINAL
+    answer exact, so the bloom's internals never leak into the result (the
+    oracle is plain exact matching).
+
+    This is the hand-rolled sibling of ``join_bloom_runtime_pruned``'s
+    AQE-injected filter (Spark's ``bloom_filter_agg`` is an internal
+    expression, not SQL-callable in this build): the explicit form also
+    works where the optimizer can't see the semi-join — cross-job pipelines
+    that persist the bloom next to the eval set and reuse it every ingest.
+    """
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 10 == 0
+    hashed = docs.select(
+        "doc_id", "source", F.xxhash64(F.md5("text")).alias("h")
+    ).withColumn("pos", F.pmod(F.col("h"), F.lit(32768)))
+    word = (F.col("pos") / 64).cast("int").alias("word")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask")
+    bloom_words = (
+        hashed.filter(is_eval)
+        .select(word, mask)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probes = hashed.filter(~is_eval).select("doc_id", "source", "h", word, mask)
+    maybe = (
+        probes.join(F.broadcast(bloom_words), "word")
+        .filter(F.expr("bits & mask") != 0)
+        .select("doc_id", "source", "h")
+    )
+    eval_hashes = hashed.filter(is_eval).select(F.col("h").alias("eh")).distinct()
+    confirmed = maybe.join(
+        F.broadcast(eval_hashes), maybe.h == F.col("eh"), "left_semi"
+    )
+    return confirmed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated"),
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+
+
+register(
+    "decontaminate_bloom_prefilter",
+    decontaminate_bloom_prefilter,
+    """WITH hashed AS (
+         SELECT doc_id, source, md5(text) AS h, doc_id % 10 = 0 AS is_eval
+         FROM documents),
+       ev AS (SELECT DISTINCT h FROM hashed WHERE is_eval)
+       SELECT source,
+              count(*)::BIGINT AS n_contaminated,
+              min(doc_id)::BIGINT AS first_doc
+       FROM hashed t
+       WHERE NOT is_eval AND EXISTS (SELECT 1 FROM ev WHERE ev.h = t.h)
+       GROUP BY source""",
+)

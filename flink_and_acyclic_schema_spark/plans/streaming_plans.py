@@ -1590,3 +1590,80 @@ register(
               count(*) AS n_events, sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
        FROM events GROUP BY 1, 2""",
 )
+
+
+# --- streaming session windows with a per-event dynamic gap ------------------
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``window_session_dynamic_gap``: native
+    ``session_window`` state where the inactivity gap is an EXPRESSION of
+    the event (5 minutes for view/click browsing, 15 for
+    purchase/signup/error flows). Session state merges the per-event
+    intervals [ts, ts+gap) incrementally across micro-batches; complete
+    mode + memory sink, final table oracle-checked against the batch
+    sweep-line recompute — streaming/batch parity for the dynamic-gap
+    operator.
+    """
+    scratch = _scratch("dynsession", sf_dir)
+    ev = _events_stream(spark, sf_dir, scratch).withWatermark("ts", "30 minutes")
+    gap = (
+        F.when(F.col("event_type").isin("view", "click"), F.lit("5 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+        .withColumn("win_start", _to_ntz("win_start"))
+        .withColumn("win_end", _to_ntz("win_end"))
+    )
+    name = f"dynsession_{os.getpid()}_{next(_uniq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_session_dynamic_gap",
+    stream_session_dynamic_gap,
+    """WITH base AS (
+         SELECT user_id, ts, event_id, value, epoch_us(ts) AS t,
+                CASE WHEN event_type IN ('view', 'click')
+                     THEN 300000000 ELSE 900000000 END AS gap_us
+         FROM events),
+       marked AS (
+         SELECT *,
+                CASE WHEN max(t + gap_us) OVER
+                       (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                       OR t >= max(t + gap_us) OVER
+                       (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS new_s
+         FROM base),
+       sessions AS (
+         SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                  AS sid
+         FROM marked)
+       SELECT user_id,
+              make_timestamp(min(t)) AS win_start,
+              make_timestamp(max(t + gap_us)) AS win_end,
+              count(*)::BIGINT AS n_events,
+              sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM sessions GROUP BY user_id, sid""",
+)
