@@ -1035,3 +1035,119 @@ register(
        WHERE NOT is_eval AND EXISTS (SELECT 1 FROM ev WHERE ev.h = t.h)
        GROUP BY source""",
 )
+
+
+# --- CEP-style event pattern detection --------------------------------------
+def cep_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match — the Flink-CEP shape (the
+    reference's engine family is known for it) expressed with window
+    functions: per user, find every STRICTLY CONSECUTIVE view → click →
+    purchase run completing within 15 minutes. ``lead()`` over the per-user
+    event order exposes the next two events and timestamps; the pattern
+    predicate is then one row-local filter — no joins, no state machine.
+
+    One shuffle on user_id serves both leads; the pattern test is
+    codegen'd row arithmetic on epoch-microsecond integers. Longer or
+    optional-step patterns compose the same way (lead(k) per step, or
+    gaps-and-islands for Kleene closure); contiguous-run patterns never
+    need a self-join.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        t.alias("t0"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+        F.lead(t, 2).over(w).alias("t2"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("e1") == "click")
+        & (F.col("e2") == "purchase")
+        & (F.col("t2") - F.col("t0") <= 900000000)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("start_event_id"),
+        F.col("ts").alias("pattern_start"),
+        ((F.col("t2") - F.col("t0")) / 1000000).cast("bigint").alias("span_s"),
+    )
+
+
+register(
+    "cep_pattern_detect",
+    cep_pattern_detect,
+    """WITH seq AS (
+         SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS t0,
+                lead(event_type, 1) OVER w AS e1,
+                lead(event_type, 2) OVER w AS e2,
+                lead(epoch_us(ts), 2) OVER w AS t2
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, event_id AS start_event_id, ts AS pattern_start,
+              ((t2 - t0) // 1000000)::BIGINT AS span_s
+       FROM seq
+       WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+         AND t2 - t0 <= 900000000""",
+)
+
+
+def cep_kleene_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kleene-closure CEP pattern (``error+`` with min length 3): maximal
+    runs of STRICTLY CONSECUTIVE error events per user, kept when the run
+    has >= 3 events — the canonical alerting rule ("n failures in a row").
+    Expressed with gaps-and-islands: row_number over all events minus
+    row_number within errors is constant exactly along a consecutive error
+    run, so island id = that difference, and one aggregate per island gives
+    run length and span. Complements ``cep_pattern_detect``'s fixed-length
+    adjacency pattern with the unbounded-repetition one.
+
+    Same scale shape as every sessionization here: one user_id shuffle, two
+    window passes over the same sort order, aggregate carries only runs.
+    """
+    ev = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_err = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_err)).alias("island"),
+    ).filter(F.col("event_type") == "error")
+    return (
+        marked.groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .select("user_id", "first_event_id", "run_len", "run_start", "run_end")
+    )
+
+
+register(
+    "cep_kleene_error_runs",
+    cep_kleene_error_runs,
+    """WITH marked AS (
+         SELECT user_id, event_id, ts, event_type,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                - row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS island
+         FROM events),
+       runs AS (
+         SELECT user_id, island,
+                count(*)::BIGINT AS run_len,
+                min(ts) AS run_start, max(ts) AS run_end,
+                min(event_id)::BIGINT AS first_event_id
+         FROM marked WHERE event_type = 'error'
+         GROUP BY user_id, island)
+       SELECT user_id, first_event_id, run_len, run_start, run_end
+       FROM runs WHERE run_len >= 3""",
+)

@@ -109,6 +109,9 @@ def test_all_batch_plans_stay_sane(spark):
     bnlj_ok = {
         "sim_ivf_topk",
         "sim_brute_topk",
+        # inherits sim_brute_topk's 8-query broadcast probe (ground truth
+        # side of the recall measurement)
+        "ann_ivf_recall_report",
         "join_theta_nonequi",
         "join_range_interval",
         "q22_global_sales_opportunity",
