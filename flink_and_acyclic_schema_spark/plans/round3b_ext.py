@@ -1151,3 +1151,68 @@ register(
        SELECT user_id, first_event_id, run_len, run_start, run_end
        FROM runs WHERE run_len >= 3""",
 )
+
+
+# --- 2D activity heatmap -----------------------------------------------------
+def agg_heatmap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type activity matrix — the dashboard heatmap
+    behind every ops page, as one exact-integer aggregate. Two-key groupBy
+    partial-aggregates map-side; the exchange carries at most 24×|types|
+    groups regardless of corpus size. (The binned 2-key groupBy is also the
+    scale template for any 2D histogram: bin first, aggregate once.)
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.hour("ts").alias("hour_of_day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+register(
+    "agg_heatmap_2d",
+    agg_heatmap_2d,
+    """SELECT hour(ts)::INT AS hour_of_day, event_type,
+              count(*)::BIGINT AS n_events,
+              sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+
+
+# --- deterministic weighted priority sample ---------------------------------
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bottom-k sampling, deterministic: each document draws a
+    reproducible pseudo-uniform priority (Knuth hash of doc_id) scaled DOWN
+    by its weight (here n_chars — longer docs proportionally likelier), and
+    the k lowest priorities win — the exact-arithmetic analog of the A-ES
+    weighted-reservoir scheme (priority u^(1/w)), with the float pow
+    replaced by integer (hash·10⁶) div w so both engines agree bit-for-bit.
+
+    Same 100 TB shape as ``sample_bottomk_global``: TakeOrderedAndProject,
+    per-partition k-heaps, no global sort, no rand().
+    """
+    docs = load(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
+    prio = F.floor(h * 1000000 / F.greatest(F.col("n_chars"), F.lit(1))).cast("bigint")
+    return (
+        docs.select("doc_id", "source", "n_chars", prio.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(50)
+    )
+
+
+register(
+    "sample_weighted_priority",
+    sample_weighted_priority,
+    """SELECT doc_id, source, n_chars,
+              ((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1000000
+               // greatest(n_chars, 1))::BIGINT AS priority
+       FROM documents
+       ORDER BY priority, doc_id
+       LIMIT 50""",
+)
