@@ -1,0 +1,448 @@
+"""Round-3 surface extensions, part 3: time-series bars (OHLC resample),
+schema-evolution union (unionByName), distribution auditing (Benford),
+containment near-dup detection, minhash estimator calibration, and an
+exact-integer EMA smoother.
+
+None of these exist in the reference (its single hand-compiled plan is
+DataFlow.java:26-61); they extend the analytics and LLM-curation families
+with shapes every production corpus/metrics pipeline needs. Everything is
+built-in Catalyst expressions — no Python in the hot path — and every
+computed column is aliased identically in the oracle.
+
+Cross-engine determinism notes (same conventions as round3b_ext):
+- money sums aggregate in DECIMAL(12,4), cast to DOUBLE at the end
+- ratios quantized to integer ppm via floor(x*1e6) on exact integers
+- transcendental values (log10) quantized to 1e-6 via floor(x*1e6+0.5) —
+  the collision odds at the quantization boundary are ~1e-11/evaluation
+- float EMAs avoid sum-order sensitivity entirely: each term is quantized
+  to an int64 BEFORE the sum, so the aggregate is exact integer arithmetic
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..caching import persist_tracked
+from ..operators import dedup
+from ..registry import register
+from ..tables import load
+
+# Shared word-3-gram shingle CTE (same formulation as the Spark side's
+# operators/dedup.py:word_shingles and llm.py's minhash chain oracle).
+_WORD_SHINGLES_CTE = r"""
+words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM words)"""
+
+
+# --- OHLC daily bars (time-series resample) ---------------------------------
+def ohlc_bars_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream into daily OHLC bars per event type — the
+    canonical time-series resample (ticks -> candles, metrics -> daily
+    rollups). open/close are positional (first/last by event time, tie-broken
+    by event_id so the answer is total-ordered and engine-exact); high/low
+    are plain extrema; volume sums in DECIMAL.
+
+    Scale shape: one shuffle on (event_type, day) for the window, reused by
+    the groupBy (same keys, Catalyst plans a single exchange). At 100 TB the
+    partition count follows the (type × day) grid — millions of small groups,
+    no skew; the window frame is per-group sorted once. No second pass: the
+    first/last picks ride the same sort via row_number conditionals.
+    """
+    ev = load(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    base = ev.select("event_type", day, "ts", "event_id", "value")
+    w = Window.partitionBy("event_type", "day")
+    rn = F.row_number().over(w.orderBy("ts", "event_id"))
+    rn_d = F.row_number().over(w.orderBy(F.desc("ts"), F.desc("event_id")))
+    return (
+        base.withColumn("rn", rn)
+        .withColumn("rn_d", rn_d)
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("volume"),
+        )
+    )
+
+
+register(
+    "ohlc_bars_daily",
+    ohlc_bars_daily,
+    """WITH base AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value,
+                row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                                   ORDER BY ts, event_id) AS rn,
+                row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                                   ORDER BY ts DESC, event_id DESC) AS rn_d
+         FROM events)
+       SELECT event_type, day,
+              max(CASE WHEN rn = 1 THEN value END) AS open,
+              max(value) AS high, min(value) AS low,
+              max(CASE WHEN rn_d = 1 THEN value END) AS close,
+              count(*)::BIGINT AS n_events,
+              sum(value::DECIMAL(12,4))::DOUBLE AS volume
+       FROM base GROUP BY event_type, day""",
+)
+
+
+# --- schema-evolution union (unionByName) ------------------------------------
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two *generations* of an extract whose schemas drifted — the old
+    feed lacks ``value`` and the new feed reordered its columns.
+    ``unionByName(allowMissingColumns=True)`` aligns by NAME (positional
+    UNION would silently pair event_id with value) and pads the missing
+    column with NULL, which the downstream aggregate then counts separately
+    from real values — the standard backfill-era union.
+
+    Scale shape: both branches prune to their own column sets at scan,
+    the union is a zero-cost plan node (no shuffle), and the aggregate
+    partial-aggregates map-side. Catalyst folds the two scans' filters to
+    parquet pushdown.
+    """
+    ev = load(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id", "event_type")
+    v2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "value", "event_type", "user_id", "event_id"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("value").cast("bigint").alias("n_with_value"),
+        F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+    )
+
+
+register(
+    "union_by_name_evolution",
+    union_by_name_evolution,
+    """WITH u AS (
+         SELECT event_id, user_id, event_type FROM events WHERE event_id % 2 = 0
+         UNION ALL BY NAME
+         SELECT value, event_type, user_id, event_id FROM events WHERE event_id % 2 = 1)
+       SELECT event_type, count(*)::BIGINT AS n_rows,
+              count(value)::BIGINT AS n_with_value,
+              sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM u GROUP BY event_type""",
+)
+
+
+# --- Benford first-digit audit ------------------------------------------------
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-significant-digit
+    distribution vs the log10(1+1/d) expectation — the classic fraud /
+    data-generation-defect screen for monetary columns.
+
+    Engine-exact: the first digit is taken from the INTEGER cents
+    (floor(price*100+0.5) — same IEEE ops both engines) via integer-to-string
+    (locale-free in both), never from float formatting or log10 of the value;
+    shares are integer ppm; the Benford expectation is log10 quantized to
+    1e-6 (deterministic at ~1e-11 collision odds).
+
+    Scale shape: one map-side-combinable groupBy on a 9-value key; the window
+    total runs over 9 rows. A 100 TB scan reduces to 9 groups immediately.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    counts = orders.select(digit).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    total = Window.partitionBy()
+    benford = (
+        F.floor(F.log10(1 + 1 / F.col("digit").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("benford_ppm")
+    )
+    return (
+        counts.withColumn(
+            "share_ppm",
+            F.floor(F.col("n_orders") * 1000000 / F.sum("n_orders").over(total)).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("benford_ppm", benford)
+        .select(
+            "digit",
+            "n_orders",
+            "share_ppm",
+            "benford_ppm",
+            (F.col("share_ppm") - F.col("benford_ppm")).alias("delta_ppm"),
+        )
+    )
+
+
+register(
+    "stats_benford_first_digit",
+    stats_benford_first_digit,
+    """WITH d AS (
+         SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+         FROM orders),
+       counts AS (SELECT digit, count(*)::BIGINT AS n_orders FROM d GROUP BY digit)
+       SELECT digit, n_orders,
+              CAST(floor(n_orders * 1000000 / sum(n_orders) OVER ()) AS BIGINT)
+                AS share_ppm,
+              CAST(floor(log10(1 + 1 / digit::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                AS benford_ppm,
+              CAST(floor(n_orders * 1000000 / sum(n_orders) OVER ()) AS BIGINT)
+                - CAST(floor(log10(1 + 1 / digit::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                AS delta_ppm
+       FROM counts""",
+)
+
+
+# --- containment near-dup (quote/inclusion detection) -------------------------
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: C(A→B) = |sh(A)∩sh(B)| / |sh(A)| on
+    word-3-gram shingle sets. Jaccard misses the document-inclusion case (a
+    short doc fully quoted inside a long one scores low Jaccard but
+    containment ≈ 1) — this is the screen for quote-inclusion and
+    extended/abridged version pairs.
+
+    Candidate generation is *rare-shingle blocking*: only shingles appearing
+    in 2..10 documents propose pairs. That bounds the pair fan-out per
+    shingle at df² ≤ 100 regardless of corpus size — boilerplate hub
+    shingles (df > 10) never explode quadratically (they are handled by
+    boilerplate_strip_crossdoc, not pairwise comparison). The exact
+    intersection then runs on candidate pairs only, joining the FULL shingle
+    postings — same candidates-then-verify shape as the LSH family, safe at
+    100 TB because every join is an equi-join on the shingle/doc keys.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = persist_tracked(dedup.word_shingles(docs))
+    df_ = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rare = df_.filter((F.col("df") >= 2) & (F.col("df") <= 10)).select("sh")
+    post = sh.join(rare, "sh")
+    a, b = post.alias("a"), post.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, (cand.doc_b == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    out = (
+        inter.join(za, inter.doc_a == F.col("za.doc_id"))
+        .join(zb, inter.doc_b == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.col("za.n_sh").cast("bigint").alias("n_sh_a"),
+            F.col("zb.n_sh").cast("bigint").alias("n_sh_b"),
+            F.floor(F.col("n_inter") * 1000000 / F.col("za.n_sh"))
+            .cast("bigint")
+            .alias("contain_ab_ppm"),
+            F.floor(F.col("n_inter") * 1000000 / F.col("zb.n_sh"))
+            .cast("bigint")
+            .alias("contain_ba_ppm"),
+        )
+    )
+    return out.filter(
+        F.greatest("contain_ab_ppm", "contain_ba_ppm") >= F.lit(500000)
+    )
+
+
+register(
+    "dedup_containment_ngram",
+    dedup_containment_ngram,
+    f"""WITH {_WORD_SHINGLES_CTE},
+       df AS (SELECT sh, count(*) AS df FROM shingles GROUP BY sh),
+       rare AS (SELECT sh FROM df WHERE df BETWEEN 2 AND 10),
+       post AS (SELECT s.doc_id, s.sh FROM shingles s JOIN rare USING (sh)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         FROM cand c
+         JOIN shingles sa ON c.doc_a = sa.doc_id
+         JOIN shingles sb ON c.doc_b = sb.doc_id AND sa.sh = sb.sh
+         GROUP BY c.doc_a, c.doc_b)
+       SELECT doc_a, doc_b, n_inter::BIGINT AS n_inter,
+              za.n_sh::BIGINT AS n_sh_a, zb.n_sh::BIGINT AS n_sh_b,
+              CAST(floor(n_inter * 1000000 / za.n_sh) AS BIGINT) AS contain_ab_ppm,
+              CAST(floor(n_inter * 1000000 / zb.n_sh) AS BIGINT) AS contain_ba_ppm
+       FROM inter
+       JOIN sizes za ON inter.doc_a = za.doc_id
+       JOIN sizes zb ON inter.doc_b = zb.doc_id
+       WHERE greatest(CAST(floor(n_inter * 1000000 / za.n_sh) AS BIGINT),
+                      CAST(floor(n_inter * 1000000 / zb.n_sh) AS BIGINT)) >= 500000""",
+)
+
+
+# --- minhash estimator calibration -------------------------------------------
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report for the minhash estimator: for every LSH candidate
+    pair, the 64-perm signature-agreement estimate vs the exact shingle-set
+    Jaccard, with the absolute error — the quality loop that tells you
+    whether 64 permutations is enough for YOUR corpus (mirror of
+    ann_ivf_recall_report for the dedup family).
+
+    Engine-exact: est = k/64 → k·15625 ppm (1e6/64 is an integer, no float);
+    exact Jaccard as floor-ppm of integer set sizes. The shingle postings
+    table is computed ONCE and shared by the signature chain and the exact
+    verify (persist_tracked) — the same single-materialization discipline the
+    100 TB plan needs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = persist_tracked(dedup.word_shingles(docs))
+    est = dedup.minhash_candidate_pairs(docs, sh=sh)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    pairs = est.select("doc_a", "doc_b")
+    inter = (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, (pairs.doc_b == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    est_ppm = F.floor(F.col("est_jaccard") * 1000000 + F.lit(0.5)).cast("bigint")
+    exact_ppm = (
+        F.floor(
+            F.col("n_inter")
+            * 1000000
+            / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter"))
+        )
+    ).cast("bigint")
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left_outer")
+        .na.fill({"n_inter": 0})
+        .join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est_ppm.alias("est_ppm"),
+            exact_ppm.alias("exact_ppm"),
+            F.abs(est_ppm - exact_ppm).cast("bigint").alias("abs_err_ppm"),
+        )
+    )
+
+
+def _register_calibration() -> None:
+    # The oracle reuses llm.py's GENERATED minhash chain CTEs (one source of
+    # truth for the 64-perm parameters on both engines).
+    from .llm import _EST_JACCARD_SQL, _SHINGLES_CTE
+
+    register(
+        "minhash_estimate_calibration",
+        minhash_estimate_calibration,
+        f"""WITH {_SHINGLES_CTE},
+       est AS (
+         SELECT doc_a, doc_b, {_EST_JACCARD_SQL}
+         FROM cand JOIN mh ma ON cand.doc_a = ma.doc_id
+         JOIN mh mb ON cand.doc_b = mb.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         FROM cand c
+         JOIN shingles sa ON c.doc_a = sa.doc_id
+         JOIN shingles sb ON c.doc_b = sb.doc_id AND sa.sh = sb.sh
+         GROUP BY c.doc_a, c.doc_b)
+       SELECT e.doc_a, e.doc_b,
+              CAST(floor(est_jaccard * 1000000 + 0.5) AS BIGINT) AS est_ppm,
+              CAST(floor(coalesce(n_inter, 0) * 1000000
+                         / (za.n_sh + zb.n_sh - coalesce(n_inter, 0))) AS BIGINT)
+                AS exact_ppm,
+              abs(CAST(floor(est_jaccard * 1000000 + 0.5) AS BIGINT)
+                  - CAST(floor(coalesce(n_inter, 0) * 1000000
+                               / (za.n_sh + zb.n_sh - coalesce(n_inter, 0))) AS BIGINT))
+                ::BIGINT AS abs_err_ppm
+       FROM est e
+       LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+       JOIN sizes za ON e.doc_a = za.doc_id
+       JOIN sizes zb ON e.doc_b = zb.doc_id""",
+    )
+
+
+_register_calibration()
+
+
+# --- exact-integer EMA smoother ----------------------------------------------
+def window_ema_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average (α = 1/2, 16-step horizon) of event values
+    per user — the standard smoother, reformulated so distributed float
+    summation cannot produce engine- or partitioning-dependent answers:
+    each event CONTRIBUTES floor(v·2⁻ʲ·1e6+0.5) (an int64) to the EMAs of
+    its next 16 positions, and the per-position aggregate is an exact
+    integer sum — order-free, so any shuffle/merge order gives the same
+    bits. (A naive windowed float sum is order-sensitive; a running
+    recursive EMA is inherently sequential. 2⁻ʲ is dyadic, so v·2⁻ʲ is
+    itself exact.)
+
+    Scale shape: one row_number shuffle on user_id, a 16× narrow explode
+    (no shuffle), and a groupBy on (user, position) that partial-aggregates
+    map-side. State per group is one int64 — the streaming-friendly shape.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = persist_tracked(
+        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+    )
+    contrib = base.select(
+        "user_id",
+        "rn",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+    ).select(
+        "user_id",
+        (F.col("rn") + F.col("j")).alias("target_rn"),
+        F.floor(F.col("value") * F.pow(F.lit(0.5), F.col("j")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qterm"),
+    )
+    emas = contrib.groupBy(
+        F.col("user_id").alias("e_user_id"), F.col("target_rn")
+    ).agg(F.sum("qterm").alias("qema"), F.count(F.lit(1)).cast("bigint").alias("n_terms"))
+    return (
+        base.join(
+            emas,
+            (base.user_id == emas.e_user_id) & (base.rn == emas.target_rn),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("qema").cast("double") / 1e6).alias("ema_value"),
+            "n_terms",
+        )
+    )
+
+
+register(
+    "window_ema_horizon",
+    window_ema_horizon,
+    """WITH base AS (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events),
+       contrib AS (
+         SELECT user_id, rn + j AS target_rn,
+                CAST(floor(value * power(0.5, j) * 1e6 + 0.5) AS BIGINT) AS qterm
+         FROM base, unnest(generate_series(0, 15)) AS t(j)),
+       emas AS (
+         SELECT user_id, target_rn, sum(qterm)::BIGINT AS qema,
+                count(*)::BIGINT AS n_terms
+         FROM contrib GROUP BY user_id, target_rn)
+       SELECT b.user_id, b.event_id, e.qema::DOUBLE / 1e6 AS ema_value, e.n_terms
+       FROM base b JOIN emas e ON b.user_id = e.user_id AND b.rn = e.target_rn""",
+)

@@ -1667,3 +1667,102 @@ register(
               sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
        FROM sessions GROUP BY user_id, sid""",
 )
+
+
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — the complete outer family (inner /
+    left / semi already registered): matched purchase⋈click pairs, PLUS
+    unmatched purchases once the global watermark passes their eviction
+    point, PLUS unmatched clicks once it passes theirs.
+
+    Empirically pinned eviction rules (Spark 4.1, single-batch availableNow;
+    global watermark wm = min over both filtered sides of max event time −
+    1 h, same as stream_stream_outer_join):
+      - left  (purchase): emitted NULL-padded iff p_ts < wm — no range-span
+        subtraction, because the condition bounds clicks by c_ts <= p_ts.
+      - right (click): emitted NULL-padded iff c_ts + 30 min < wm — the
+        interval span DOES subtract here, because a click at c_ts can still
+        match purchases up to p_ts = c_ts + 30 min.
+    The oracle replays exactly those rules.
+    """
+    scratch = _scratch("ssfull", sf_dir)
+    p = (
+        _events_stream(spark, sf_dir, scratch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        _events_stream(spark, sf_dir, scratch)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("uid"),
+        _to_ntz("p_ts").alias("purchase_ts"),
+        "click_id",
+        _to_ntz("c_ts").alias("click_ts"),
+    )
+    name = f"ssfull_{os.getpid()}_{next(_uniq)}"
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_stream_full_outer_join",
+    stream_stream_full_outer_join,
+    """WITH matched AS (
+         SELECT p.event_id AS purchase_id, p.user_id AS uid, p.ts AS purchase_ts,
+                c.event_id AS click_id, c.ts AS click_ts
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'),
+       wm AS (SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+                (SELECT max(ts) FROM events WHERE event_type = 'click'))
+                - INTERVAL 60 MINUTE AS w)
+       SELECT * FROM matched
+       UNION ALL
+       SELECT p.event_id, p.user_id, p.ts,
+              NULL::BIGINT AS click_id, NULL::TIMESTAMP AS click_ts
+       FROM events p, wm
+       WHERE p.event_type = 'purchase'
+         AND p.ts < wm.w
+         AND NOT EXISTS (SELECT 1 FROM events c
+                         WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                           AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)
+       UNION ALL
+       SELECT NULL::BIGINT, c.user_id, NULL::TIMESTAMP,
+              c.event_id AS click_id, c.ts AS click_ts
+       FROM events c, wm
+       WHERE c.event_type = 'click'
+         AND c.ts + INTERVAL 30 MINUTE < wm.w
+         AND NOT EXISTS (SELECT 1 FROM events p
+                         WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                           AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)""",
+)

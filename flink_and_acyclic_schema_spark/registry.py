@@ -47,6 +47,7 @@ def _register_all() -> None:
     from .plans import graph_ext  # noqa: F401
     from .plans import round3_ext  # noqa: F401
     from .plans import round3b_ext  # noqa: F401
+    from .plans import round3c_ext  # noqa: F401
     from .plans import sql_ext  # noqa: F401
     from .plans import streaming_plans  # noqa: F401
 
