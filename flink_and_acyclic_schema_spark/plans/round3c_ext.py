@@ -446,3 +446,377 @@ register(
        SELECT b.user_id, b.event_id, e.qema::DOUBLE / 1e6 AS ema_value, e.n_terms
        FROM base b JOIN emas e ON b.user_id = e.user_id AND b.rn = e.target_rn""",
 )
+
+
+# --- DSIR hashed-ngram importance weights ------------------------------------
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) reduced to its engine shape: score every raw document
+    by log p_target(x) − log p_raw(x) under two hashed-unigram bag-of-words
+    multinomials — target = the lexicographically-first source (stand-in for
+    "looks like wikipedia"), raw = the whole corpus. High scores = documents
+    distributionally close to the target domain; the scores feed weighted
+    sampling (sample_weighted_priority).
+
+    Engine-exact: tokens hash to 256 buckets via md5-arithmetic (the
+    simhash/minhash trick — Spark conv(), DuckDB instr-arithmetic, same
+    integer); each bucket's Laplace-smoothed log-probability is quantized to
+    1e-4 nats; per-doc scores are exact integer sums of (qlt − qlr).
+
+    Scale shape: the two models are 256-row aggregates (map-side partial);
+    scoring joins the exploded token stream to a BROADCAST 256-row model —
+    one wide pass, no shuffle besides the per-doc groupBy. The target
+    selector is a 1-row broadcast aggregate (no driver scalar).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    tokb = toks.select(
+        "doc_id",
+        "source",
+        (
+            F.expr("CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)")
+            % F.lit(256)
+        ).alias("bucket"),
+    )
+    tgt = docs.agg(F.min("source").alias("tgt_source"))
+    tokb = tokb.crossJoin(F.broadcast(tgt))
+    spine = spark.range(256).select(F.col("id").alias("bucket"))
+    t_cnt = (
+        tokb.filter(F.col("source") == F.col("tgt_source"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    r_cnt = tokb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    wall = Window.partitionBy()
+
+    def qlp(c, tot):
+        return F.floor(
+            F.log((c + 1).cast("double") / (tot + 256).cast("double")) * 1e4 + F.lit(0.5)
+        ).cast("bigint")
+
+    model = (
+        spine.join(t_cnt, "bucket", "left_outer")
+        .join(r_cnt, "bucket", "left_outer")
+        .na.fill({"ct": 0, "cr": 0})
+        .select(
+            "bucket",
+            qlp(F.col("ct"), F.sum("ct").over(wall)).alias("qlt"),
+            qlp(F.col("cr"), F.sum("cr").over(wall)).alias("qlr"),
+        )
+    )
+    return (
+        tokb.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("qlt") - F.col("qlr")).cast("bigint").alias("qsum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "qsum",
+            (F.col("qsum").cast("double") / F.col("n_tokens").cast("double") / 1e4).alias(
+                "avg_logratio"
+            ),
+        )
+    )
+
+
+register(
+    "dsir_importance_weights",
+    dsir_importance_weights,
+    rf"""WITH toks AS (
+         SELECT doc_id, source,
+                unnest(string_split_regex(trim(text), '\s+')) AS word
+         FROM documents),
+       hm AS (SELECT doc_id, source, md5(word) AS _m FROM toks),
+       tb AS (SELECT doc_id, source,
+                     ({dedup.hex32_sql('_m', 1)}) % 256 AS bucket
+              FROM hm),
+       tgt AS (SELECT min(source) AS tgt_source FROM documents),
+       spine AS (SELECT unnest(generate_series(0, 255)) AS bucket),
+       tc AS (SELECT bucket, count(*) AS ct FROM tb, tgt
+              WHERE source = tgt_source GROUP BY bucket),
+       rc AS (SELECT bucket, count(*) AS cr FROM tb GROUP BY bucket),
+       model AS (
+         SELECT s.bucket,
+                CAST(floor(ln((coalesce(ct, 0) + 1)::DOUBLE
+                              / (sum(coalesce(ct, 0)) OVER () + 256)::DOUBLE)
+                           * 1e4 + 0.5) AS BIGINT) AS qlt,
+                CAST(floor(ln((coalesce(cr, 0) + 1)::DOUBLE
+                              / (sum(coalesce(cr, 0)) OVER () + 256)::DOUBLE)
+                           * 1e4 + 0.5) AS BIGINT) AS qlr
+         FROM spine s
+         LEFT JOIN tc ON s.bucket = tc.bucket
+         LEFT JOIN rc ON s.bucket = rc.bucket)
+       SELECT tb.doc_id, count(*)::BIGINT AS n_tokens,
+              sum(qlt - qlr)::BIGINT AS qsum,
+              sum(qlt - qlr)::DOUBLE / count(*)::DOUBLE / 1e4 AS avg_logratio
+       FROM tb JOIN model ON tb.bucket = model.bucket
+       GROUP BY tb.doc_id""",
+)
+
+
+# --- CCNet-style perplexity buckets ------------------------------------------
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, arXiv:1911.00359):
+    rank every document within its language by LM score (here the
+    self-trained char-bigram log-likelihood of perplexity_char_bigram) and
+    deal into head/middle/tail terciles — the standard
+    keep-head/sample-middle/drop-tail curation split.
+
+    COMPOSES the registered perplexity query (same plan, same oracle text)
+    so the two can never drift. ntile(3) runs over a total order
+    (avg_loglik, doc_id): avg_loglik is the same IEEE division of exact
+    integers on both engines, so the terciles are engine-identical.
+
+    Scale shape: adds one per-language window sort over doc-level rows
+    (corpus-row count, narrow payload) on top of the perplexity plan.
+    """
+    from .round3b_ext import perplexity_char_bigram
+
+    px = perplexity_char_bigram(spark, sf_dir)
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(F.desc("avg_loglik"), F.asc("doc_id"))
+    )
+    return px.select(
+        "doc_id",
+        "lang",
+        "avg_loglik",
+        nt.alias("tercile"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+def _register_ccnet() -> None:
+    from ..registry import ORACLES
+
+    register(
+        "ccnet_perplexity_buckets",
+        ccnet_perplexity_buckets,
+        f"""WITH px AS ({ORACLES['perplexity_char_bigram']}),
+       ranked AS (
+         SELECT doc_id, lang, avg_loglik,
+                ntile(3) OVER (PARTITION BY lang
+                               ORDER BY avg_loglik DESC, doc_id ASC) AS tercile
+         FROM px)
+       SELECT doc_id, lang, avg_loglik, tercile,
+              CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+       FROM ranked""",
+    )
+
+
+_register_ccnet()
+
+
+# --- PMI collocations --------------------------------------------------------
+def word_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: for adjacent word
+    pairs with support ≥ 5, PMI = ln p(w₁w₂) − ln p(w₁) − ln p(w₂) — the
+    classic phrase detector ("new york" scores high, "of the" does not).
+    Top-200 by PMI.
+
+    Engine-exact: PMI decomposes into ±ln of INTEGER counts (c₁₂, c₁, c₂,
+    N_bi, N_uni), each quantized to 1e-4 nats before the exact integer sum —
+    no product of counts is ever formed (c₁₂·Nu² overflows int64 and loses
+    double precision at corpus scale; the log-sum form never exceeds ln 2⁶³).
+    Ranking is on the integer qpmi with a (w₁, w₂) tiebreak.
+
+    Scale shape: tokenize + pair JVM-side (zip_with, narrow), one groupBy on
+    the bigram vocabulary, two equi-joins to the unigram counts, global
+    top-200 via TakeOrderedAndProject. Corpus totals are window sums over
+    the VOCABULARY rows, not the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: F.length(t) >= 1
+    )
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    base = docs.select(toks.alias("t"))
+    uni = (
+        base.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wall = Window.partitionBy()
+    uni = uni.withColumn("nu", F.sum("c").over(wall))
+    bi = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("nb", F.sum("c12").over(wall))
+        .filter(F.col("c12") >= 5)
+    )
+
+    def qln(c):
+        return F.floor(F.log(c.cast("double")) * 1e4 + F.lit(0.5)).cast("bigint")
+
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"), "nu")
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    out = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            (
+                qln(F.col("c12"))
+                + 2 * qln(F.col("nu"))
+                - qln(F.col("nb"))
+                - qln(F.col("c1"))
+                - qln(F.col("c2"))
+            ).alias("qpmi"),
+        )
+    )
+    return out.orderBy(F.desc("qpmi"), "w1", "w2").limit(200)
+
+
+register(
+    "word_pair_pmi",
+    word_pair_pmi,
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                    x -> length(x) >= 1) AS t
+         FROM documents),
+       uni AS (
+         SELECT word, count(*) AS c, sum(count(*)) OVER () AS nu
+         FROM (SELECT unnest(t) AS word FROM toks) GROUP BY word),
+       bi AS (
+         SELECT w1, w2, count(*) AS c12, sum(count(*)) OVER () AS nb
+         FROM (SELECT t[i] AS w1, t[i + 1] AS w2
+               FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u)
+         GROUP BY w1, w2),
+       scored AS (
+         SELECT bi.w1, bi.w2, c12::BIGINT AS c12,
+                u1.c::BIGINT AS c1, u2.c::BIGINT AS c2,
+                (CAST(floor(ln(c12::DOUBLE) * 1e4 + 0.5) AS BIGINT)
+                 + 2 * CAST(floor(ln(u1.nu::DOUBLE) * 1e4 + 0.5) AS BIGINT)
+                 - CAST(floor(ln(nb::DOUBLE) * 1e4 + 0.5) AS BIGINT)
+                 - CAST(floor(ln(u1.c::DOUBLE) * 1e4 + 0.5) AS BIGINT)
+                 - CAST(floor(ln(u2.c::DOUBLE) * 1e4 + 0.5) AS BIGINT)) AS qpmi
+         FROM bi
+         JOIN uni u1 ON bi.w1 = u1.word
+         JOIN uni u2 ON bi.w2 = u2.word
+         WHERE c12 >= 5)
+       SELECT * FROM scored
+       ORDER BY qpmi DESC, w1 ASC, w2 ASC LIMIT 200""",
+)
+
+
+# --- A/B test: two-proportion z-test -----------------------------------------
+def ab_test_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout as one exact row: users split into control/treatment
+    by user_id parity (the deterministic hash-bucket assignment), conversion
+    = "user has a purchase event", and the two-proportion pooled z-test
+    decides significance at 95%.
+
+    Engine-exact: counts are integers; rates are floor-ppm; z² is composed
+    from exactly-representable integer intermediates in an IDENTICAL
+    operation order on both engines ((d·d)·n as the numerator, the 4-factor
+    denominator product left-associated), then quantized to 1e-3 for the
+    comparison against 3.8415 (χ²₁ at α=.05). d = c₁n₂ − c₂n₁ stays exact
+    in int64 through ~3·10⁹ users.
+
+    Scale shape: one distinct-users pass (groupBy user), a semi-join flag
+    for converters, then a 2-group aggregate folded to one row by
+    conditional aggregation — nothing bigger than a constant leaves the
+    final exchange.
+    """
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    conv = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    flagged = users.join(
+        conv.withColumn("is_conv", F.lit(1)), "user_id", "left_outer"
+    ).na.fill({"is_conv": 0})
+    arm = (F.col("user_id") % 2).alias("arm")
+    per = flagged.select(arm, "is_conv")
+    agg = per.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_control"),
+        F.sum(F.when(F.col("arm") == 0, F.col("is_conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_treat"),
+        F.sum(F.when(F.col("arm") == 1, F.col("is_conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_treat"),
+    )
+    n1, c1 = F.col("n_control"), F.col("conv_control")
+    n2, c2 = F.col("n_treat"), F.col("conv_treat")
+    n, c = n1 + n2, c1 + c2
+    d = c1 * n2 - c2 * n1
+    # degenerate experiments (0% or 100% pooled conversion) have no variance:
+    # nullif degrades z² to NULL instead of dividing by zero, significant=false
+    denom = F.nullif(
+        n1.cast("double") * n2.cast("double") * c.cast("double") * (n - c).cast("double"),
+        F.lit(0.0),
+    )
+    z2 = ((d * d).cast("double") * n.cast("double")) / denom
+    z2_milli = F.floor(z2 * 1000 + F.lit(0.5)).cast("bigint")
+    return agg.select(
+        "n_control",
+        "conv_control",
+        "n_treat",
+        "conv_treat",
+        F.floor(c1 * 1000000 / n1).cast("bigint").alias("p_control_ppm"),
+        F.floor(c2 * 1000000 / n2).cast("bigint").alias("p_treat_ppm"),
+        (F.floor(c2 * 1000000 / n2) - F.floor(c1 * 1000000 / n1))
+        .cast("bigint")
+        .alias("lift_ppm"),
+        z2_milli.alias("z2_milli"),
+        F.coalesce(z2_milli >= 3842, F.lit(False)).alias("significant"),
+    )
+
+
+register(
+    "ab_test_two_proportions",
+    ab_test_two_proportions,
+    """WITH flagged AS (
+         SELECT u.user_id, u.user_id % 2 AS arm,
+                CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS is_conv
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'purchase') c
+           ON u.user_id = c.user_id),
+       agg AS (
+         SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+                sum(CASE WHEN arm = 0 THEN is_conv ELSE 0 END)::BIGINT AS conv_control,
+                sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+                sum(CASE WHEN arm = 1 THEN is_conv ELSE 0 END)::BIGINT AS conv_treat
+         FROM flagged),
+       z AS (
+         SELECT *,
+                CAST(floor((((conv_control * n_treat - conv_treat * n_control)
+                             * (conv_control * n_treat - conv_treat * n_control))::DOUBLE
+                            * (n_control + n_treat)::DOUBLE)
+                           / nullif(n_control::DOUBLE * n_treat::DOUBLE
+                              * (conv_control + conv_treat)::DOUBLE
+                              * ((n_control + n_treat)
+                                 - (conv_control + conv_treat))::DOUBLE, 0.0)
+                           * 1000 + 0.5) AS BIGINT) AS z2_milli
+         FROM agg)
+       SELECT n_control, conv_control, n_treat, conv_treat,
+              CAST(floor(conv_control * 1000000 / n_control) AS BIGINT) AS p_control_ppm,
+              CAST(floor(conv_treat * 1000000 / n_treat) AS BIGINT) AS p_treat_ppm,
+              CAST(floor(conv_treat * 1000000 / n_treat) AS BIGINT)
+                - CAST(floor(conv_control * 1000000 / n_control) AS BIGINT) AS lift_ppm,
+              z2_milli,
+              coalesce(z2_milli >= 3842, false) AS significant
+       FROM z""",
+)

@@ -1766,3 +1766,71 @@ register(
                          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
                            AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)""",
 )
+
+
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once SINK semantics on an at-least-once channel, the
+    foreachBatch idempotent-writer pattern: each micro-batch overwrites its
+    OWN partition directory (batch_id=N), so redelivering a batch replaces
+    identical data instead of appending duplicates. The query SIMULATES the
+    failure/replay: after the stream completes, batch 0 is delivered a
+    second time through the same writer — and the final table still
+    aggregates to the exact batch answer (the oracle is the plain batch
+    aggregate; any duplication would break the hash match).
+
+    This is the standard Structured Streaming end-to-end-exactly-once recipe
+    (checkpoint WAL gives at-least-once delivery of batches; an idempotent
+    batch-keyed sink upgrades it): at 100 TB the overwrite is a partition
+    swap, never a table rewrite, and recovery cost is one batch.
+    """
+    scratch = _scratch("eos", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    ev = load(spark, sf_dir, "events")
+    import glob as _glob
+    import time as _time
+
+    now = _time.time()
+    for i in range(3):
+        d = os.path.join(scratch, f"w{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(indir, f"b{i}.parquet")
+        shutil.copy(_glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+    out = os.path.join(scratch, "sink")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        # idempotent: the batch's partition dir is overwritten wholesale,
+        # so a replayed batch_id leaves the table unchanged
+        df.write.mode("overwrite").parquet(os.path.join(out, f"batch_id={batch_id}"))
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(indir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # at-least-once replay: deliver batch 0 AGAIN through the same writer
+    b0 = spark.read.schema(ev.schema).parquet(os.path.join(indir, "b0.parquet"))
+    write_batch(b0, 0)
+    sink = spark.read.parquet(out)
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+    )
+
+
+register(
+    "stream_exactly_once_sink",
+    stream_exactly_once_sink,
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+              sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM events GROUP BY event_type""",
+)
