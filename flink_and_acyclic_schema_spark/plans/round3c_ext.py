@@ -820,3 +820,224 @@ register(
               coalesce(z2_milli >= 3842, false) AS significant
        FROM z""",
 )
+
+
+# --- exact repeated-substring spans (suffix-array dedup, Spark-shaped) --------
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup à la "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2022, arXiv:2107.06499): find every
+    maximal span of ≥50 characters that also appears verbatim in ANOTHER
+    document, per document — the spans ExactSubstr would cut. The
+    suffix-array construction is re-expressed relationally: hash every
+    50-char window at every position (O(corpus chars) rows — the same
+    asymptotics as the suffix array itself), keep window hashes seen in ≥2
+    distinct documents, then merge each doc's flagged positions into maximal
+    spans with a gaps-and-islands pass.
+
+    Scale shape: the explode is narrow (sequence over positions); the only
+    wide exchange carries (hash, doc) pairs which pre-aggregate map-side;
+    the islands window sorts per-doc marked positions only (dup spans, not
+    the corpus). At 100 TB the hash table is the corpus — the production
+    refinements are a bloom pre-filter on first-seen hashes and 8-byte
+    xxhash64 instead of md5; the plan shape is unchanged.
+    """
+    W = 50
+    docs = load(spark, sf_dir, "documents")
+    hv = (
+        docs.filter(F.length("text") >= W)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (W - 1))).alias("i"),
+            "text",
+        )
+        .select("doc_id", "i", F.md5(F.expr(f"substring(text, i, {W})")).alias("h"))
+    )
+    rep = hv.groupBy("h").agg(F.count_distinct("doc_id").alias("nd")).filter(
+        F.col("nd") >= 2
+    )
+    marked = hv.join(rep, "h").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max(F.col("i") + (W - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        marked.withColumn(
+            "new_isl",
+            F.when(prev_end.isNull() | (F.col("i") > prev_end + 1), 1).otherwise(0),
+        )
+        .withColumn("isl", F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        isl.groupBy("doc_id", "isl")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") + (W - 1)).cast("bigint").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+register(
+    "dedup_exact_substring_spans",
+    dedup_exact_substring_spans,
+    """WITH hv AS (
+         SELECT doc_id, i, md5(substr(text, i, 50)) AS h
+         FROM documents, unnest(generate_series(1, length(text) - 49)) AS t(i)
+         WHERE length(text) >= 50),
+       rep AS (SELECT h FROM hv GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       marked AS (SELECT doc_id, i FROM hv JOIN rep USING (h)),
+       isl AS (
+         SELECT doc_id, i,
+                CASE WHEN max(i + 49) OVER
+                       (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                       OR i > max(i + 49) OVER
+                       (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                     THEN 1 ELSE 0 END AS new_isl
+         FROM marked),
+       grp AS (
+         SELECT doc_id, i,
+                sum(new_isl) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+         FROM isl)
+       SELECT doc_id, min(i)::BIGINT AS span_start,
+              (max(i) + 49)::BIGINT AS span_end,
+              (max(i) + 49 - min(i) + 1)::BIGINT AS span_len
+       FROM grp GROUP BY doc_id, isl""",
+)
+
+
+# --- BPE merge training (in-engine tokenizer learning) ------------------------
+_BPE_STEPS = 6
+
+
+def tokenizer_train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 6 BPE merges of a tokenizer IN the engine (Sennrich et
+    al. 2016, arXiv:1508.07909): start from characters over the corpus word
+    vocabulary, and per step (1) count adjacent symbol pairs weighted by word
+    frequency, (2) pick the most frequent pair (ties broken
+    lexicographically), (3) apply it greedily left-to-right — overlapping
+    runs like 'aaa' merge 1st+2nd, not 2nd+3rd, which the relational form
+    gets right by keeping only ODD-indexed candidates inside each
+    consecutive-position run (gaps-and-islands again).
+
+    Output = the ordered merge table (the tokenizer's merges.txt).
+
+    Scale shape: state is the VOCABULARY×symbol table (vocab entries × avg
+    word length rows), never the corpus — the corpus is touched once to
+    build word counts. Each step is one lead() window + one
+    map-side-combinable pair count + bounded windows on candidate rows; the
+    argmax is a 1-row driver scalar per step (same bounded pattern as
+    cluster_kmeans_lloyd's centroids); lineage is truncated per step with
+    localCheckpoint like dedup_clusters.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: F.length(t) >= 1
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    chars = F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    syms = vocab.select(
+        "word", "c", F.posexplode(chars).alias("p0", "s")
+    ).select("word", "c", (F.col("p0") + 1).alias("p"), "s")
+    syms = syms.localCheckpoint(eager=True)
+
+    wword = Window.partitionBy("word").orderBy("p")
+    merges = []
+    for step in range(1, _BPE_STEPS + 1):
+        nxt = syms.withColumn("sn", F.lead("s").over(wword))
+        cnts = (
+            nxt.filter(F.col("sn").isNotNull())
+            .groupBy("s", "sn")
+            .agg(F.sum("c").cast("bigint").alias("cnt"))
+        )
+        best = cnts.orderBy(F.desc("cnt"), F.asc("s"), F.asc("sn")).limit(1).collect()[0]
+        p1, p2, cnt = best["s"], best["sn"], best["cnt"]
+        merges.append((step, p1, p2, p1 + p2, cnt))
+        cand = nxt.filter((F.col("s") == p1) & (F.col("sn") == p2)).select("word", "p")
+        runs = cand.withColumn("isl", F.col("p") - F.row_number().over(wword))
+        keep = (
+            runs.withColumn(
+                "k", F.row_number().over(Window.partitionBy("word", "isl").orderBy("p"))
+            )
+            .filter(F.col("k") % 2 == 1)
+            .select("word", "p", F.lit(1).alias("keep"))
+        )
+        drop = keep.select("word", (F.col("p") + 1).alias("p"), F.lit(1).alias("dropped"))
+        applied = (
+            syms.join(keep, ["word", "p"], "left_outer")
+            .join(drop, ["word", "p"], "left_outer")
+            .filter(F.col("dropped").isNull())
+            .select(
+                "word",
+                "c",
+                "p",
+                F.when(F.col("keep") == 1, F.lit(p1 + p2)).otherwise(F.col("s")).alias("s"),
+            )
+        )
+        syms = applied.select(
+            "word", "c", F.row_number().over(wword).alias("p"), "s"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "step INT, p1 STRING, p2 STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    parts = [
+        r"""WITH toks AS (
+         SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            x -> length(x) >= 1) AS t
+         FROM documents),
+       vocab AS (
+         SELECT word, count(*) AS c
+         FROM (SELECT unnest(t) AS word FROM toks) GROUP BY word),
+       syms0 AS MATERIALIZED (
+         SELECT word, c, i AS p, substr(word, i, 1) AS s
+         FROM vocab, unnest(generate_series(1, length(word))) AS u(i))"""
+    ]
+    for k in range(1, _BPE_STEPS + 1):
+        prev = f"syms{k - 1}"
+        parts.append(
+            f"""n{k} AS MATERIALIZED (SELECT word, c, p, s,
+                 lead(s) OVER (PARTITION BY word ORDER BY p) AS sn FROM {prev}),
+       b{k} AS MATERIALIZED (SELECT s AS p1, sn AS p2, sum(c)::BIGINT AS cnt
+                FROM n{k} WHERE sn IS NOT NULL GROUP BY s, sn
+                ORDER BY cnt DESC, s ASC, sn ASC LIMIT 1),
+       cd{k} AS (SELECT n.word, n.p FROM n{k} n, b{k} b
+                 WHERE n.s = b.p1 AND n.sn = b.p2),
+       kp{k} AS MATERIALIZED (SELECT word, p FROM (
+                   SELECT word, p, row_number() OVER
+                            (PARTITION BY word, isl ORDER BY p) AS k
+                   FROM (SELECT word, p, p - row_number() OVER
+                                (PARTITION BY word ORDER BY p) AS isl
+                         FROM cd{k}))
+                 WHERE k % 2 = 1),
+       syms{k} AS MATERIALIZED (
+         SELECT word, c, row_number() OVER (PARTITION BY word ORDER BY p) AS p, s
+         FROM (SELECT sy.word, sy.c, sy.p,
+                      CASE WHEN kp.p IS NOT NULL THEN b.p1 || b.p2 ELSE sy.s END AS s
+               FROM {prev} sy
+               CROSS JOIN b{k} b
+               LEFT JOIN kp{k} kp ON sy.word = kp.word AND sy.p = kp.p
+               LEFT JOIN kp{k} dp ON sy.word = dp.word AND sy.p = dp.p + 1
+               WHERE dp.p IS NULL))"""
+        )
+    selects = [
+        f"SELECT {k} AS step, p1, p2, p1 || p2 AS merged, cnt AS pair_count FROM b{k}"
+        for k in range(1, _BPE_STEPS + 1)
+    ]
+    return ",\n       ".join(parts) + "\n       " + "\n       UNION ALL\n       ".join(selects)
+
+
+register("tokenizer_train_bpe_merges", tokenizer_train_bpe_merges, _bpe_oracle_sql())
