@@ -1041,3 +1041,164 @@ def _bpe_oracle_sql() -> str:
 
 
 register("tokenizer_train_bpe_merges", tokenizer_train_bpe_merges, _bpe_oracle_sql())
+
+
+# --- median imputation by group ----------------------------------------------
+def impute_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation with the per-group exact median — the
+    feature-engineering staple. Every 7th event's value is deterministically
+    nullified (simulating sensor dropout), the replacement is the median of
+    the SURVIVING values within the event type, and an ``was_imputed`` flag
+    preserves auditability.
+
+    The even-count median interpolates two doubles ((a+b)/2 — one IEEE add +
+    halving, engine-identical); the grouped median itself is Spark's exact
+    `median` vs DuckDB's `median` on identical value sets.
+
+    Scale shape: one grouped exact-median pass (a sort within each type's
+    partition), broadcast of the tiny per-type medians back onto the stream.
+    At 100 TB you'd swap in approx_percentile — the plan shape is unchanged.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias(
+            "v"
+        ),
+    )
+    med = base.groupBy("event_type").agg(F.median("v").alias("med"))
+    return base.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.coalesce(F.col("v"), F.col("med")).alias("value_imputed"),
+        F.col("v").isNull().alias("was_imputed"),
+    )
+
+
+register(
+    "impute_median_by_group",
+    impute_median_by_group,
+    """WITH base AS (
+         SELECT event_id, event_type,
+                CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+         FROM events),
+       med AS (SELECT event_type, median(v) AS med FROM base GROUP BY event_type)
+       SELECT event_id, base.event_type,
+              coalesce(v, med) AS value_imputed,
+              v IS NULL AS was_imputed
+       FROM base JOIN med ON base.event_type = med.event_type""",
+)
+
+
+# --- group-aware train/val/test split ----------------------------------------
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe dataset split: the split key is a hash of the GROUP
+    (source), not the row, so every document from one source lands in the
+    same split — near-duplicates and shared boilerplate within a source can
+    never straddle train and eval (the classic grouped-split requirement;
+    the row-hash variant is split_train_val_test). 80/10/10 by
+    md5-arithmetic bucket of the source name — engine-portable, seedless,
+    reproducible.
+
+    Scale shape: the hash is computed per row from the partition column (no
+    group table needed), and the report is one map-side-combinable groupBy.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.expr("CAST(conv(substring(md5(source), 1, 8), 16, 10) AS BIGINT)") % 10
+    )
+    split = (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+    )
+
+
+register(
+    "split_group_aware",
+    split_group_aware,
+    f"""WITH b AS (
+         SELECT source, n_chars, md5(source) AS _m FROM documents),
+       s AS (
+         SELECT CASE WHEN ({dedup.hex32_sql('_m', 1)}) % 10 <= 7 THEN 'train'
+                     WHEN ({dedup.hex32_sql('_m', 1)}) % 10 = 8 THEN 'val'
+                     ELSE 'test' END AS split,
+                source, n_chars
+         FROM b)
+       SELECT split, count(*)::BIGINT AS n_docs,
+              count(DISTINCT source)::BIGINT AS n_sources,
+              sum(n_chars)::BIGINT AS n_chars_total
+       FROM s GROUP BY split""",
+)
+
+
+# --- per-dimension embedding standardization ----------------------------------
+def feature_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature standardization of the embedding matrix: per-dimension z-score
+    (x − μ_d)/σ_d for the first 8 dimensions — the whitening step before
+    distance-based anything. The moments come from EXACT integer sums of
+    1e-6-quantized values (order-free; q² sums stay < 2⁶³ through ~9M
+    vectors — DECIMAL(38) beyond that); μ, σ, z are then IEEE doubles
+    composed in an identical op order on both engines, and sqrt is
+    correctly-rounded by IEEE-754, so the z-scores match bit-for-bit.
+
+    Scale shape: posexplode is narrow; the stats aggregate carries 8 groups
+    of 3 integers; the standardize pass re-joins the broadcast 8-row stats.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast("bigint")
+    exploded = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .filter(F.col("dim") < 8)
+        .select("vec_id", "dim", q.alias("q"))
+    )
+    stats = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sq2"),
+    )
+    mean = F.col("sq").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("sq2").cast("double")
+        - F.col("sq").cast("double") * F.col("sq").cast("double") / F.col("n").cast("double")
+    ) / F.col("n").cast("double")
+    enriched = exploded.join(
+        F.broadcast(stats.select("dim", mean.alias("mu"), F.sqrt(var).alias("sigma"))),
+        "dim",
+    )
+    return enriched.select(
+        "vec_id",
+        "dim",
+        ((F.col("q").cast("double") - F.col("mu")) / F.col("sigma")).alias("z"),
+    )
+
+
+register(
+    "feature_standardize_dims",
+    feature_standardize_dims,
+    """WITH exploded AS (
+         SELECT vec_id, dim - 1 AS dim,
+                CAST(floor(embedding[dim]::DOUBLE * 1e6 + 0.5) AS BIGINT) AS q
+         FROM embeddings, unnest(generate_series(1, 8)) AS t(dim)),
+       stats AS (
+         SELECT dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS sq,
+                sum(q * q)::BIGINT AS sq2
+         FROM exploded GROUP BY dim),
+       ms AS (
+         SELECT dim, sq::DOUBLE / n::DOUBLE AS mu,
+                sqrt((sq2::DOUBLE - sq::DOUBLE * sq::DOUBLE / n::DOUBLE)
+                     / n::DOUBLE) AS sigma
+         FROM stats)
+       SELECT e.vec_id, e.dim, (e.q::DOUBLE - mu) / sigma AS z
+       FROM exploded e JOIN ms ON e.dim = ms.dim""",
+)

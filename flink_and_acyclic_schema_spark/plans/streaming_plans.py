@@ -1834,3 +1834,62 @@ register(
               sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
        FROM events GROUP BY event_type""",
 )
+
+
+def stream_totals_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode — the third and last output mode (append and
+    update are already registered): an unwindowed global aggregate re-emits
+    the ENTIRE result table every micro-batch, so the memory sink after the
+    final batch holds exactly the batch-equivalent totals. Three
+    deterministic micro-batches (event_id % 3 file split) prove the
+    intermediate emissions are superseded, not appended.
+
+    At 100 TB complete mode is only viable because the RESULT is small (one
+    row per event type) — the state store holds the running aggregate, the
+    sink rewrites |result| rows per batch, never the corpus. That smallness
+    constraint is the mode's documented contract.
+    """
+    scratch = _scratch("complete", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    ev = load(spark, sf_dir, "events")
+    import glob as _glob
+    import time as _time
+
+    now = _time.time()
+    for i in range(3):
+        d = os.path.join(scratch, f"w{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(indir, f"b{i}.parquet")
+        shutil.copy(_glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(indir)
+    )
+    agg = raw.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("sum_value"),
+    )
+    name = f"complete_{os.getpid()}_{next(_uniq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+register(
+    "stream_totals_complete_mode",
+    stream_totals_complete_mode,
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+              sum(value::DECIMAL(12,4))::DOUBLE AS sum_value
+       FROM events GROUP BY event_type""",
+)
