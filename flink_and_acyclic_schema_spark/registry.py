@@ -48,6 +48,7 @@ def _register_all() -> None:
     from .plans import round3_ext  # noqa: F401
     from .plans import round3b_ext  # noqa: F401
     from .plans import round3c_ext  # noqa: F401
+    from .plans import round3d_ext  # noqa: F401
     from .plans import sql_ext  # noqa: F401
     from .plans import streaming_plans  # noqa: F401
 

@@ -139,6 +139,8 @@ def test_all_batch_plans_stay_sane(spark):
         "active_users_rolling_7d",
         # 1-row broadcast of (total_rows, n_keys) for the skew ratios
         "agg_skew_detector",
+        # 1-row broadcast of the target-source selector (min(source) scalar)
+        "dsir_importance_weights",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
