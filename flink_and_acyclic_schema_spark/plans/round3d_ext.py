@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from ..operators import dedup
 from ..registry import register
+from . import q10 as q10_mod
 from ..tables import load
 
 # The four 32-bit md5 slices used as independent hash rows (1-based hex
@@ -125,8 +126,9 @@ register(
 # --- Bloom filter membership -------------------------------------------------
 def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter as a relational plan: build a k=4 / m=4096-bit filter
-    over the custkeys that placed orders in Q10's date window
-    (ref filter Q10OrdersProcessFunction.java:41-45), then probe EVERY
+    over the custkeys that placed orders in Q10's date window (the ref's
+    date filter generalized, Q10OrdersProcessFunction.java:41-45;
+    testdata-shifted bounds from plans.q10), then probe EVERY
     customer and report the filter verdict next to exact membership.
     in_bloom is true iff all 4 hash positions are set; false positives
     (in_bloom AND NOT in_set) are the filter's documented error and both
@@ -142,7 +144,8 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     build_keys = (
         orders.filter(
-            (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+            (F.col("o_orderdate") >= F.lit(q10_mod.Q10_DATE_LO).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(q10_mod.Q10_DATE_HI).cast("timestamp_ntz"))
         )
         .select(F.col("o_custkey").alias("k"))
         .distinct()
@@ -184,8 +187,8 @@ register(
     sketch_bloom_membership,
     rf"""WITH build AS (
          SELECT DISTINCT o_custkey AS k FROM orders
-         WHERE o_orderdate >= DATE '1993-10-01'
-           AND o_orderdate < DATE '1994-01-01'),
+         WHERE o_orderdate >= TIMESTAMP '{q10_mod.Q10_DATE_LO}'
+           AND o_orderdate < TIMESTAMP '{q10_mod.Q10_DATE_HI}'),
        bpos AS (
          SELECT DISTINCT p.pos FROM (
            SELECT md5(CAST(k AS VARCHAR)) AS _m FROM build) h,
