@@ -49,6 +49,10 @@ def _register_all() -> None:
     from .plans import round3b_ext  # noqa: F401
     from .plans import round3c_ext  # noqa: F401
     from .plans import round3d_ext  # noqa: F401
+    from .plans import round3e_ext  # noqa: F401
+    from .plans import round3f_ext  # noqa: F401
+    from .plans import round3g_ext  # noqa: F401
+    from .plans import round3h_ext  # noqa: F401
     from .plans import sql_ext  # noqa: F401
     from .plans import streaming_plans  # noqa: F401
 

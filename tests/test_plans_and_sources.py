@@ -141,6 +141,13 @@ def test_all_batch_plans_stay_sane(spark):
         "agg_skew_detector",
         # 1-row broadcast of the target-source selector (min(source) scalar)
         "dsir_importance_weights",
+        # crossJoin of five 1-row sketch-estimate aggregates (scalar results)
+        "sketch_kmv_distinct",
+        # 1-row broadcast of the in-plan count / median / MAD scalars
+        "approx_quantile_error_report",
+        "embedding_norm_outliers",
+        # 1-row broadcast of the (n_docs, sum_dl) corpus stats
+        "bm25_topk",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
