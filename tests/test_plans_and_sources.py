@@ -148,6 +148,8 @@ def test_all_batch_plans_stay_sane(spark):
         "embedding_norm_outliers",
         # 1-row broadcast of the (n_docs, sum_dl) corpus stats
         "bm25_topk",
+        # 1-row broadcast of the global row count for rank mapping
+        "quantile_normalize_by_source",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
