@@ -2014,3 +2014,119 @@ register(
        FROM events
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
 )
+
+
+def stream_cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD type-1 (CDC latest-wins upsert): three time-ordered
+    micro-batches of the event changelog maintain a current-state table in
+    foreachBatch — each batch reduces ITSELF to one row per key first
+    (intra-batch latest), then full-outer-merges with the previous state,
+    newer (ts, event_id) winning. The final table is hash-identical to the
+    batch upsert_latest_wins window build — IVM prefix-closure for the
+    MERGE/upsert pattern (the reference's per-key ValueState update,
+    Q10AggregateProcessFunction.java:23-27, generalized to whole-row
+    latest-wins).
+
+    The merge is O(|batch keys| + |state|) per batch with both sides hash-
+    partitioned on the key; at 100 TB the state table is a Delta/Iceberg
+    MERGE target partitioned on user_id and only touched partitions
+    rewrite. Batches split on the global (ts, event_id) order, so per-key
+    arrival order respects event time.
+    """
+    scratch = _scratch("cdc1", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    ev = load(spark, sf_dir, "events")
+    import glob as _glob
+    import time as _time
+
+    wglob = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("_rn", F.row_number().over(wglob))
+    n_total = ranked.count()
+    cut = (n_total + 2) // 3
+    now = _time.time()
+    for i in range(3):
+        d = os.path.join(scratch, f"w{i}")
+        (
+            ranked.filter((F.col("_rn") > i * cut) & (F.col("_rn") <= (i + 1) * cut))
+            .drop("_rn")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        dst = os.path.join(indir, f"b{i}.parquet")
+        shutil.copy(_glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+
+    state_dir = os.path.join(scratch, "state")
+    schema = (
+        "user_id bigint, last_event_id bigint, last_ts timestamp_ntz, "
+        "last_type string, last_value double"
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        wkey = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(wkey))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        prev = os.path.join(state_dir, f"v{batch_id - 1}")
+        if os.path.isdir(prev):
+            state = sp.read.schema(schema).parquet(prev)
+            # newer (ts, event_id) wins; batches arrive in event-time order,
+            # so batch rows beat state rows on ties-by-construction
+            merged = (
+                state.unionByName(latest)
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(
+                            F.desc("last_ts"), F.desc("last_event_id")
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = latest
+        merged.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{batch_id}"))
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(indir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        int(os.path.basename(p)[1:]) for p in _glob.glob(os.path.join(state_dir, "v*"))
+    )
+    return spark.read.schema(schema).parquet(os.path.join(state_dir, f"v{versions[-1]}"))
+
+
+register(
+    "stream_cdc_latest_wins",
+    stream_cdc_latest_wins,
+    # identical to the batch upsert_latest_wins build — the IVM parity oracle
+    """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+              event_type AS last_type, value AS last_value
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1""",
+)

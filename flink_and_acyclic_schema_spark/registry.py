@@ -54,6 +54,7 @@ def _register_all() -> None:
     from .plans import round3g_ext  # noqa: F401
     from .plans import round3h_ext  # noqa: F401
     from .plans import round3i_ext  # noqa: F401
+    from .plans import round3j_ext  # noqa: F401
     from .plans import sql_ext  # noqa: F401
     from .plans import streaming_plans  # noqa: F401
 

@@ -150,6 +150,8 @@ def test_all_batch_plans_stay_sane(spark):
         "bm25_topk",
         # 1-row broadcast of the global row count for rank mapping
         "quantile_normalize_by_source",
+        # 1-row broadcast of the corpus min-date snapshot-window bound
+        "scd2_daily_snapshot",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
