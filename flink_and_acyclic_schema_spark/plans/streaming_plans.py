@@ -2130,3 +2130,178 @@ register(
              FROM events)
        WHERE rn = 1""",
 )
+
+
+def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUTS — the state-expiry
+    mechanism none of the other stateful queries exercise: sessions (10-min
+    inactivity gap) accumulate in applyInPandasWithState keyed state; a
+    session closes EITHER when a later event of the same user arrives past
+    the gap (data path) OR when the watermark passes session_end + gap and
+    Spark fires the group's event-time timeout (state.hasTimedOut path) —
+    the mechanism that guarantees state is ALWAYS reclaimed, even for keys
+    that never speak again (the reference's unbounded Set state,
+    Q10OrdersProcessFunction.java:28-30, has no such path — state lives
+    forever there). Two far-future sentinel batches advance the watermark so
+    every open session times out deterministically; the oracle is the batch
+    gaps-and-islands sessionization, so the streaming split points must be
+    exactly right.
+
+    At 100 TB: timeouts are how per-key session state on a million idle
+    users gets evicted without a tombstone topic; the RocksDB state store
+    holds (start, end, n) per live key only.
+    """
+    scratch = _scratch("sesstmo", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    import glob as _glob
+    import time as _time
+
+    wglob = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("_rn", F.row_number().over(wglob))
+    n_total = ranked.count()
+    cut = (n_total + 2) // 3
+    now = _time.time()
+    for i in range(3):
+        d = os.path.join(scratch, f"w{i}")
+        (
+            ranked.filter((F.col("_rn") > i * cut) & (F.col("_rn") <= (i + 1) * cut))
+            .drop("_rn")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        shutil.copy(
+            _glob.glob(os.path.join(d, "part-*.parquet"))[0],
+            os.path.join(indir, f"b{i}.parquet"),
+        )
+        os.utime(os.path.join(indir, f"b{i}.parquet"), (now + i, now + i))
+    # two sentinel batches: the first advances the watermark past every real
+    # session's timeout; the second gives Spark a batch DURING which the
+    # already-advanced watermark fires those timeouts
+    sent = ev.agg(F.max("ts").alias("m"))
+    for j, days in enumerate((30, 60)):
+        d = os.path.join(scratch, f"s{j}")
+        (
+            sent.select(
+                F.lit(-1).cast("bigint").alias("user_id"),
+                F.expr(f"m + INTERVAL {days} DAYS").alias("ts"),
+                F.lit(-1 - j).cast("bigint").alias("event_id"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        shutil.copy(
+            _glob.glob(os.path.join(d, "part-*.parquet"))[0],
+            os.path.join(indir, f"b{3 + j}.parquet"),
+        )
+        os.utime(os.path.join(indir, f"b{3 + j}.parquet"), (now + 3 + j, now + 3 + j))
+
+    GAP_US = 600_000_000
+
+    def sessionize(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            st, en, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "sess_start_us": [st], "sess_end_us": [en], "n_events": [n]}
+            )
+            return
+        rows = []
+        for pdf in pdf_iter:
+            # pandas ns epochs -> exact integer microseconds
+            rows.extend(int(t) // 1000 for t in pdf["ts"].astype("int64"))
+        rows.sort()
+        sessions = []
+        if state.exists:
+            st, en, n = state.get
+        else:
+            st = en = n = None
+        for t in rows:
+            if st is None:
+                st, en, n = t, t, 1
+            elif t - en > GAP_US:
+                sessions.append((st, en, n))
+                st, en, n = t, t, 1
+            else:
+                en = t
+                n += 1
+        state.update((st, en, n))
+        state.setTimeoutTimestamp((en // 1000) + (GAP_US // 1000))
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "sess_start_us": [s[0] for s in sessions],
+                    "sess_end_us": [s[1] for s in sessions],
+                    "n_events": [s[2] for s in sessions],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    raw = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP_NTZ, event_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(indir)
+        # watermark needs TIMESTAMP; session tz is pinned UTC so the cast
+        # is a pure re-tag (epoch values unchanged)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+    )
+    sessions = raw.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id BIGINT, sess_start_us BIGINT, sess_end_us BIGINT, n_events BIGINT"
+        ),
+        stateStructType="st BIGINT, en BIGINT, n BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = os.path.join(scratch, "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.schema(
+        "user_id BIGINT, sess_start_us BIGINT, sess_end_us BIGINT, n_events BIGINT"
+    ).parquet(out)
+    return got.filter(F.col("user_id") >= 0)
+
+
+register(
+    "stream_state_timeout_sessions",
+    stream_state_timeout_sessions,
+    # batch gaps-and-islands sessionization with the same 10-min gap
+    """WITH base AS (
+         SELECT user_id, epoch_us(ts)::BIGINT AS t FROM events),
+       marked AS (
+         SELECT user_id, t,
+                CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                          > 600000000
+                       OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM base),
+       islanded AS (
+         SELECT user_id, t,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sess
+         FROM marked)
+       SELECT user_id, min(t)::BIGINT AS sess_start_us,
+              max(t)::BIGINT AS sess_end_us, count(*)::BIGINT AS n_events
+       FROM islanded GROUP BY user_id, sess""",
+)

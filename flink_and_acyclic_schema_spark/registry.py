@@ -55,6 +55,9 @@ def _register_all() -> None:
     from .plans import round3h_ext  # noqa: F401
     from .plans import round3i_ext  # noqa: F401
     from .plans import round3j_ext  # noqa: F401
+    from .plans import round3k_ext  # noqa: F401
+    from .plans import round3l_ext  # noqa: F401
+    from .plans import round3m_ext  # noqa: F401
     from .plans import sql_ext  # noqa: F401
     from .plans import streaming_plans  # noqa: F401
 

@@ -110,3 +110,73 @@ try:  # Spark 4 streaming DataSource API
     SyntheticRowsSource.streamReader = _stream_reader
 except ImportError:  # pragma: no cover - older pyspark without the API
     pass
+
+
+# --- write-side DataSource (Spark 4 Python DataSource writer API) -----------
+try:
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    @dataclass
+    class _CsvCommit(WriterCommitMessage):
+        path: str
+        rows: int
+
+    class CsvDirWriter(DataSourceWriter):
+        """Executor-side writer: each task writes its partition's rows as one
+        CSV file under the target directory; commit() publishes a _SUCCESS
+        manifest listing the committed files (files from failed/retried
+        tasks are never listed — the manifest IS the committed snapshot,
+        the same two-phase-commit shape as Hadoop output committers)."""
+
+        def __init__(self, options) -> None:
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("csv_dir sink requires option 'path'")
+
+        def write(self, iterator):
+            import os
+            import uuid
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            fname = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.csv")
+            n = 0
+            with open(fname, "w") as fh:
+                for row in iterator:
+                    fh.write(",".join("" if v is None else str(v) for v in row) + "\n")
+                    n += 1
+            return _CsvCommit(path=fname, rows=n)
+
+        def commit(self, messages) -> None:
+            import os
+
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+                for m in messages:
+                    fh.write(f"{os.path.basename(m.path)},{m.rows}\n")
+
+        def abort(self, messages) -> None:
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class CsvDirSink(DataSource):
+        """`df.write.format("csv_dir").option("path", dir).save()` sink."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "csv_dir"
+
+        def writer(self, schema, overwrite: bool) -> "CsvDirWriter":
+            return CsvDirWriter(self.options)
+
+    def register_csv_dir_sink(spark) -> None:
+        spark.dataSource.register(CsvDirSink)
+
+except ImportError:  # pragma: no cover - older pyspark without the writer API
+    register_csv_dir_sink = None

@@ -152,6 +152,8 @@ def test_all_batch_plans_stay_sane(spark):
         "quantile_normalize_by_source",
         # 1-row broadcast of the corpus min-date snapshot-window bound
         "scd2_daily_snapshot",
+        # 1-row broadcast of the corpus max-date age anchor
+        "scalar_interval_arithmetic",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
