@@ -154,6 +154,8 @@ def test_all_batch_plans_stay_sane(spark):
         "scd2_daily_snapshot",
         # 1-row broadcast of the corpus max-date age anchor
         "scalar_interval_arithmetic",
+        # 1-row broadcast of the max-key anchor for synthetic CDC inserts
+        "merge_into_emulation",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
@@ -403,3 +405,28 @@ def test_scratch_gc_reaps_dead_pid_dirs(tmp_path, monkeypatch):
     assert not dead.exists(), "dead-pid dir not reaped"
     assert live.exists(), "live-pid dir must survive"
     assert os.path.isdir(d)
+
+
+def test_csv_dir_sink_abort_cleans_up(tmp_path):
+    """The write-side Python DataSource's abort() must remove files written
+    by failed tasks so a retried job can't double-count (two-phase commit
+    discipline; the happy path is oracle-gated as sink_python_datasource)."""
+    from flink_and_acyclic_schema_spark.sources.pydatasource import (
+        CsvDirWriter,
+        _CsvCommit,
+    )
+
+    out = tmp_path / "sink"
+    out.mkdir()
+    f = out / "part-orphan.csv"
+    f.write_text("1,x\n")
+    w = CsvDirWriter({"path": str(out)})
+    w.abort([_CsvCommit(path=str(f), rows=1), None])
+    assert not f.exists()
+    # commit() publishes only the listed files
+    g = out / "part-good.csv"
+    g.write_text("2,y\n")
+    w.commit([_CsvCommit(path=str(g), rows=1)])
+    manifest = (out / "_SUCCESS").read_text()
+    assert "part-good.csv,1" in manifest and "orphan" not in manifest
+
