@@ -77,13 +77,18 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _KMV_K)
 
     def est(df: DataFrame, name: str) -> DataFrame:
+        # small-set regime: a sketch holding fewer than k hashes IS the whole
+        # set — the k-th-value estimator is undefined there, the exact count
+        # is the (zero-error) estimate
         sk = bottomk(df)
         return sk.agg(
-            (
-                F.lit(float(_KMV_K - 1))
-                * F.lit(_KMV_DOMAIN)
-                / F.max("h").cast("double")
-            ).alias(name)
+            F.when(
+                F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)).cast("double")
+            )
+            .otherwise(
+                F.lit(float(_KMV_K - 1)) * F.lit(_KMV_DOMAIN) / F.max("h").cast("double")
+            )
+            .alias(name)
         )
 
     sk_u = bottomk(u)
@@ -95,12 +100,15 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
             ).alias("k_both"),
             F.max("h").cast("double").alias("hk_u"),
+            F.count(F.lit(1)).alias("cnt_u"),
         )
         .select(
             (
                 F.col("k_both").cast("double")
-                / F.lit(float(_KMV_K))
-                * (F.lit(float(_KMV_K - 1)) * F.lit(_KMV_DOMAIN) / F.col("hk_u"))
+                / F.col("cnt_u").cast("double")
+                * F.when(F.col("cnt_u") < _KMV_K, F.col("cnt_u").cast("double")).otherwise(
+                    F.lit(float(_KMV_K - 1)) * F.lit(_KMV_DOMAIN) / F.col("hk_u")
+                )
             ).alias("est_inter")
         )
     )
@@ -145,20 +153,26 @@ register(
                WHERE rk <= {_KMV_K}),
        sku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rk FROM u)
                WHERE rk <= {_KMV_K}),
-       ea AS (SELECT {_KMV_K - 1}.0 * {_KMV_DOMAIN!r}::DOUBLE / max(h)::DOUBLE
-                     AS est_a FROM ska),
-       eb AS (SELECT {_KMV_K - 1}.0 * {_KMV_DOMAIN!r}::DOUBLE / max(h)::DOUBLE
-                     AS est_b FROM skb),
-       eu AS (SELECT {_KMV_K - 1}.0 * {_KMV_DOMAIN!r}::DOUBLE / max(h)::DOUBLE
-                     AS est_union FROM sku),
+       ea AS (SELECT CASE WHEN count(*) < {_KMV_K} THEN count(*)::DOUBLE
+                          ELSE {_KMV_K - 1}.0 * {_KMV_DOMAIN!r}::DOUBLE
+                               / max(h)::DOUBLE END AS est_a FROM ska),
+       eb AS (SELECT CASE WHEN count(*) < {_KMV_K} THEN count(*)::DOUBLE
+                          ELSE {_KMV_K - 1}.0 * {_KMV_DOMAIN!r}::DOUBLE
+                               / max(h)::DOUBLE END AS est_b FROM skb),
+       eu AS (SELECT CASE WHEN count(*) < {_KMV_K} THEN count(*)::DOUBLE
+                          ELSE {_KMV_K - 1}.0 * {_KMV_DOMAIN!r}::DOUBLE
+                               / max(h)::DOUBLE END AS est_union FROM sku),
        marks AS (
          SELECT sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
                          THEN 1 ELSE 0 END) AS k_both,
-                max(sku.h)::DOUBLE AS hk_u
+                max(sku.h)::DOUBLE AS hk_u,
+                count(*) AS cnt_u
          FROM sku LEFT JOIN a ON sku.h = a.h LEFT JOIN b ON sku.h = b.h),
        ei AS (
-         SELECT k_both::DOUBLE / {_KMV_K}.0
-                * ({_KMV_K - 1}.0 * {_KMV_DOMAIN!r}::DOUBLE / hk_u) AS est_inter
+         SELECT k_both::DOUBLE / cnt_u::DOUBLE
+                * (CASE WHEN cnt_u < {_KMV_K} THEN cnt_u::DOUBLE
+                        ELSE {_KMV_K - 1}.0 * {_KMV_DOMAIN!r}::DOUBLE / hk_u END)
+                  AS est_inter
          FROM marks),
        ex AS (
          SELECT sum(ia)::BIGINT AS exact_a, sum(ib)::BIGINT AS exact_b,
