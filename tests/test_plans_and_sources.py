@@ -161,6 +161,11 @@ def test_all_batch_plans_stay_sane(spark):
         "label_noise_cluster_vote",
         # crossJoin of the two 1-row treatment/control moment aggregates
         "ab_test_welch_t",
+        # 1-row broadcast of the total-positives anchor for recall
+        "ml_precision_recall_at_k",
+        # broadcast centroid table joined without an equi key by design
+        # (IVF assignment + probe ranking, like sim_ivf_topk)
+        "sim_ivf_multiprobe_topk",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
