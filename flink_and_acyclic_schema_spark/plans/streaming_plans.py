@@ -2305,3 +2305,156 @@ register(
               max(t)::BIGINT AS sess_end_us, count(*)::BIGINT AS n_events
        FROM islanded GROUP BY user_id, sess""",
 )
+
+
+def stream_minhash_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dedup with a persisted MinHash/LSH index — the
+    incremental-view-maintenance discipline (the reference's whole point,
+    DataFlow.java:26-61) applied to the LLM-pipeline's hardest operator:
+    documents arrive in three doc_id-ordered micro-batches; each batch (1)
+    computes its 64-perm signatures, (2) probes the PERSISTED signature
+    index via the banded equi-join for earlier-corpus candidates, (3)
+    self-probes its own bands for earlier-in-batch candidates, (4) verifies
+    exact estimated Jaccard (matches/64 >= 0.5) only on candidates, emits
+    one verdict per doc (earliest matching predecessor or NULL), and (5)
+    appends its signatures to the index. Per-batch work is O(batch bands ⋈
+    index) — the corpus is NEVER rescanned. The oracle is the one-shot
+    batch formulation over all (a < b) banded pairs, so the final streamed
+    verdict table must equal what a full recompute would say —
+    prefix-closure for near-dedup.
+
+    At 100 TB the index is a bucketed table on (band, sig), ~0.5 KB/doc;
+    a day's ingest probes and appends without touching history.
+    """
+    scratch = _scratch("mhidx", sf_dir)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    import glob as _glob
+    import time as _time
+
+    wglob = Window.orderBy("doc_id")
+    ranked = docs.withColumn("_rn", F.row_number().over(wglob))
+    n_total = ranked.count()
+    cut = (n_total + 2) // 3
+    now = _time.time()
+    for i in range(3):
+        d = os.path.join(scratch, f"w{i}")
+        (
+            ranked.filter((F.col("_rn") > i * cut) & (F.col("_rn") <= (i + 1) * cut))
+            .drop("_rn")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        shutil.copy(
+            _glob.glob(os.path.join(d, "part-*.parquet"))[0],
+            os.path.join(indir, f"b{i}.parquet"),
+        )
+        os.utime(os.path.join(indir, f"b{i}.parquet"), (now + i, now + i))
+
+    from ..operators import dedup as _dd
+
+    state_dir = os.path.join(scratch, "mh_index")
+    out_dir = os.path.join(scratch, "verdicts")
+    mh_schema = "doc_id bigint, " + ", ".join(f"h{i} bigint" for i in range(_dd.N_MINHASH))
+
+    def probe_and_index(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        mh_b = _dd.minhash_signatures(batch).persist()
+        bands_b = _dd.lsh_bands(mh_b)
+        prev = os.path.join(state_dir, f"v{batch_id - 1}")
+        cands = (
+            bands_b.alias("a")
+            .join(
+                bands_b.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("b.doc_id") < F.col("a.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("d"), F.col("b.doc_id").alias("c"))
+        )
+        mh_all = mh_b
+        if os.path.isdir(prev):
+            mh_state = sp.read.schema(mh_schema).parquet(prev)
+            bands_state = _dd.lsh_bands(mh_state)
+            cands = cands.unionByName(
+                bands_b.alias("a")
+                .join(
+                    bands_state.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.sig") == F.col("b.sig")),
+                )
+                .select(F.col("a.doc_id").alias("d"), F.col("b.doc_id").alias("c"))
+            )
+            mh_all = mh_b.unionByName(mh_state)
+        cands = cands.distinct()
+        matches = sum(
+            (F.col(f"ma.h{i}") == F.col(f"mb.h{i}")).cast("int")
+            for i in range(_dd.N_MINHASH)
+        )
+        hits = (
+            cands.join(mh_b.alias("ma"), cands.d == F.col("ma.doc_id"))
+            .join(mh_all.alias("mb"), cands.c == F.col("mb.doc_id"))
+            .withColumn("est", matches / F.lit(float(_dd.N_MINHASH)))
+            .filter(F.col("est") >= 0.5)
+            .groupBy("d")
+            .agg(F.min("c").alias("near_dup_of"), F.count(F.lit(1)).alias("n_matches"))
+        )
+        (
+            batch.select("doc_id")
+            .join(hits, batch.doc_id == hits.d, "left")
+            .select(
+                "doc_id",
+                "near_dup_of",
+                F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        # index append: previous state + this batch's signatures
+        mh_all.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{batch_id}"))
+        mh_b.unpersist(False)
+
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(indir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(probe_and_index)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema("doc_id bigint, near_dup_of bigint, n_matches bigint").parquet(
+        out_dir
+    )
+
+
+from .llm import _EST_JACCARD_SQL as _EJ_SQL  # noqa: E402
+from .llm import _MH_CHAIN_CTE as _MH_CTE  # noqa: E402
+
+register(
+    "stream_minhash_dedup_index",
+    stream_minhash_dedup_index,
+    # the one-shot batch recompute over ALL earlier-doc banded pairs — the
+    # streamed verdicts must match it exactly (prefix closure)
+    f"""WITH {_MH_CTE},
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d, b.doc_id AS c
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND b.doc_id < a.doc_id),
+       est AS (
+         SELECT d, c, {_EJ_SQL}
+         FROM cand JOIN mh ma ON cand.d = ma.doc_id
+         JOIN mh mb ON cand.c = mb.doc_id),
+       hits AS (
+         SELECT d, min(c) AS near_dup_of, count(*) AS n_matches
+         FROM est WHERE est_jaccard >= 0.5 GROUP BY d)
+       SELECT doc_id, near_dup_of,
+              coalesce(n_matches, 0)::BIGINT AS n_matches
+       FROM documents LEFT JOIN hits ON documents.doc_id = hits.d""",
+)

@@ -166,6 +166,8 @@ def test_all_batch_plans_stay_sane(spark):
         # broadcast centroid table joined without an equi key by design
         # (IVF assignment + probe ranking, like sim_ivf_topk)
         "sim_ivf_multiprobe_topk",
+        # 20-row source pair scan + 1-row moment crossJoin (constant size)
+        "rank_correlation_report",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
