@@ -168,6 +168,8 @@ def test_all_batch_plans_stay_sane(spark):
         "sim_ivf_multiprobe_topk",
         # 20-row source pair scan + 1-row moment crossJoin (constant size)
         "rank_correlation_report",
+        # 1-row broadcast of the (total_rev, n_cust) anchors
+        "pareto_8020_concentration",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
