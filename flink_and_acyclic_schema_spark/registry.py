@@ -68,6 +68,7 @@ def _register_all() -> None:
     from .plans import round3u_ext  # noqa: F401
     from .plans import round3v_ext  # noqa: F401
     from .plans import round3w_ext  # noqa: F401
+    from .plans import round3x_ext  # noqa: F401
     from .plans import sql_ext  # noqa: F401
     from .plans import streaming_plans  # noqa: F401
 
