@@ -170,6 +170,18 @@ def test_all_batch_plans_stay_sane(spark):
         "rank_correlation_report",
         # 1-row broadcast of the (total_rev, n_cust) anchors
         "pareto_8020_concentration",
+        # 1-row broadcast of the global freshest-timestamp anchor
+        "dq_freshness_lag",
+        # 1-row broadcast of the (n_a, n_b) class totals for the CDF gap
+        "ml_ks_statistic",
+        # crossJoin of the 1-row agreement and chance-agreement aggregates
+        "ml_cohens_kappa",
+        # 1-row broadcast of the per-iteration max-score normalizer
+        "graph_hits_hubs_authorities",
+        # broadcast query-vector table joined without an equi key by design
+        # (brute-force scoring baseline, like sim_brute_topk)
+        "ml_knn_loo_report",
+        "ml_ndcg_at_k",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
