@@ -185,6 +185,10 @@ def test_all_batch_plans_stay_sane(spark):
         # 1-row broadcasts of the per-iteration max normalizer and the
         # top-component eigenvalue estimate
         "embedding_pca_top_component",
+        # 1-row broadcast of the total-path-count share denominator
+        "path_trigrams_topk",
+        # 1-row broadcast of the divisor-cardinality anchor
+        "relational_division",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
