@@ -182,6 +182,7 @@ def test_all_batch_plans_stay_sane(spark):
         # (brute-force scoring baseline, like sim_brute_topk)
         "ml_knn_loo_report",
         "ml_ndcg_at_k",
+        "embedding_triplet_margin_audit",
         # 1-row broadcasts of the per-iteration max normalizer and the
         # top-component eigenvalue estimate
         "embedding_pca_top_component",
