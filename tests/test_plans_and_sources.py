@@ -190,6 +190,8 @@ def test_all_batch_plans_stay_sane(spark):
         "path_trigrams_topk",
         # 1-row broadcast of the divisor-cardinality anchor
         "relational_division",
+        # 1-row broadcast of the total-revenue anchor for the class cuts
+        "inventory_abc_classification",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
