@@ -77,6 +77,7 @@ def _register_all() -> None:
     from .plans import round3ad_ext  # noqa: F401
     from .plans import round3ae_ext  # noqa: F401
     from .plans import round3af_ext  # noqa: F401
+    from .plans import round3ag_ext  # noqa: F401
     from .plans import sql_ext  # noqa: F401
     from .plans import streaming_plans  # noqa: F401
 

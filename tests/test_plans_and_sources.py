@@ -192,6 +192,8 @@ def test_all_batch_plans_stay_sane(spark):
         "relational_division",
         # 1-row broadcast of the total-revenue anchor for the class cuts
         "inventory_abc_classification",
+        # 1-row broadcast of the corpus max-date "now" anchor
+        "churn_risk_overdue_customers",
     }
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(("stream_", "incremental_")):
