@@ -1,0 +1,254 @@
+"""Continuous acyclic-tree queries maintained by the GENERIC IVM engine
+(streaming/acyclic.py) — round 4's deepening of the reference's thesis.
+
+The reference demonstrates incremental maintenance for exactly one acyclic
+query (TPC-H Q10, hand-compiled — ref DataFlow.java:26-61). These plans show
+the same engine code maintaining OTHER acyclic FK-tree aggregates from a
+declarative spec, over a real Structured Streaming changelog with inserts,
+duplicate inserts, and deletes arriving across micro-batches:
+
+- ``incremental_q3_stream``  — continuous TPC-H Q3 (path tree, filters on all
+  three relations)
+- ``incremental_q18_stream`` — continuous TPC-H Q18 (result-time HAVING on the
+  maintained SUM — the predicate can flip both ways under deletes)
+- ``incremental_star_stream``— branching tree: lineitem with THREE children
+  (orders / part / supplier), which the sequential decomposition handles
+  because each relation joins a column of ANY earlier relation, not just the
+  immediately previous one
+
+Each oracle recomputes the final state from the net multiplicities the
+chunk generator induces (m = 1 + dup - del per key), so the streamed
+maintained state is hash-compared against a from-scratch SQL recompute —
+the Cquirrel prefix-correctness property as an equality check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..registry import register
+from ..streaming.acyclic import AcyclicQuerySpec, RelSpec
+from ..streaming.delta_transport import (
+    DeltaGen,
+    generate_delta_chunks,
+    run_acyclic_delta_stream,
+)
+from .streaming_plans import _scratch
+
+
+def _run(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    spec: AcyclicQuerySpec,
+    gens: tuple[DeltaGen, ...],
+) -> DataFrame:
+    scratch = _scratch(tag, sf_dir)
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+    return run_acyclic_delta_stream(spark, spec, delta_dir, schema, scratch, rel_columns)
+
+
+def _revenue() -> F.Column:
+    return dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+
+
+# --- continuous Q3 (path: lineitem -> orders -> customer) --------------------
+def incremental_q3_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec(
+                "lineitem",
+                delta_filter=lambda d: d.filter(
+                    F.col("l_shipdate") > F.lit("1995-06-15").cast("timestamp_ntz")
+                ),
+            ),
+            RelSpec(
+                "orders",
+                join_on=("o_orderkey", "l_orderkey"),
+                delta_filter=lambda d: d.filter(
+                    F.col("o_orderdate") < F.lit("1995-06-15").cast("timestamp_ntz")
+                ),
+            ),
+            RelSpec(
+                "customer",
+                join_on=("c_custkey", "o_custkey"),
+                delta_filter=lambda d: d.filter(F.col("c_mktsegment") == "BUILDING"),
+            ),
+        ),
+        group_by=("l_orderkey", "o_orderdate", "o_orderpriority"),
+        measures={"revenue": _revenue},
+        finalize=lambda df: df.select(
+            "l_orderkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        ),
+    )
+    gens = (
+        DeltaGen(
+            "lineitem",
+            "l_orderkey",
+            ("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"),
+            dup_mod=5,
+            del_mod=7,
+        ),
+        DeltaGen(
+            "orders",
+            "o_orderkey",
+            ("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+            dup_mod=3,
+            del_mod=7,
+        ),
+        DeltaGen("customer", "c_custkey", ("c_custkey", "c_mktsegment"), del_mod=11),
+    )
+    return _run(spark, sf_dir, "ivm_q3", spec, gens)
+
+
+register(
+    "incremental_q3_stream",
+    incremental_q3_stream,
+    """WITH li AS (
+         SELECT *, 1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
+         FROM lineitem),
+       o AS (
+         SELECT *, 1 + (o_orderkey % 3 = 0)::INT - (o_orderkey % 7 = 0)::INT AS m
+         FROM orders),
+       c AS (
+         SELECT *, 1 - (c_custkey % 11 = 0)::INT AS m FROM customer)
+       SELECT l_orderkey,
+              sum(li.m * o.m * c.m * l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS revenue,
+              o_orderdate, o_orderpriority
+       FROM li JOIN o ON l_orderkey = o_orderkey
+       JOIN c ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1995-06-15'
+         AND l_shipdate > TIMESTAMP '1995-06-15'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       HAVING sum(li.m * o.m * c.m) > 0""",
+)
+
+
+# --- continuous Q18 (HAVING over the maintained aggregate) -------------------
+def incremental_q18_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("lineitem"),
+            RelSpec("orders", join_on=("o_orderkey", "l_orderkey")),
+            RelSpec("customer", join_on=("c_custkey", "o_custkey")),
+        ),
+        group_by=("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"),
+        measures={"total_qty": lambda: dec("l_quantity")},
+        # evaluated at emission over maintained state — a delete can push a
+        # group back under the threshold and it drops out, exactly as a
+        # from-scratch recompute would
+        having=lambda: F.col("total_qty") > 150,
+        finalize=lambda df: df.withColumn(
+            "total_qty", F.col("total_qty").cast("double")
+        ),
+    )
+    gens = (
+        DeltaGen(
+            "lineitem",
+            "l_orderkey",
+            ("l_orderkey", "l_quantity"),
+            dup_mod=4,
+            del_mod=6,
+        ),
+        DeltaGen(
+            "orders",
+            "o_orderkey",
+            ("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+            del_mod=9,
+        ),
+        DeltaGen("customer", "c_custkey", ("c_custkey", "c_name")),
+    )
+    return _run(spark, sf_dir, "ivm_q18", spec, gens)
+
+
+register(
+    "incremental_q18_stream",
+    incremental_q18_stream,
+    """WITH li AS (
+         SELECT *, 1 + (l_orderkey % 4 = 0)::INT - (l_orderkey % 6 = 0)::INT AS m
+         FROM lineitem),
+       o AS (
+         SELECT *, 1 - (o_orderkey % 9 = 0)::INT AS m FROM orders)
+       SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+              sum(li.m * o.m * l_quantity::DECIMAL(12,4))::DOUBLE AS total_qty
+       FROM li JOIN o ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+       HAVING sum(li.m * o.m) > 0
+          AND sum(li.m * o.m * l_quantity::DECIMAL(12,4)) > 150""",
+)
+
+
+# --- continuous star rollup (branching tree around lineitem) -----------------
+def incremental_star_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec(
+                "lineitem",
+                delta_filter=lambda d: d.filter(F.col("l_quantity") > 5),
+            ),
+            RelSpec(
+                "orders",
+                join_on=("o_orderkey", "l_orderkey"),
+                delta_filter=lambda d: d.filter(
+                    F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+                ),
+            ),
+            # both join lineitem columns — branches, not a path
+            RelSpec("part", join_on=("p_partkey", "l_partkey")),
+            RelSpec("supplier", join_on=("s_suppkey", "l_suppkey")),
+        ),
+        group_by=("p_brand", "s_nationkey"),
+        measures={"revenue": _revenue},
+        finalize=lambda df: df.withColumn("revenue", F.col("revenue").cast("double")),
+    )
+    gens = (
+        DeltaGen(
+            "lineitem",
+            "l_orderkey",
+            (
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ),
+            dup_mod=5,
+            del_mod=7,
+        ),
+        DeltaGen("orders", "o_orderkey", ("o_orderkey", "o_orderdate"), del_mod=7),
+        DeltaGen("part", "p_partkey", ("p_partkey", "p_brand")),
+        DeltaGen("supplier", "s_suppkey", ("s_suppkey", "s_nationkey")),
+    )
+    return _run(spark, sf_dir, "ivm_star", spec, gens)
+
+
+register(
+    "incremental_star_stream",
+    incremental_star_stream,
+    """WITH li AS (
+         SELECT *, 1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
+         FROM lineitem),
+       o AS (
+         SELECT *, 1 - (o_orderkey % 7 = 0)::INT AS m FROM orders)
+       SELECT p_brand, s_nationkey,
+              sum(li.m * o.m * l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS revenue
+       FROM li JOIN o ON l_orderkey = o_orderkey
+       JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       WHERE l_quantity > 5 AND o_orderdate >= TIMESTAMP '1995-01-01'
+       GROUP BY p_brand, s_nationkey
+       HAVING sum(li.m * o.m) > 0""",
+)

@@ -80,6 +80,7 @@ def _register_all() -> None:
     from .plans import round3ag_ext  # noqa: F401
     from .plans import sql_ext  # noqa: F401
     from .plans import streaming_plans  # noqa: F401
+    from .plans import ivm_ext  # noqa: F401  (round 4: generic acyclic IVM)
 
 
 _register_all()

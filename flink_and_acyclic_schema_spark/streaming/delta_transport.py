@@ -1,0 +1,149 @@
+"""Typed weighted-delta transport for the generic acyclic IVM engine.
+
+The reference streams ONE multiplexed text file with 7-char ``Add*/Sub*``
+headers and per-relation string parsing (ref DataFlow.java:37, 63-119) —
+covered 1:1 by sources/changelog_source.py for continuous Q10. For every
+OTHER acyclic query (continuous Q3/Q18/star-schema rollups) the changelog is
+instead carried as typed parquet: each chunk file holds rows of a wide union
+schema ``rel STRING, weight INT, <union of all relation columns>`` (NULL where
+a column doesn't belong to the row's relation). That keeps timestamps and
+doubles exact end-to-end (no string round-trip), lets the streaming file
+source do the micro-batching, and splits back into per-relation deltas with
+four filtered projections — the same demux-as-projection pattern as the text
+parser.
+
+Chunk assignment hashes the row key, so a delete may arrive in a DIFFERENT
+micro-batch than its insert — the signed-weight algebra is order-independent
+(prefix-closure property, tests/test_changelog_properties.py), so the final
+maintained state is reproducible regardless of file pickup order.
+
+Deterministic multiplicity discipline (mirrored term-for-term by each
+query's DuckDB oracle SQL):
+
+    +1  every base row
+    +1  duplicate insert where key % dup_mod == 0   (arrives one chunk later)
+    -1  delete           where key % del_mod == 0   (arrives two chunks later)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..tables import load
+from .acyclic import AcyclicQuerySpec, IncrementalAcyclicQuery
+
+
+@dataclass(frozen=True)
+class DeltaGen:
+    """Changelog recipe for one relation: which columns ride the stream and
+    which rows get duplicated / deleted (None = pure inserts)."""
+
+    table: str
+    key: str
+    columns: tuple[str, ...]
+    dup_mod: int | None = None
+    del_mod: int | None = None
+
+
+def generate_delta_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    gens: Sequence[DeltaGen],
+    n_chunks: int = 4,
+) -> tuple[str, StructType]:
+    """Write the union changelog as ``n_chunks`` single-file parquet chunks
+    (one micro-batch each under ``maxFilesPerTrigger=1``); returns the chunk
+    dir and the wide schema for the streaming reader."""
+    parts: list[DataFrame] = []
+    for g in gens:
+        df = load(spark, sf_dir, g.table).select(*g.columns)
+        key = F.col(g.key)
+        tagged = lambda w, shift: (  # noqa: E731 — tiny local closure
+            F.lit(g.table).alias("rel"),
+            F.lit(w).alias("weight"),
+            ((key + shift) % n_chunks).cast("int").alias("chunk"),
+        )
+        parts.append(df.select(*tagged(1, 0), *g.columns))
+        if g.dup_mod is not None:
+            parts.append(
+                df.filter(key % g.dup_mod == 0).select(*tagged(1, 1), *g.columns)
+            )
+        if g.del_mod is not None:
+            parts.append(
+                df.filter(key % g.del_mod == 0).select(*tagged(-1, 2), *g.columns)
+            )
+    wide = parts[0]
+    for p in parts[1:]:
+        wide = wide.unionByName(p, allowMissingColumns=True)
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    for i in range(n_chunks):
+        tmp = os.path.join(out_dir, f"_tmp{i}")
+        wide.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(part, os.path.join(out_dir, f"chunk{i}.parquet"))
+        shutil.rmtree(tmp)
+    schema = wide.drop("chunk").schema
+    return out_dir, schema
+
+
+def split_deltas(
+    batch: DataFrame, rel_columns: Mapping[str, Sequence[str]]
+) -> dict[str, DataFrame]:
+    """Demux one wide micro-batch into per-relation weighted deltas — filtered
+    projections, exactly like the text parser (changelog_source.py:35). Every
+    spec relation is always present (possibly empty), so the engine's state
+    schemas are pinned from batch 0 regardless of chunk contents."""
+    return {
+        rel: batch.filter(F.col("rel") == rel).select(*cols, "weight")
+        for rel, cols in rel_columns.items()
+    }
+
+
+def run_acyclic_delta_stream(
+    spark: SparkSession,
+    spec: AcyclicQuerySpec,
+    delta_dir: str,
+    schema: StructType,
+    scratch_dir: str,
+    rel_columns: Mapping[str, Sequence[str]],
+) -> DataFrame:
+    """Real Structured Streaming wiring for any AcyclicQuerySpec: parquet file
+    source over the chunk dir, one file per micro-batch, IVM merge in
+    foreachBatch, availableNow trigger. Returns the final maintained result
+    as a batch DataFrame. Zero driver-side data reads — the driver only
+    coordinates (mirrors run_incremental_q10_stream)."""
+    engine = IncrementalAcyclicQuery(spark, os.path.join(scratch_dir, "state"), spec)
+    ckpt = os.path.join(scratch_dir, "ckpt")
+    if os.path.exists(ckpt):
+        shutil.rmtree(ckpt)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        engine.process_batch(split_deltas(batch, rel_columns), batch_id)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return engine.result()

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
 from ..sources.changelog_source import parse_changelog
+from .acyclic import AcyclicQuerySpec, IncrementalAcyclicQuery, RelSpec
 
 STATE_RELS = ("lineitem", "orders", "customer", "nation")
 GROUP_COLS = ("c_custkey", "c_name", "c_acctbal", "n_name")
@@ -43,128 +44,54 @@ Q10_LO = "1995-10-01"
 Q10_HI = "1996-01-01"
 
 
-def _filters(
-    tables: dict[str, DataFrame], lo: str = Q10_LO, hi: str = Q10_HI
-) -> dict[str, DataFrame]:
-    """Push the Q10 filters to the changelog edge (state stays minimal)."""
-    out = dict(tables)
-    out["lineitem"] = tables["lineitem"].filter(F.col("l_returnflag") == "R")
-    out["orders"] = tables["orders"].filter(
-        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+def q10_spec(lo: str = Q10_LO, hi: str = Q10_HI) -> AcyclicQuerySpec:
+    """TPC-H Q10 as ONE declarative tree spec — the query the reference
+    hand-compiles into five ProcessFunctions (DataFlow.java:26-61) and this
+    repo used to hand-wire in ~60 lines of joins. Relations in leaf-to-root
+    order (lineitem→orders→customer→nation), filters at the edge (ref ops
+    #8/#10), nation broadcast (25 rows)."""
+    return AcyclicQuerySpec(
+        relations=(
+            RelSpec(
+                "lineitem",
+                delta_filter=lambda d: d.filter(F.col("l_returnflag") == "R"),
+            ),
+            RelSpec(
+                "orders",
+                join_on=("o_orderkey", "l_orderkey"),
+                delta_filter=lambda d: d.filter(
+                    (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+                    & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+                ),
+            ),
+            RelSpec("customer", join_on=("c_custkey", "o_custkey")),
+            RelSpec(
+                "nation", join_on=("n_nationkey", "c_nationkey"), broadcast_state=True
+            ),
+        ),
+        group_by=GROUP_COLS,
+        measures={
+            "revenue": lambda: dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+        },
+        finalize=lambda df: df.select(
+            *GROUP_COLS, F.col("revenue").cast("double").alias("revenue")
+        ),
     )
-    return out
 
 
 class IncrementalQ10:
-    """Weight-algebra IVM state machine; one instance per maintained query."""
+    """Continuous Q10 over the reference's multiplexed changelog text format —
+    now a thin parse shim over the generic ``IncrementalAcyclicQuery`` engine
+    (the Q10-specific part is just ``q10_spec()`` + ``parse_changelog``)."""
 
     def __init__(self, spark: SparkSession, state_dir: str, lo: str = Q10_LO, hi: str = Q10_HI):
-        self.spark = spark
-        self.state_dir = state_dir
-        self.lo, self.hi = lo, hi
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.makedirs(state_dir)
-        self._version = 0
+        self._engine = IncrementalAcyclicQuery(spark, state_dir, q10_spec(lo, hi))
 
-    # --- state I/O ----------------------------------------------------------
-    def _path(self, rel: str) -> str:
-        return os.path.join(self.state_dir, f"{rel}_v{self._version}")
-
-    def _read(self, rel: str, template: DataFrame) -> DataFrame:
-        p = self._path(rel)
-        if not os.path.exists(p):
-            return template.limit(0)
-        return self.spark.read.parquet(p)
-
-    @staticmethod
-    def _merge(state: DataFrame, delta: DataFrame) -> DataFrame:
-        """Net-weight merge; rows vanish when their weight sums to zero."""
-        cols = [c for c in state.columns if c != "weight"]
-        return (
-            state.unionByName(delta)
-            .groupBy(*cols)
-            .agg(F.sum("weight").alias("weight"))
-            .filter(F.col("weight") != 0)
-        )
-
-    # --- one micro-batch ----------------------------------------------------
     def process_batch(self, batch_lines: DataFrame, batch_id: int | None = None) -> None:
-        deltas = _filters(parse_changelog(batch_lines), self.lo, self.hi)
-        old = {r: self._read(r, deltas[r]) for r in STATE_RELS}
-        new = {r: self._merge(old[r], deltas[r]) for r in STATE_RELS}
+        self._engine.process_batch(parse_changelog(batch_lines), batch_id)
 
-        def j(li, o, c, n):
-            return (
-                li.withColumnRenamed("weight", "w_l")
-                .join(
-                    o.withColumnRenamed("weight", "w_o"),
-                    F.col("l_orderkey") == F.col("o_orderkey"),
-                )
-                .join(
-                    c.withColumnRenamed("weight", "w_c"),
-                    F.col("o_custkey") == F.col("c_custkey"),
-                )
-                .join(
-                    F.broadcast(n.withColumnRenamed("weight", "w_n")),
-                    F.col("c_nationkey") == F.col("n_nationkey"),
-                )
-                .withColumn("w", F.col("w_l") * F.col("w_o") * F.col("w_c") * F.col("w_n"))
-            )
-
-        dj = (
-            j(deltas["lineitem"], old["orders"], old["customer"], old["nation"])
-            .unionByName(j(new["lineitem"], deltas["orders"], old["customer"], old["nation"]))
-            .unionByName(j(new["lineitem"], new["orders"], deltas["customer"], old["nation"]))
-            .unionByName(j(new["lineitem"], new["orders"], new["customer"], deltas["nation"]))
-        )
-        agg_delta = dj.groupBy(*GROUP_COLS).agg(
-            F.sum(
-                F.col("w") * dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
-            ).alias("revenue_d"),
-            F.sum("w").alias("support_d"),
-        )
-
-        agg_template = agg_delta.select(
-            *GROUP_COLS,
-            F.col("revenue_d").alias("revenue"),
-            F.col("support_d").alias("support"),
-        )
-        agg_old = self._read("agg", agg_template)
-        agg_new = (
-            agg_old.unionByName(
-                agg_delta.select(
-                    *GROUP_COLS,
-                    F.col("revenue_d").alias("revenue"),
-                    F.col("support_d").alias("support"),
-                )
-            )
-            .groupBy(*GROUP_COLS)
-            .agg(F.sum("revenue").alias("revenue"), F.sum("support").alias("support"))
-            .filter(F.col("support") != 0)
-        )
-
-        # write next version, then advance (avoids read/overwrite of same path)
-        nxt = self._version + 1
-        for rel, df in {**new, "agg": agg_new}.items():
-            df.write.mode("overwrite").parquet(
-                os.path.join(self.state_dir, f"{rel}_v{nxt}")
-            )
-        prev = self._version
-        self._version = nxt
-        for rel in (*STATE_RELS, "agg"):
-            p = os.path.join(self.state_dir, f"{rel}_v{prev}")
-            if os.path.exists(p):
-                shutil.rmtree(p)
-
-    # --- result -------------------------------------------------------------
     def result(self) -> DataFrame:
-        p = os.path.join(self.state_dir, f"agg_v{self._version}")
-        agg = self.spark.read.parquet(p)
-        return agg.filter(F.col("support") > 0).select(
-            *GROUP_COLS, F.col("revenue").cast("double").alias("revenue")
-        )
+        return self._engine.result()
 
 
 class IncrementalGroupAgg:

@@ -1,0 +1,199 @@
+"""Tests for the GENERIC acyclic-tree IVM engine (streaming/acyclic.py) —
+the declarative generalization of the reference's hand-compiled Q10 dataflow
+(ref DataFlow.java:26-61).
+
+Core property: **prefix-closure** — folding the changelog through the engine
+in ANY batch split yields exactly the state a from-scratch recompute over the
+net rows produces. This is the Cquirrel correctness claim, checked here on a
+branching 3-relation tree with inserts, duplicate inserts, and deletes
+arriving across batches (hypothesis picks the splits), plus targeted cases
+the random splits may miss: delete-before-insert across batches, relations
+absent from a batch, and result-time HAVING flipping both ways.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_and_acyclic_schema_spark.streaming.acyclic import (
+    AcyclicQuerySpec,
+    IncrementalAcyclicQuery,
+    RelSpec,
+)
+
+# --- tiny branching tree: fact(k_dim1, k_dim2, v) with two dimension parents -
+FACT_SCHEMA = "k1 int, k2 int, v int, weight int"
+DIM1_SCHEMA = "d1 int, name1 string, weight int"
+DIM2_SCHEMA = "d2 int, name2 string, weight int"
+
+SPEC = AcyclicQuerySpec(
+    relations=(
+        RelSpec("fact"),
+        RelSpec("dim1", join_on=("d1", "k1"), broadcast_state=True),
+        # joins fact, not dim1 — a branch
+        RelSpec("dim2", join_on=("d2", "k2"), broadcast_state=True),
+    ),
+    group_by=("name1", "name2"),
+    measures={"total": lambda: F.col("v")},
+)
+
+DIM1 = [(i, f"a{i}", 1) for i in range(3)]
+DIM2 = [(i, f"b{i}", 1) for i in range(3)]
+
+
+def _engine(spark, tmp_path, spec=SPEC):
+    return IncrementalAcyclicQuery(spark, str(tmp_path / f"s{uuid.uuid4().hex[:8]}"), spec)
+
+
+def _result_map(df):
+    return {(r["name1"], r["name2"]): r["total"] for r in df.collect()}
+
+
+def _model(fact_ops):
+    """Plain-Python recompute: net fact multiset joined to the static dims."""
+    from collections import Counter
+
+    net: Counter = Counter()
+    for k1, k2, v, w in fact_ops:
+        net[(k1, k2, v)] += w
+    out: Counter = Counter()
+    support: Counter = Counter()
+    for (k1, k2, v), m in net.items():
+        if 0 <= k1 < 3 and 0 <= k2 < 3:
+            out[(f"a{k1}", f"b{k2}")] += m * v
+            support[(f"a{k1}", f"b{k2}")] += m
+    return {g: out[g] for g in out if support[g] > 0}
+
+
+FACT_OPS = st.lists(
+    st.tuples(
+        st.integers(0, 2), st.integers(0, 2), st.integers(1, 5), st.sampled_from([1, -1])
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=FACT_OPS, split=st.integers(0, 16))
+def test_prefix_closure_any_split(spark, tmp_path_factory, ops, split):
+    """Engine state after feeding (prefix, suffix) == recompute over net rows,
+    for every split hypothesis chooses — including empty halves."""
+    tmp = tmp_path_factory.mktemp("ivm")
+    eng = _engine(spark, tmp)
+    split = min(split, len(ops))
+    halves = [ops[:split], ops[split:]]
+    # batch 0 must introduce every relation; dims ride along with it
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(halves[0] or [], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        }
+    )
+    # batch 1 only carries the fact delta — dim states must persist untouched
+    eng.process_batch({"fact": spark.createDataFrame(halves[1] or [], FACT_SCHEMA)})
+    assert _result_map(eng.result()) == _model(ops)
+
+
+def test_delete_before_insert_across_batches(spark, tmp_path):
+    """A delete arriving BEFORE its insert (different micro-batches) must
+    cancel exactly — the case the reference's Alive/Dead tags get wrong
+    (SURVEY.md §8 B2). Requires negative net weights to survive in state."""
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame([(0, 0, 10, -1)], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        }
+    )
+    eng.process_batch({"fact": spark.createDataFrame([(0, 0, 10, 1)], FACT_SCHEMA)})
+    assert _result_map(eng.result()) == {}
+    # and a second insert resurrects the group
+    eng.process_batch({"fact": spark.createDataFrame([(0, 0, 10, 1)], FACT_SCHEMA)})
+    assert _result_map(eng.result()) == {("a0", "b0"): 10}
+
+
+def test_dim_delete_retracts_downstream(spark, tmp_path):
+    """Deleting a dimension row retracts every joined fact from the aggregate
+    — delta propagation through the tree, not just the fact relation."""
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame([(0, 0, 7, 1), (1, 0, 3, 1)], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        }
+    )
+    assert _result_map(eng.result()) == {("a0", "b0"): 7, ("a1", "b0"): 3}
+    eng.process_batch({"dim1": spark.createDataFrame([(0, "a0", -1)], DIM1_SCHEMA)})
+    assert _result_map(eng.result()) == {("a1", "b0"): 3}
+
+
+def test_having_flips_both_ways(spark, tmp_path):
+    """Result-time HAVING over the maintained measure: inserts push a group
+    over the threshold, deletes push it back under (continuous Q18 shape)."""
+    spec = AcyclicQuerySpec(
+        relations=SPEC.relations,
+        group_by=SPEC.group_by,
+        measures=SPEC.measures,
+        having=lambda: F.col("total") > 10,
+    )
+    eng = _engine(spark, tmp_path, spec)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame([(0, 0, 6, 1)], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        }
+    )
+    assert _result_map(eng.result()) == {}  # 6 <= 10: group alive but gated
+    eng.process_batch({"fact": spark.createDataFrame([(0, 0, 5, 1)], FACT_SCHEMA)})
+    assert _result_map(eng.result()) == {("a0", "b0"): 11}
+    eng.process_batch({"fact": spark.createDataFrame([(0, 0, 5, -1)], FACT_SCHEMA)})
+    assert _result_map(eng.result()) == {}
+
+
+def test_delta_filter_gates_state(spark, tmp_path):
+    """Ingest-time filters keep filtered-out rows from ever entering state —
+    the reference's alive-gating state-size property (σ at the edge)."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("fact", delta_filter=lambda d: d.filter(F.col("v") >= 5)),
+            RelSpec("dim1", join_on=("d1", "k1")),
+            RelSpec("dim2", join_on=("d2", "k2")),
+        ),
+        group_by=SPEC.group_by,
+        measures=SPEC.measures,
+    )
+    eng = _engine(spark, tmp_path, spec)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame([(0, 0, 4, 1), (0, 0, 5, 1)], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        }
+    )
+    assert _result_map(eng.result()) == {("a0", "b0"): 5}
+    state = eng._read_state("fact")
+    assert state.filter(F.col("v") < 5).count() == 0
+
+
+def test_spec_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="join_on=None"):
+        AcyclicQuerySpec(
+            relations=(RelSpec("a", join_on=("x", "y")),), group_by=("g",)
+        )
+    with pytest.raises(ValueError, match="needs join_on"):
+        AcyclicQuerySpec(relations=(RelSpec("a"), RelSpec("b")), group_by=("g",))
+    with pytest.raises(ValueError, match="duplicate"):
+        AcyclicQuerySpec(
+            relations=(RelSpec("a"), RelSpec("a", join_on=("x", "y"))), group_by=("g",)
+        )
