@@ -37,11 +37,12 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: binaryFile scans parallelize per file; the md5 is
     partition-local; nothing shuffles until the (tiny) result.
     """
+    from .streaming_plans import _scratch
+
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _BINFILES_N)
-    out = os.path.join(
-        os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch"),
-        f"binfiles_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # pid+counter-scoped scratch (with dead-pid GC) — a fixed dir would let
+    # two concurrent runs at the same sf overwrite each other mid-read
+    out = os.path.join(_scratch("binfiles", sf_dir), "files")
     docs.select("doc_id", "text").repartition(1).write.mode("overwrite").partitionBy(
         "doc_id"
     ).text(out)

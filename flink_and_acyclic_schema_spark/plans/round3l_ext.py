@@ -75,7 +75,24 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sssp_oracle() -> str:
-    return f"""WITH RECURSIVE
+    # Bellman-Ford unrolled as one min-aggregated round per CTE, mirroring
+    # the Spark loop 1:1. (A recursive-CTE walk enumeration is semantically
+    # equivalent but explores every distinct path cost — measured 75 s at
+    # sf0.01 vs <1 s for this form; the min() per round is the pruning the
+    # recursive UNION cannot express.) AS MATERIALIZED: each round is
+    # referenced twice (carry + relax), and DuckDB would otherwise re-inline
+    # the chain exponentially.
+    relax = (
+        "SELECT node, min(cost) AS cost FROM ("
+        "SELECT node, cost FROM {p} "
+        "UNION ALL SELECT ed.v AS node, {p}.cost + ed.w AS cost "
+        "FROM {p} JOIN ed ON ed.u = {p}.node) GROUP BY node"
+    )
+    rounds = ",\n       ".join(
+        f"d{i + 1} AS MATERIALIZED ({relax.format(p=f'd{i}')})"
+        for i in range(_SSSP_ROUNDS)
+    )
+    return f"""WITH
        mem AS (SELECT l_orderkey, l_suppkey,
                       min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
                FROM lineitem GROUP BY l_orderkey, l_suppkey),
@@ -87,15 +104,11 @@ def _sssp_oracle() -> str:
          FROM capped a JOIN capped b USING (l_orderkey)
          WHERE a.l_suppkey < b.l_suppkey
          GROUP BY a.l_suppkey, b.l_suppkey),
-       ed AS (SELECT u, v, w FROM half UNION ALL SELECT v, u, w FROM half),
-       walk (node, cost, depth) AS (
-         SELECT s_suppkey, 0::BIGINT, 0 FROM supplier WHERE s_suppkey % 41 = 0
-         UNION
-         SELECT ed.v, w.cost + ed.w, w.depth + 1
-         FROM walk w JOIN ed ON ed.u = w.node
-         WHERE w.depth + 1 <= {_SSSP_ROUNDS}
-       )
-       SELECT node, min(cost)::BIGINT AS cost FROM walk GROUP BY node"""
+       ed AS MATERIALIZED (SELECT u, v, w FROM half UNION ALL SELECT v, u, w FROM half),
+       d0 AS (SELECT s_suppkey AS node, 0::BIGINT AS cost
+              FROM supplier WHERE s_suppkey % 41 = 0),
+       {rounds}
+       SELECT node, cost::BIGINT AS cost FROM d{_SSSP_ROUNDS}"""
 
 
 register("graph_sssp_weighted", graph_sssp_weighted, _sssp_oracle())

@@ -1159,11 +1159,19 @@ def stream_tumbling_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cut = "1998-01-01 00:00:00"
-    ev_all.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(indir)
+    import glob as _glob
     import time as _time
 
-    _time.sleep(1.2)  # file-source ordering is by mod time; keep halves ordered
-    ev_all.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(indir)
+    # explicit increasing mtimes (file-source orders by mod time) — a coarse
+    # mtime filesystem would otherwise collapse both halves into one batch
+    now = _time.time()
+    halves = (F.col("ts") < cut, F.col("ts") >= cut)
+    for i, pred in enumerate(halves):
+        d = os.path.join(scratch, f"w{i}")
+        ev_all.filter(pred).coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(indir, f"b{i}.parquet")
+        shutil.copy(_glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
 
     schema = (
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "

@@ -136,6 +136,7 @@ try:
                 raise ValueError("csv_dir sink requires option 'path'")
 
         def write(self, iterator):
+            import csv
             import os
             import uuid
 
@@ -144,26 +145,50 @@ try:
             pid = TaskContext.get().partitionId()
             os.makedirs(self.path, exist_ok=True)
             fname = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.csv")
+            # write to a dot-prefixed temp and rename on task success: a task
+            # that crashes mid-write leaves only a hidden .tmp (invisible to
+            # *.csv globs and to Spark readers), never a half-written part
+            tmp = os.path.join(self.path, f".{os.path.basename(fname)}.tmp")
             n = 0
-            with open(fname, "w") as fh:
+            with open(tmp, "w", newline="") as fh:
+                w = csv.writer(fh)  # proper quoting: commas/newlines/quotes in values
                 for row in iterator:
-                    fh.write(",".join("" if v is None else str(v) for v in row) + "\n")
+                    w.writerow(["" if v is None else v for v in row])
                     n += 1
+            os.replace(tmp, fname)
             return _CsvCommit(path=fname, rows=n)
+
+        def _sweep_orphans(self, keep: set[str]) -> None:
+            """Remove part files no committed task claims (a retried task whose
+            first attempt finished writing but whose commit message was lost)
+            and any leftover in-progress temps."""
+            import os
+
+            try:
+                entries = os.listdir(self.path)
+            except FileNotFoundError:
+                return
+            for entry in entries:
+                orphan_part = entry.startswith("part-") and entry.endswith(".csv") and entry not in keep
+                stale_tmp = entry.startswith(".part-") and entry.endswith(".tmp")
+                if orphan_part or stale_tmp:
+                    try:
+                        os.remove(os.path.join(self.path, entry))
+                    except FileNotFoundError:
+                        pass
 
         def commit(self, messages) -> None:
             import os
 
+            names = [os.path.basename(m.path) for m in messages if m is not None]
+            self._sweep_orphans(set(names))
             with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
                 for m in messages:
-                    fh.write(f"{os.path.basename(m.path)},{m.rows}\n")
+                    if m is not None:
+                        fh.write(f"{os.path.basename(m.path)},{m.rows}\n")
 
         def abort(self, messages) -> None:
-            import os
-
-            for m in messages:
-                if m is not None and os.path.exists(m.path):
-                    os.remove(m.path)
+            self._sweep_orphans(set())
 
     class CsvDirSink(DataSource):
         """`df.write.format("csv_dir").option("path", dir).save()` sink."""

@@ -461,10 +461,17 @@ def test_csv_dir_sink_abort_cleans_up(tmp_path):
     w = CsvDirWriter({"path": str(out)})
     w.abort([_CsvCommit(path=str(f), rows=1), None])
     assert not f.exists()
-    # commit() publishes only the listed files
+    # commit() publishes only the listed files and sweeps unlisted parts
+    # (a retried task that wrote but never delivered its commit message)
+    # plus stale in-progress temps from crashed writers
     g = out / "part-good.csv"
     g.write_text("2,y\n")
+    lost = out / "part-lostmsg.csv"
+    lost.write_text("3,z\n")
+    stale = out / ".part-crashed.csv.tmp"
+    stale.write_text("4,w")
     w.commit([_CsvCommit(path=str(g), rows=1)])
     manifest = (out / "_SUCCESS").read_text()
     assert "part-good.csv,1" in manifest and "orphan" not in manifest
+    assert g.exists() and not lost.exists() and not stale.exists()
 
