@@ -156,6 +156,23 @@ def _to_ntz(col: str):
     )
 
 
+def _events_max_ts(spark: SparkSession, sf_dir: str):
+    """max(events.ts) from the parquet footer's row-group statistics — a
+    metadata-only driver read (no Spark job, no data rows). Falls back to a
+    1-row Spark aggregate only if some row group lacks ts statistics."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
+    ts_idx = md.schema.to_arrow_schema().get_field_index("ts")
+    maxes = []
+    for rg in range(md.num_row_groups):
+        stats = md.row_group(rg).column(ts_idx).statistics
+        if stats is None or not stats.has_min_max:
+            return load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+        maxes.append(stats.max)
+    return max(maxes)
+
+
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 5-minute tumbling aggregation as a real streaming query
     (complete mode, memory sink); final table equals the batch/oracle result."""
@@ -706,6 +723,10 @@ def incremental_q10_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivm = IncrementalQ10(spark, os.path.join(scratch, "state"))
     topk_dir = os.path.join(scratch, "topk")
+    # foreachBatch runs on the driver: track the final batch id in the
+    # closure instead of re-aggregating it from the sink afterwards — the
+    # driver never reads data rows, only its own coordination counter
+    last_batch = {"id": -1}
 
     def on_batch(lines: DataFrame, batch_id: int) -> None:
         ivm.process_batch(lines)
@@ -713,6 +734,7 @@ def incremental_q10_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivm.result().orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20).withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(topk_dir)
+        last_batch["id"] = max(last_batch["id"], batch_id)
 
     q = (
         spark.readStream.option("maxFilesPerTrigger", 1)
@@ -724,8 +746,7 @@ def incremental_q10_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     all_topk = spark.read.parquet(topk_dir)
-    last = all_topk.agg(F.max("batch_id")).collect()[0][0]
-    return all_topk.filter(F.col("batch_id") == last).drop("batch_id")
+    return all_topk.filter(F.col("batch_id") == last_batch["id"]).drop("batch_id")
 
 
 register(
@@ -1468,7 +1489,7 @@ def stream_chained_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     shutil.copy(src, os.path.join(indir, "a_copy1.parquet"))
     shutil.copy(src, os.path.join(indir, "b_copy2.parquet"))
-    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    max_ts = _events_max_ts(spark, sf_dir)
     # single-FILE parquet (pyarrow, not df.write which makes a directory the
     # non-recursive file-stream listing would never discover), typed exactly
     # like the source file so the stream schema applies unchanged
