@@ -88,6 +88,13 @@ def main() -> None:
         # accumulate cached blocks (intra-query best-of-N reuse is preserved)
         release_persisted()
 
+    # deterministic plan-shape metrics per headline query (no execution —
+    # static plan inspection), so rounds can diff structure under walltime
+    # noise; tests/test_plan_shapes.py pins the same metrics at sf0.001
+    from flink_and_acyclic_schema_spark.planstats import plan_metrics
+
+    plans = {name: plan_metrics(QUERIES[name](spark, sf_dir)) for name in HEADLINE}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -97,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ingest_sec": ingest_sec,
+                "plans": plans,
                 "sf": sf,
             }
         )
