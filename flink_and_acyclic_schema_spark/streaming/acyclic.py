@@ -111,10 +111,33 @@ class IncrementalAcyclicQuery:
     rewritten — per-batch cost tracks the delta, not the schema.
     """
 
-    def __init__(self, spark: SparkSession, state_dir: str, spec: AcyclicQuerySpec):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        spec: AcyclicQuerySpec,
+        compact_every: int = 1,
+    ):
+        """``compact_every`` selects the state-IO regime:
+
+        - ``1`` (default): merge-and-rewrite every batch — state files always
+          hold the net multiset (simplest to inspect; per-batch IO O(state)).
+        - ``k > 1``: LOG-STRUCTURED state — each batch APPENDS its delta as a
+          new segment (per-batch IO O(Δ), the actual IVM promise at 100 TB),
+          and every k-th batch compacts a relation's segments back to the net
+          multiset. Correct by LINEARITY of the weight algebra: an unmerged
+          union of weighted segments behaves identically to the merged state
+          in every join (weights multiply) and aggregate (weights sum) — a
+          (+1, −1) pair contributes exactly zero — so compaction is purely an
+          IO/size optimization, never a semantics change
+          (test_acyclic_ivm.py::test_log_structured_state_equivalent).
+        """
         self.spark = spark
         self.state_dir = state_dir
         self.spec = spec
+        if compact_every < 1:
+            raise ValueError("compact_every must be >= 1")
+        self.compact_every = compact_every
         if os.path.exists(state_dir):
             shutil.rmtree(state_dir)
         os.makedirs(state_dir)
@@ -122,49 +145,66 @@ class IncrementalAcyclicQuery:
         # so a batch never reads and overwrites the same files)
         self._version: dict[str, int] = {r.name: 0 for r in spec.relations}
         self._version["agg"] = 0
+        self._segments: dict[str, list[str]] = {}  # rel -> live on-disk paths
+        self._appends: dict[str, int] = {}  # rel -> lifetime segment counter
         self._schemas: dict = {}  # rel -> StructType, captured at first delta
 
     # --- state I/O ----------------------------------------------------------
     def _path(self, rel: str, version: int) -> str:
         return os.path.join(self.state_dir, f"{rel}_v{version}")
 
+    def _seg_path(self, rel: str, n: int) -> str:
+        return os.path.join(self.state_dir, f"{rel}_seg{n}")
+
+    def _read_paths(self, rel: str, paths: list[str]) -> DataFrame:
+        if not paths:
+            if rel not in self._schemas:
+                raise ValueError(
+                    f"relation {rel!r} has no state and no delta seen yet — "
+                    "the first micro-batch must carry at least one row (or an "
+                    "empty typed delta) for every relation in the spec"
+                )
+            return self.spark.createDataFrame([], self._schemas[rel])
+        dfs = [self.spark.read.parquet(p) for p in paths]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
     def _read_state(self, rel: str) -> DataFrame:
-        p = self._path(rel, self._version[rel])
-        if os.path.exists(p):
-            return self.spark.read.parquet(p)
-        if rel not in self._schemas:
-            raise ValueError(
-                f"relation {rel!r} has no state and no delta seen yet — the "
-                "first micro-batch must carry at least one row (or an empty "
-                "typed delta) for every relation in the spec"
-            )
-        return self.spark.createDataFrame([], self._schemas[rel])
-
-    def _write_next(self, rel: str, df: DataFrame) -> None:
-        """Phase 1: materialize the next state version. The previous version
-        must stay on disk until EVERY write of the batch has executed — later
-        lazy writes (the aggregate merge) still scan the old files."""
-        df.write.mode("overwrite").parquet(self._path(rel, self._version[rel] + 1))
-
-    def _advance(self, rel: str) -> None:
-        """Phase 2: bump the version pointer and drop the superseded files."""
-        prev = self._path(rel, self._version[rel])
-        self._version[rel] += 1
-        if os.path.exists(prev):
-            shutil.rmtree(prev)
+        """Current state = union of live segments. In log-structured mode the
+        union is UNMERGED — correct by linearity of the weight algebra."""
+        return self._read_paths(rel, self._segments.get(rel, []))
 
     @staticmethod
-    def _merge(state: DataFrame, delta: DataFrame) -> DataFrame:
-        """Net-weight multiset merge. Keeps every nonzero net weight —
+    def _net(df: DataFrame) -> DataFrame:
+        """Net-weight multiset reduction. Keeps every nonzero net weight —
         negative included, so delete-before-insert across batches cancels
         exactly (property-tested in tests/test_changelog_properties.py)."""
-        cols = [c for c in state.columns if c != WEIGHT]
+        cols = [c for c in df.columns if c != WEIGHT]
         return (
-            state.unionByName(delta)
-            .groupBy(*cols)
+            df.groupBy(*cols)
             .agg(F.sum(WEIGHT).alias(WEIGHT))
             .filter(F.col(WEIGHT) != 0)
         )
+
+    @classmethod
+    def _merge(cls, state: DataFrame, delta: DataFrame) -> DataFrame:
+        return cls._net(state.unionByName(delta))
+
+    def _agg_net(self, df: DataFrame) -> DataFrame:
+        """Reduce (possibly segmented) aggregate state to one row per group.
+        A group may transiently hold support == 0 with NONZERO measures
+        (delete-before-insert of one row while another row of the group nets
+        negative: Σw = 0 but Σw·v ≠ 0) — dropping it would lose the measure,
+        so state retires a group only when support AND every measure are zero
+        (exact for int/decimal measures, the package convention)."""
+        gb = list(self.spec.group_by)
+        out = df.groupBy(*gb).agg(
+            *[F.sum(n).alias(n) for n in self.spec.measures],
+            F.sum("support").alias("support"),
+        )
+        keep = F.col("support") != 0
+        for name in self.spec.measures:
+            keep = keep | F.coalesce(F.col(name) != 0, F.lit(False))
+        return out.filter(keep)
 
     # --- delta-join decomposition ------------------------------------------
     def _join_chain(self, versions: Mapping[str, DataFrame]) -> DataFrame:
@@ -203,10 +243,22 @@ class IncrementalAcyclicQuery:
             self._schemas.setdefault(r.name, d.schema)
 
         old = {r.name: self._read_state(r.name) for r in rels}
-        new = {
-            r.name: self._merge(old[r.name], filt[r.name]) if r.name in filt else old[r.name]
-            for r in rels
-        }
+        if self.compact_every == 1:
+            new = {
+                r.name: self._merge(old[r.name], filt[r.name])
+                if r.name in filt
+                else old[r.name]
+                for r in rels
+            }
+        else:
+            # log-structured: new state is the unmerged union — algebraically
+            # identical in every join/aggregate (linearity), O(Δ) to persist
+            new = {
+                r.name: old[r.name].unionByName(filt[r.name])
+                if r.name in filt
+                else old[r.name]
+                for r in rels
+            }
 
         # ΔJ: one term per relation that actually has a delta this batch
         terms: list[DataFrame] = []
@@ -234,41 +286,70 @@ class IncrementalAcyclicQuery:
         ] + [F.sum("_w").alias("support")]
         agg_delta = dj.groupBy(*gb).agg(*aggs)
 
-        p_agg = self._path("agg", self._version["agg"])
-        agg_old = (
-            self.spark.read.parquet(p_agg) if os.path.exists(p_agg) else agg_delta.limit(0)
-        )
-        # a group may transiently hold support == 0 with NONZERO measures
-        # (delete-before-insert of one row while another row of the group nets
-        # negative: Σw = 0 but Σw·v ≠ 0) — dropping it would lose the measure,
-        # so state retires a group only when support AND every measure are zero
-        # (exact for int/decimal measures, the package convention)
-        keep = F.col("support") != 0
-        for name in self.spec.measures:
-            keep = keep | F.coalesce(F.col(name) != 0, F.lit(False))
-        agg_new = (
-            agg_old.unionByName(agg_delta)
-            .groupBy(*gb)
-            .agg(
-                *[F.sum(n).alias(n) for n in self.spec.measures],
-                F.sum("support").alias("support"),
-            )
-            .filter(keep)
-        )
+        self._schemas.setdefault("agg", agg_delta.schema)
 
-        # two-phase commit: write every next-version state (the lazy agg merge
-        # still scans current-version files), then advance pointers + clean up
+        # two-phase commit: every write of this batch executes BEFORE any
+        # superseded files are deleted — the agg write's lazy plan still scans
+        # the pre-batch relation segments
+        cleanup: list[str] = []
         changed = [r.name for r in rels if r.name in filt]
         for rel in changed:
-            self._write_next(rel, new[rel])
-        self._write_next("agg", agg_new)
-        for rel in [*changed, "agg"]:
-            self._advance(rel)
+            self._commit_state(rel, new[rel], filt[rel], cleanup)
+        agg_old = self._read_paths("agg", self._segments.get("agg", []))
+        if self.compact_every == 1:
+            self._commit_state(
+                "agg", self._agg_net(agg_old.unionByName(agg_delta)), agg_delta, cleanup
+            )
+        else:
+            self._commit_state("agg", None, agg_delta, cleanup, net_fn=self._agg_net)
+        for p in cleanup:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def _commit_state(
+        self,
+        rel: str,
+        merged: DataFrame | None,
+        delta: DataFrame,
+        cleanup: list[str],
+        net_fn=None,
+    ) -> None:
+        """Persist one relation's post-batch state.
+
+        merge-and-rewrite mode writes ``merged`` as the next version
+        (O(state) IO); log-structured mode appends ``delta`` as a new segment
+        (O(Δ) IO) and, past ``compact_every`` live segments, compacts the
+        union back to the net multiset with ``net_fn`` (default ``_net``;
+        ``_agg_net`` for the aggregate). Superseded paths go to ``cleanup``,
+        deleted only after the whole batch's writes executed."""
+        if self.compact_every == 1:
+            nxt = self._version[rel] + 1
+            p = self._path(rel, nxt)
+            merged.write.mode("overwrite").parquet(p)
+            self._version[rel] = nxt
+            cleanup.extend(self._segments.get(rel, []))
+            self._segments[rel] = [p]
+            return
+        n = self._appends.get(rel, 0)
+        seg = self._seg_path(rel, n)
+        delta.write.mode("overwrite").parquet(seg)
+        self._appends[rel] = n + 1
+        self._segments.setdefault(rel, []).append(seg)
+        if len(self._segments[rel]) > self.compact_every:
+            nxt = self._version[rel] + 1
+            cp = self._path(rel, nxt)
+            net = net_fn or self._net
+            net(self._read_paths(rel, self._segments[rel])).write.mode(
+                "overwrite"
+            ).parquet(cp)
+            self._version[rel] = nxt
+            cleanup.extend(self._segments[rel])
+            self._segments[rel] = [cp]
 
     # --- result -------------------------------------------------------------
     def result(self) -> DataFrame:
-        p = self._path("agg", self._version["agg"])
-        agg = self.spark.read.parquet(p)
+        agg = self._read_paths("agg", self._segments.get("agg", []))
+        if self.compact_every > 1:
+            agg = self._agg_net(agg)  # lazy reduction over live segments
         out = agg.filter(F.col("support") > 0)
         if self.spec.having is not None:
             out = out.filter(self.spec.having())

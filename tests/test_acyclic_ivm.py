@@ -184,6 +184,38 @@ def test_delta_filter_gates_state(spark, tmp_path):
     assert state.filter(F.col("v") < 5).count() == 0
 
 
+def test_log_structured_state_equivalent(spark, tmp_path):
+    """compact_every=k appends O(Δ) segments and compacts every k batches;
+    by linearity of the weight algebra the maintained result must equal the
+    merge-every-batch engine AND the model, at every prefix — including
+    batches where compaction triggers and cross-batch delete-before-insert."""
+    ops = [
+        [(0, 0, 5, 1), (1, 1, 2, 1), (2, 2, 9, -1)],  # delete-before-insert
+        [(0, 0, 5, 1), (2, 2, 9, 1)],
+        [(0, 0, 5, -1), (1, 1, 3, 1)],
+        [(0, 0, 5, -1), (2, 2, 9, 1)],  # 4th append -> compaction at k=3
+        [(1, 1, 2, -1)],
+    ]
+    eng_log = IncrementalAcyclicQuery(
+        spark, str(tmp_path / "log"), SPEC, compact_every=3
+    )
+    eng_merge = IncrementalAcyclicQuery(spark, str(tmp_path / "merge"), SPEC)
+    seen: list = []
+    for i, batch in enumerate(ops):
+        deltas = {"fact": spark.createDataFrame(batch, FACT_SCHEMA)}
+        if i == 0:
+            deltas["dim1"] = spark.createDataFrame(DIM1, DIM1_SCHEMA)
+            deltas["dim2"] = spark.createDataFrame(DIM2, DIM2_SCHEMA)
+        eng_log.process_batch(dict(deltas))
+        eng_merge.process_batch(dict(deltas))
+        seen.extend(batch)
+        expect = _model(seen)
+        assert _result_map(eng_log.result()) == expect, f"log-mode diverged at batch {i}"
+        assert _result_map(eng_merge.result()) == expect, f"merge-mode diverged at batch {i}"
+    # compaction actually ran: fact state is back to a single live path
+    assert len(eng_log._segments["fact"]) <= 3
+
+
 def test_spec_validation():
     import pytest
 
