@@ -117,6 +117,7 @@ class IncrementalAcyclicQuery:
         state_dir: str,
         spec: AcyclicQuerySpec,
         compact_every: int = 1,
+        resume: bool = False,
     ):
         """``compact_every`` selects the state-IO regime:
 
@@ -131,6 +132,14 @@ class IncrementalAcyclicQuery:
           (+1, −1) pair contributes exactly zero — so compaction is purely an
           IO/size optimization, never a semantics change
           (test_acyclic_ivm.py::test_log_structured_state_equivalent).
+
+        ``resume=True`` reattaches to an existing state dir: state is loaded
+        from the last atomically-committed MANIFEST (see ``process_batch``),
+        uncommitted leftovers from a crashed batch are garbage-collected, and
+        replayed micro-batches (batch_id ≤ last committed) are skipped — the
+        idempotence a foreachBatch sink needs for exactly-once semantics
+        after Structured Streaming checkpoint recovery, where the engine's
+        state commit is not transactional with Spark's offset commit.
         """
         self.spark = spark
         self.state_dir = state_dir
@@ -138,9 +147,6 @@ class IncrementalAcyclicQuery:
         if compact_every < 1:
             raise ValueError("compact_every must be >= 1")
         self.compact_every = compact_every
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.makedirs(state_dir)
         # per-relation state versions (monotone; parquet path carries version
         # so a batch never reads and overwrites the same files)
         self._version: dict[str, int] = {r.name: 0 for r in spec.relations}
@@ -148,6 +154,55 @@ class IncrementalAcyclicQuery:
         self._segments: dict[str, list[str]] = {}  # rel -> live on-disk paths
         self._appends: dict[str, int] = {}  # rel -> lifetime segment counter
         self._schemas: dict = {}  # rel -> StructType, captured at first delta
+        self._last_batch: int | None = None  # last committed batch_id
+        if resume and os.path.exists(self._manifest_path()):
+            self._load_manifest()
+        else:
+            if os.path.exists(state_dir):
+                shutil.rmtree(state_dir)
+            os.makedirs(state_dir)
+
+    # --- manifest (atomic commit point) -------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.state_dir, "MANIFEST.json")
+
+    def _commit_manifest(self) -> None:
+        """Atomically publish the post-batch state: every referenced path is
+        fully written by now; os.replace makes the switch a single atomic
+        step, so a crash at ANY point leaves either the old or the new state
+        fully consistent (orphan dirs are GC'd on resume)."""
+        import json
+
+        data = {
+            "version": self._version,
+            "segments": self._segments,
+            "appends": self._appends,
+            "last_batch": self._last_batch,
+            "compact_every": self.compact_every,
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, self._manifest_path())
+
+    def _load_manifest(self) -> None:
+        import json
+
+        with open(self._manifest_path()) as fh:
+            data = json.load(fh)
+        self._version = data["version"]
+        self._segments = data["segments"]
+        self._appends = data["appends"]
+        self._last_batch = data["last_batch"]
+        # GC anything the committed manifest doesn't reference — partial
+        # writes of a crashed batch, or superseded dirs whose cleanup the
+        # crash interrupted
+        live = {os.path.basename(p) for paths in self._segments.values() for p in paths}
+        for entry in os.listdir(self.state_dir):
+            if entry.startswith("MANIFEST"):
+                continue
+            if entry not in live:
+                shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
 
     # --- state I/O ----------------------------------------------------------
     def _path(self, rel: str, version: int) -> str:
@@ -225,6 +280,15 @@ class IncrementalAcyclicQuery:
     def process_batch(
         self, deltas: Mapping[str, DataFrame], batch_id: int | None = None
     ) -> None:
+        # idempotent replay skip: after checkpoint recovery, foreachBatch
+        # redelivers the last uncommitted batch — if our manifest already
+        # committed it, applying it again would double-count
+        if (
+            batch_id is not None
+            and self._last_batch is not None
+            and batch_id <= self._last_batch
+        ):
+            return
         rels = self.spec.relations
         known = {r.name for r in rels}
         unknown = set(deltas) - known
@@ -302,6 +366,9 @@ class IncrementalAcyclicQuery:
             )
         else:
             self._commit_state("agg", None, agg_delta, cleanup, net_fn=self._agg_net)
+        if batch_id is not None:
+            self._last_batch = batch_id
+        self._commit_manifest()  # atomic commit point; cleanup is post-commit
         for p in cleanup:
             shutil.rmtree(p, ignore_errors=True)
 

@@ -216,6 +216,69 @@ def test_log_structured_state_equivalent(spark, tmp_path):
     assert len(eng_log._segments["fact"]) <= 3
 
 
+def test_resume_and_replay_skip(spark, tmp_path):
+    """Exactly-once across restarts: a new engine instance resumed on the
+    same state dir (a) restores the manifest-committed state, (b) SKIPS a
+    redelivered batch_id (the foreachBatch redelivery after checkpoint
+    recovery), and (c) keeps maintaining correctly afterwards."""
+    d = str(tmp_path / "state")
+    b0 = {
+        "fact": [(0, 0, 5, 1), (1, 1, 2, 1)],
+        "dim1": DIM1,
+        "dim2": DIM2,
+    }
+    b1 = [(0, 0, 3, 1), (1, 1, 2, -1)]
+    b2 = [(2, 2, 7, 1)]
+
+    eng = IncrementalAcyclicQuery(spark, d, SPEC)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(b0["fact"], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(b0["dim1"], DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(b0["dim2"], DIM2_SCHEMA),
+        },
+        batch_id=0,
+    )
+    eng.process_batch({"fact": spark.createDataFrame(b1, FACT_SCHEMA)}, batch_id=1)
+    expect_after_b1 = _model(b0["fact"] + b1)
+    assert _result_map(eng.result()) == expect_after_b1
+
+    # "crash": drop the instance, reattach a fresh one to the same dir
+    eng2 = IncrementalAcyclicQuery(spark, d, SPEC, resume=True)
+    assert _result_map(eng2.result()) == expect_after_b1
+    # redelivered batch 1 must be a no-op (idempotence), not a double-apply
+    eng2.process_batch({"fact": spark.createDataFrame(b1, FACT_SCHEMA)}, batch_id=1)
+    assert _result_map(eng2.result()) == expect_after_b1
+    # and genuinely new batches still apply
+    eng2.process_batch({"fact": spark.createDataFrame(b2, FACT_SCHEMA)}, batch_id=2)
+    assert _result_map(eng2.result()) == _model(b0["fact"] + b1 + b2)
+
+
+def test_resume_gc_discards_uncommitted_leftovers(spark, tmp_path):
+    """Dirs not referenced by the committed manifest (partial writes of a
+    crashed batch) are garbage-collected on resume and never read."""
+    import os
+
+    d = str(tmp_path / "state")
+    eng = IncrementalAcyclicQuery(spark, d, SPEC)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame([(0, 0, 5, 1)], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        },
+        batch_id=0,
+    )
+    # simulate a crash mid-batch-1: an orphan next-version dir on disk
+    orphan = os.path.join(d, "fact_v99")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    eng2 = IncrementalAcyclicQuery(spark, d, SPEC, resume=True)
+    assert not os.path.exists(orphan), "uncommitted leftover not GC'd"
+    assert _result_map(eng2.result()) == {("a0", "b0"): 5}
+
+
 def test_spec_validation():
     import pytest
 
