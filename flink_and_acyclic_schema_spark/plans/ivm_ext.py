@@ -44,13 +44,16 @@ def _run(
     tag: str,
     spec: AcyclicQuerySpec,
     gens: tuple[DeltaGen, ...],
+    compact_every: int = 1,
 ) -> DataFrame:
     scratch = _scratch(tag, sf_dir)
     delta_dir, schema = generate_delta_chunks(
         spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
     )
     rel_columns = {g.table: g.columns for g in gens}
-    return run_acyclic_delta_stream(spark, spec, delta_dir, schema, scratch, rel_columns)
+    return run_acyclic_delta_stream(
+        spark, spec, delta_dir, schema, scratch, rel_columns, compact_every=compact_every
+    )
 
 
 def _revenue() -> F.Column:
@@ -168,7 +171,9 @@ def incremental_q18_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         DeltaGen("customer", "c_custkey", ("c_custkey", "c_name")),
     )
-    return _run(spark, sf_dir, "ivm_q18", spec, gens)
+    # log-structured state (O(Δ) appends, compaction every 2 batches) — the
+    # 100 TB state regime, oracle-gated here to pin its equivalence
+    return _run(spark, sf_dir, "ivm_q18", spec, gens, compact_every=2)
 
 
 register(
@@ -231,7 +236,9 @@ def incremental_star_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         DeltaGen("part", "p_partkey", ("p_partkey", "p_brand")),
         DeltaGen("supplier", "s_suppkey", ("s_suppkey", "s_nationkey")),
     )
-    return _run(spark, sf_dir, "ivm_star", spec, gens)
+    # log-structured state with a cap wider than the 4-batch stream: pure
+    # append path, result reduced lazily at emission — also oracle-gated
+    return _run(spark, sf_dir, "ivm_star", spec, gens, compact_every=8)
 
 
 register(

@@ -120,13 +120,17 @@ def run_acyclic_delta_stream(
     schema: StructType,
     scratch_dir: str,
     rel_columns: Mapping[str, Sequence[str]],
+    compact_every: int = 1,
 ) -> DataFrame:
     """Real Structured Streaming wiring for any AcyclicQuerySpec: parquet file
     source over the chunk dir, one file per micro-batch, IVM merge in
     foreachBatch, availableNow trigger. Returns the final maintained result
     as a batch DataFrame. Zero driver-side data reads — the driver only
-    coordinates (mirrors run_incremental_q10_stream)."""
-    engine = IncrementalAcyclicQuery(spark, os.path.join(scratch_dir, "state"), spec)
+    coordinates (mirrors run_incremental_q10_stream). ``compact_every > 1``
+    selects the log-structured O(Δ)-per-batch state regime."""
+    engine = IncrementalAcyclicQuery(
+        spark, os.path.join(scratch_dir, "state"), spec, compact_every=compact_every
+    )
     ckpt = os.path.join(scratch_dir, "ckpt")
     if os.path.exists(ckpt):
         shutil.rmtree(ckpt)
