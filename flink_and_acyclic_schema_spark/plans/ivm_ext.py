@@ -15,6 +15,12 @@ duplicate inserts, and deletes arriving across micro-batches:
   (orders / part / supplier), which the sequential decomposition handles
   because each relation joins a column of ANY earlier relation, not just the
   immediately previous one
+- ``incremental_extrema_stream`` — NON-INVERTIBLE aggregates (MIN / MAX /
+  COUNT DISTINCT) maintained under deletes via the engine's value-histogram
+  state: the del_mod=3 changelog retires a third of all orders, including
+  rows holding per-segment extrema, so the maintained MIN/MAX must step to
+  the surviving runner-up — the case sum-only IVM (the reference's weight
+  algebra included) cannot express
 
 Each oracle recomputes the final state from the net multiplicities the
 chunk generator induces (m = 1 + dup - del per key), so the streamed
@@ -191,6 +197,75 @@ register(
        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
        HAVING sum(li.m * o.m) > 0
           AND sum(li.m * o.m * l_quantity::DECIMAL(12,4)) > 150""",
+)
+
+
+# --- continuous MIN/MAX/COUNT-DISTINCT (non-invertible, histogram state) -----
+def incremental_extrema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment revenue total PLUS order-price extrema and distinct
+    priority count, maintained continuously under a changelog that DELETES a
+    third of all orders (del_mod=3) — so per-segment minima/maxima are
+    repeatedly retired and must step to the runner-up. Runs the log-structured
+    state regime (compact_every=2) to pin the histogram's linearity too."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("orders"),
+            RelSpec("customer", join_on=("c_custkey", "o_custkey")),
+        ),
+        group_by=("c_mktsegment",),
+        measures={"total_price": lambda: dec("o_totalprice")},
+        hist_measures={
+            "min_price": ("min", lambda: F.col("o_totalprice")),
+            "max_price": ("max", lambda: F.col("o_totalprice")),
+            "n_priorities": ("count_distinct", lambda: F.col("o_orderpriority")),
+        },
+        finalize=lambda df: df.withColumn(
+            "total_price", F.col("total_price").cast("double")
+        ),
+    )
+    gens = (
+        DeltaGen(
+            "orders",
+            "o_orderkey",
+            ("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+            dup_mod=4,
+            del_mod=3,
+        ),
+        DeltaGen("customer", "c_custkey", ("c_custkey", "c_mktsegment"), del_mod=10),
+    )
+    return _run(spark, sf_dir, "ivm_extrema", spec, gens, compact_every=2)
+
+
+register(
+    "incremental_extrema_stream",
+    incremental_extrema_stream,
+    """WITH o AS (
+         SELECT *, 1 + (o_orderkey % 4 = 0)::INT - (o_orderkey % 3 = 0)::INT AS m
+         FROM orders),
+       c AS (
+         SELECT *, 1 - (c_custkey % 10 = 0)::INT AS m FROM customer),
+       j AS (
+         SELECT c_mktsegment, o_totalprice, o_orderpriority, o.m * c.m AS w
+         FROM o JOIN c ON o_custkey = c_custkey),
+       sums AS (
+         SELECT c_mktsegment,
+                sum(w * o_totalprice::DECIMAL(12,4))::DOUBLE AS total_price,
+                sum(w) AS support
+         FROM j GROUP BY c_mktsegment),
+       hp AS (
+         SELECT c_mktsegment, min(o_totalprice) AS min_price,
+                max(o_totalprice) AS max_price
+         FROM (SELECT c_mktsegment, o_totalprice, sum(w) AS w
+               FROM j GROUP BY 1, 2)
+         WHERE w > 0 GROUP BY c_mktsegment),
+       hq AS (
+         SELECT c_mktsegment, count(DISTINCT o_orderpriority)::BIGINT AS n_priorities
+         FROM (SELECT c_mktsegment, o_orderpriority, sum(w) AS w
+               FROM j GROUP BY 1, 2)
+         WHERE w > 0 GROUP BY c_mktsegment)
+       SELECT c_mktsegment, total_price, min_price, max_price, n_priorities
+       FROM sums JOIN hp USING (c_mktsegment) JOIN hq USING (c_mktsegment)
+       WHERE support > 0""",
 )
 
 

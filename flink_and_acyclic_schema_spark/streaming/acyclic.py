@@ -17,6 +17,15 @@ decomposition
 support ≠ 0 and surface while support > 0 — the signed-weight algebra that
 replaces the reference's broken Alive/Dead tags (SURVEY.md §1.3, §8 B1-B3).
 
+Beyond the reference (and beyond sum-only IVM engines generally): the spec
+may declare NON-INVERTIBLE aggregates — MIN / MAX / COUNT(DISTINCT) — which
+no running scalar can maintain under deletes (deleting the max loses the
+runner-up). The engine maintains these from the same ΔJ via per-measure
+VALUE-HISTOGRAM state, (group key…, value) → net weight, reduced at emission
+over values whose net weight is positive; see ``AcyclicQuerySpec.
+hist_measures``. AVG needs no engine support: declare SUM and COUNT measures
+and divide in ``finalize`` (invertible aggregates compose).
+
 The relation list may be any *tree* linearization, not just a path: each
 non-root relation joins on a column of ANY earlier relation in the list (the
 accumulated join carries all earlier columns), so star/branching schemas —
@@ -81,9 +90,26 @@ class AcyclicQuerySpec:
     # name -> zero-arg Column factory (lazy so specs can be module-level
     # constants without touching Spark at import time)
     measures: Mapping[str, Callable[[], Column]] = field(default_factory=dict)
+    # NON-INVERTIBLE aggregates (beyond the reference's sum-only weight
+    # algebra): name -> (kind, value_expr), kind in {"min","max",
+    # "count_distinct"}. A deletion can retire the current extremum, and no
+    # running scalar can recover the runner-up — so the engine maintains a
+    # VALUE HISTOGRAM per measure: extra state keyed by (group_by…, value)
+    # with a net signed weight, updated from the same ΔJ. Emission takes
+    # min/max/count over values with net weight > 0, so deleting the max
+    # steps the result down to the runner-up exactly as a from-scratch
+    # recompute would. State is O(groups × distinct values) — the honest
+    # lower bound for these aggregates; at 100 TB the same histogram shards
+    # by (group, value) like any keyed state (or becomes a tree-of-extrema
+    # if values are dense). Exact under the standard multiset reading, i.e.
+    # net per-tuple multiplicities stay ≥ 0.
+    hist_measures: Mapping[str, tuple[str, Callable[[], Column]]] = field(
+        default_factory=dict
+    )
     # optional predicate over the maintained result columns (Q18's
     # HAVING SUM(l_quantity) > t — evaluated at emission, state keeps all
-    # groups so the predicate can flip both ways under deletes)
+    # groups so the predicate can flip both ways under deletes); may also
+    # reference hist_measures names
     having: Callable[[], Column] | None = None
     # optional final projection/cast applied to the emitted DataFrame
     finalize: Callable[[DataFrame], DataFrame] | None = None
@@ -99,6 +125,15 @@ class AcyclicQuerySpec:
         names = [r.name for r in self.relations]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate relation names: {names}")
+        for name, (kind, _) in self.hist_measures.items():
+            if kind not in ("min", "max", "count_distinct"):
+                raise ValueError(
+                    f"hist measure {name!r}: unknown kind {kind!r} "
+                    "(expected min/max/count_distinct)"
+                )
+        clash = set(self.hist_measures) & (set(self.measures) | set(self.group_by))
+        if clash:
+            raise ValueError(f"hist measure names collide: {sorted(clash)}")
 
 
 class IncrementalAcyclicQuery:
@@ -151,6 +186,8 @@ class IncrementalAcyclicQuery:
         # so a batch never reads and overwrites the same files)
         self._version: dict[str, int] = {r.name: 0 for r in spec.relations}
         self._version["agg"] = 0
+        for name in spec.hist_measures:
+            self._version[f"hist::{name}"] = 0
         self._segments: dict[str, list[str]] = {}  # rel -> live on-disk paths
         self._appends: dict[str, int] = {}  # rel -> lifetime segment counter
         self._schemas: dict = {}  # rel -> StructType, captured at first delta
@@ -366,6 +403,17 @@ class IncrementalAcyclicQuery:
             )
         else:
             self._commit_state("agg", None, agg_delta, cleanup, net_fn=self._agg_net)
+        # value-histogram state for non-invertible aggregates: same ΔJ,
+        # grouped one level finer — (group key, value) -> net weight
+        for name, (_, expr) in self.spec.hist_measures.items():
+            rel = f"hist::{name}"
+            hd = dj.groupBy(*gb, expr().alias("_v")).agg(F.sum("_w").alias(WEIGHT))
+            self._schemas.setdefault(rel, hd.schema)
+            if self.compact_every == 1:
+                h_old = self._read_paths(rel, self._segments.get(rel, []))
+                self._commit_state(rel, self._merge(h_old, hd), hd, cleanup)
+            else:
+                self._commit_state(rel, None, hd, cleanup)
         if batch_id is not None:
             self._last_batch = batch_id
         self._commit_manifest()  # atomic commit point; cleanup is post-commit
@@ -418,9 +466,28 @@ class IncrementalAcyclicQuery:
         if self.compact_every > 1:
             agg = self._agg_net(agg)  # lazy reduction over live segments
         out = agg.filter(F.col("support") > 0)
+        # non-invertible measures: reduce each value histogram over the
+        # positive-net-weight values. Inner join is safe: support > 0 forces
+        # at least one value with net weight > 0 in every surfaced group
+        # (Σ_v w_v = support), so no surfaced group can lack histogram rows.
+        gb = list(self.spec.group_by)
+        fns = {"min": F.min, "max": F.max, "count_distinct": F.count_distinct}
+        for name, (kind, _) in self.spec.hist_measures.items():
+            h = self._read_paths(f"hist::{name}", self._segments.get(f"hist::{name}", []))
+            if self.compact_every > 1:
+                h = self._net(h)  # lazy reduction over unmerged segments
+            per_group = (
+                h.filter(F.col(WEIGHT) > 0).groupBy(*gb).agg(fns[kind]("_v").alias(name))
+            )
+            if gb:
+                out = out.join(per_group, on=gb, how="inner")
+            else:  # global aggregate: both sides are single-row
+                out = out.crossJoin(F.broadcast(per_group))
         if self.spec.having is not None:
             out = out.filter(self.spec.having())
-        out = out.select(*self.spec.group_by, *self.spec.measures.keys())
+        out = out.select(
+            *self.spec.group_by, *self.spec.measures.keys(), *self.spec.hist_measures.keys()
+        )
         if self.spec.finalize is not None:
             out = self.spec.finalize(out)
         return out

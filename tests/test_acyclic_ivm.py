@@ -279,6 +279,168 @@ def test_resume_gc_discards_uncommitted_leftovers(spark, tmp_path):
     assert _result_map(eng2.result()) == {("a0", "b0"): 5}
 
 
+# --- non-invertible aggregates (MIN/MAX/COUNT DISTINCT) via histogram state -
+HIST_SPEC = AcyclicQuerySpec(
+    relations=SPEC.relations,
+    group_by=SPEC.group_by,
+    measures=SPEC.measures,
+    hist_measures={
+        "vmin": ("min", lambda: F.col("v")),
+        "vmax": ("max", lambda: F.col("v")),
+        "nv": ("count_distinct", lambda: F.col("v")),
+    },
+)
+
+
+def _hist_result_map(df):
+    return {
+        (r["name1"], r["name2"]): (r["total"], r["vmin"], r["vmax"], r["nv"])
+        for r in df.collect()
+    }
+
+
+def _hist_model(fact_ops):
+    """Recompute: per group, sum over net multiplicities plus min/max/distinct
+    over values whose NET multiplicity is positive."""
+    from collections import Counter, defaultdict
+
+    net: Counter = Counter()
+    for k1, k2, v, w in fact_ops:
+        net[(k1, k2, v)] += w
+    total: Counter = Counter()
+    support: Counter = Counter()
+    values = defaultdict(set)
+    for (k1, k2, v), m in net.items():
+        if not (0 <= k1 < 3 and 0 <= k2 < 3):
+            continue
+        g = (f"a{k1}", f"b{k2}")
+        total[g] += m * v
+        support[g] += m
+        if m > 0:
+            values[g].add(v)
+    return {
+        g: (total[g], min(values[g]), max(values[g]), len(values[g]))
+        for g in total
+        if support[g] > 0
+    }
+
+
+def test_hist_max_steps_down_on_delete(spark, tmp_path):
+    """The case sum-only IVM cannot do: deleting the row that HOLDS the max
+    must surface the runner-up (and symmetrically for min). No running scalar
+    survives that — only the value histogram does."""
+    eng = _engine(spark, tmp_path, HIST_SPEC)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(
+                [(0, 0, 2, 1), (0, 0, 9, 1), (0, 0, 5, 1)], FACT_SCHEMA
+            ),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        }
+    )
+    assert _hist_result_map(eng.result()) == {("a0", "b0"): (16, 2, 9, 3)}
+    # delete the max row -> max steps down to 5; delete min -> min steps up
+    eng.process_batch({"fact": spark.createDataFrame([(0, 0, 9, -1)], FACT_SCHEMA)})
+    assert _hist_result_map(eng.result()) == {("a0", "b0"): (7, 2, 5, 2)}
+    eng.process_batch({"fact": spark.createDataFrame([(0, 0, 2, -1)], FACT_SCHEMA)})
+    assert _hist_result_map(eng.result()) == {("a0", "b0"): (5, 5, 5, 1)}
+
+
+def test_hist_count_distinct_multiplicity_aware(spark, tmp_path):
+    """Deleting ONE of two copies of a value must not drop it from the
+    distinct count; deleting the last copy must."""
+    eng = _engine(spark, tmp_path, HIST_SPEC)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(
+                [(0, 0, 4, 1), (0, 0, 4, 1), (0, 0, 7, 1)], FACT_SCHEMA
+            ),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        }
+    )
+    assert _hist_result_map(eng.result()) == {("a0", "b0"): (15, 4, 7, 2)}
+    eng.process_batch({"fact": spark.createDataFrame([(0, 0, 4, -1)], FACT_SCHEMA)})
+    assert _hist_result_map(eng.result()) == {("a0", "b0"): (11, 4, 7, 2)}
+    eng.process_batch({"fact": spark.createDataFrame([(0, 0, 4, -1)], FACT_SCHEMA)})
+    assert _hist_result_map(eng.result()) == {("a0", "b0"): (7, 7, 7, 1)}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=FACT_OPS, split=st.integers(0, 16))
+def test_hist_prefix_closure_any_split(spark, tmp_path_factory, ops, split):
+    """Prefix-closure extends to the histogram measures: engine state after
+    any batch split == from-scratch min/max/distinct over net-positive rows."""
+    tmp = tmp_path_factory.mktemp("ivmh")
+    eng = _engine(spark, tmp, HIST_SPEC)
+    split = min(split, len(ops))
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(ops[:split] or [], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        }
+    )
+    eng.process_batch({"fact": spark.createDataFrame(ops[split:] or [], FACT_SCHEMA)})
+    assert _hist_result_map(eng.result()) == _hist_model(ops)
+
+
+def test_hist_log_structured_equivalent(spark, tmp_path):
+    """Histogram state obeys the same linearity: log-structured appends with
+    compaction produce the identical min/max/distinct at every prefix."""
+    ops = [
+        [(0, 0, 5, 1), (0, 0, 9, 1), (1, 1, 2, 1)],
+        [(0, 0, 9, -1), (1, 1, 2, 1)],  # max retired while 5 survives
+        [(0, 0, 3, 1)],
+        [(1, 1, 2, -1), (0, 0, 3, -1)],  # 4th append -> compaction at k=3
+    ]
+    eng_log = IncrementalAcyclicQuery(
+        spark, str(tmp_path / "log"), HIST_SPEC, compact_every=3
+    )
+    eng_merge = IncrementalAcyclicQuery(spark, str(tmp_path / "merge"), HIST_SPEC)
+    seen: list = []
+    for i, batch in enumerate(ops):
+        deltas = {"fact": spark.createDataFrame(batch, FACT_SCHEMA)}
+        if i == 0:
+            deltas["dim1"] = spark.createDataFrame(DIM1, DIM1_SCHEMA)
+            deltas["dim2"] = spark.createDataFrame(DIM2, DIM2_SCHEMA)
+        eng_log.process_batch(dict(deltas))
+        eng_merge.process_batch(dict(deltas))
+        seen.extend(batch)
+        expect = _hist_model(seen)
+        assert _hist_result_map(eng_log.result()) == expect, f"log diverged at {i}"
+        assert _hist_result_map(eng_merge.result()) == expect, f"merge diverged at {i}"
+
+
+def test_avg_via_finalize(spark, tmp_path):
+    """AVG needs no engine support: SUM + COUNT measures divided in finalize
+    stay exact under retraction (both components are invertible)."""
+    spec = AcyclicQuerySpec(
+        relations=SPEC.relations,
+        group_by=SPEC.group_by,
+        measures={"total": lambda: F.col("v"), "cnt": lambda: F.lit(1)},
+        finalize=lambda df: df.select(
+            "name1", "name2", (F.col("total") / F.col("cnt")).alias("avg_v")
+        ),
+    )
+    eng = _engine(spark, tmp_path, spec)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(
+                [(0, 0, 2, 1), (0, 0, 10, 1), (0, 0, 6, 1)], FACT_SCHEMA
+            ),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        }
+    )
+    rows = {(r["name1"], r["name2"]): r["avg_v"] for r in eng.result().collect()}
+    assert rows == {("a0", "b0"): 6.0}
+    eng.process_batch({"fact": spark.createDataFrame([(0, 0, 10, -1)], FACT_SCHEMA)})
+    rows = {(r["name1"], r["name2"]): r["avg_v"] for r in eng.result().collect()}
+    assert rows == {("a0", "b0"): 4.0}
+
+
 def test_spec_validation():
     import pytest
 
@@ -291,4 +453,17 @@ def test_spec_validation():
     with pytest.raises(ValueError, match="duplicate"):
         AcyclicQuerySpec(
             relations=(RelSpec("a"), RelSpec("a", join_on=("x", "y"))), group_by=("g",)
+        )
+    with pytest.raises(ValueError, match="unknown kind"):
+        AcyclicQuerySpec(
+            relations=(RelSpec("a"),),
+            group_by=("g",),
+            hist_measures={"m": ("median", lambda: F.col("v"))},
+        )
+    with pytest.raises(ValueError, match="collide"):
+        AcyclicQuerySpec(
+            relations=(RelSpec("a"),),
+            group_by=("g",),
+            measures={"m": lambda: F.col("v")},
+            hist_measures={"m": ("min", lambda: F.col("v"))},
         )
