@@ -15,6 +15,9 @@ duplicate inserts, and deletes arriving across micro-batches:
   (orders / part / supplier), which the sequential decomposition handles
   because each relation joins a column of ANY earlier relation, not just the
   immediately previous one
+- ``incremental_q5_stream`` — continuous TPC-H Q5, a CYCLIC query (the
+  c_nationkey = s_nationkey back-edge) maintained via the spanning-tree +
+  residual-edge reduction — outside the reference framework's definable class
 - ``incremental_extrema_stream`` — NON-INVERTIBLE aggregates (MIN / MAX /
   COUNT DISTINCT) maintained under deletes via the engine's value-histogram
   state: the del_mod=3 changelog retires a third of all orders, including
@@ -197,6 +200,93 @@ register(
        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
        HAVING sum(li.m * o.m) > 0
           AND sum(li.m * o.m * l_quantity::DECIMAL(12,4)) > 150""",
+)
+
+
+# --- continuous Q5: a CYCLIC query via spanning tree + residual edge ---------
+def incremental_q5_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous TPC-H Q5 — a query the reference's framework STRUCTURALLY
+    excludes: its join graph is cyclic (customer–nation–supplier back-edge
+    c_nationkey = s_nationkey), and Cquirrel-style FK-tree maintenance is
+    defined only for acyclic queries. The engine handles it by the spanning-
+    tree reduction: the FK tree lineitem→{orders→customer, supplier→nation→
+    region} is the spec, and the cycle-closing edge rides in ``residual``,
+    applied to every delta-join term (exact by linearity of selection over
+    the multiset decomposition). Six relations all receive cross-batch
+    inserts, duplicate inserts, and deletes."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("lineitem"),
+            RelSpec(
+                "orders",
+                join_on=("o_orderkey", "l_orderkey"),
+                delta_filter=lambda d: d.filter(
+                    (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                    & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+                ),
+            ),
+            RelSpec("customer", join_on=("c_custkey", "o_custkey")),
+            RelSpec("supplier", join_on=("s_suppkey", "l_suppkey")),
+            RelSpec(
+                "nation", join_on=("n_nationkey", "s_nationkey"), broadcast_state=True
+            ),
+            RelSpec(
+                "region",
+                join_on=("r_regionkey", "n_regionkey"),
+                delta_filter=lambda d: d.filter(F.col("r_name") == "ASIA"),
+                broadcast_state=True,
+            ),
+        ),
+        residual=lambda: F.col("c_nationkey") == F.col("s_nationkey"),
+        group_by=("n_name",),
+        measures={"revenue": _revenue},
+        finalize=lambda df: df.withColumn("revenue", F.col("revenue").cast("double")),
+    )
+    gens = (
+        DeltaGen(
+            "lineitem",
+            "l_orderkey",
+            ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+            dup_mod=5,
+            del_mod=7,
+        ),
+        DeltaGen(
+            "orders", "o_orderkey", ("o_orderkey", "o_custkey", "o_orderdate"), del_mod=9
+        ),
+        DeltaGen("customer", "c_custkey", ("c_custkey", "c_nationkey"), del_mod=11),
+        DeltaGen("supplier", "s_suppkey", ("s_suppkey", "s_nationkey"), dup_mod=6),
+        DeltaGen("nation", "n_nationkey", ("n_nationkey", "n_name", "n_regionkey")),
+        DeltaGen("region", "r_regionkey", ("r_regionkey", "r_name")),
+    )
+    return _run(spark, sf_dir, "ivm_q5", spec, gens)
+
+
+register(
+    "incremental_q5_stream",
+    incremental_q5_stream,
+    """WITH li AS (
+         SELECT *, 1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
+         FROM lineitem),
+       o AS (
+         SELECT *, 1 - (o_orderkey % 9 = 0)::INT AS m FROM orders),
+       c AS (
+         SELECT *, 1 - (c_custkey % 11 = 0)::INT AS m FROM customer),
+       s AS (
+         SELECT *, 1 + (s_suppkey % 6 = 0)::INT AS m FROM supplier)
+       SELECT n_name,
+              sum(li.m * o.m * c.m * s.m * l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS revenue
+       FROM li JOIN o ON o_orderkey = l_orderkey
+       JOIN c ON c_custkey = o_custkey
+       JOIN s ON s_suppkey = l_suppkey
+       JOIN nation ON n_nationkey = s_nationkey
+       JOIN region ON r_regionkey = n_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND c_nationkey = s_nationkey
+       GROUP BY n_name
+       HAVING sum(li.m * o.m * c.m * s.m) > 0""",
 )
 
 

@@ -30,9 +30,17 @@ The relation list may be any *tree* linearization, not just a path: each
 non-root relation joins on a column of ANY earlier relation in the list (the
 accumulated join carries all earlier columns), so star/branching schemas —
 e.g. lineitem with orders, part, and supplier children — work unchanged.
-Acyclicity is what makes the decomposition exact; a cyclic join graph
-(e.g. TPC-H Q5's c_nationkey = s_nationkey back-edge) is out of scope, as it
-is for the reference.
+
+CYCLIC join graphs — out of scope for the reference — are handled by the
+standard spanning-tree reduction: pick a spanning tree of the join graph as
+``relations`` and declare every non-tree edge (e.g. TPC-H Q5's
+c_nationkey = s_nationkey back-edge) in ``residual``, a predicate applied to
+every delta-join term after its tree join. This stays EXACT because the
+telescoping decomposition is a multiset identity for the pure tree join and
+selection is linear over multiset union/difference — σ_res distributes over
+the terms unchanged. (Efficiency note: residual edges filter *after* the
+tree join, exactly as a batch optimizer treats non-equi cycle edges; the
+tree joins still prune on their FK keys first.)
 
 Scale notes (100 TB): per-batch work is O(Δ ⋈ state) — each term joins ONE
 delta against persisted states; states would live bucketed-by-join-key (or in
@@ -106,6 +114,11 @@ class AcyclicQuerySpec:
     hist_measures: Mapping[str, tuple[str, Callable[[], Column]]] = field(
         default_factory=dict
     )
+    # residual (non-tree) join edges for CYCLIC queries: a predicate over the
+    # joined row, applied to every delta-join term after its tree join —
+    # exact by linearity of selection over the multiset decomposition. E.g.
+    # Q5's back-edge: lambda: F.col("c_nationkey") == F.col("s_nationkey")
+    residual: Callable[[], Column] | None = None
     # optional predicate over the maintained result columns (Q18's
     # HAVING SUM(l_quantity) > t — evaluated at emission, state keeps all
     # groups so the predicate can flip both ways under deletes); may also
@@ -311,6 +324,9 @@ class IncrementalAcyclicQuery:
                 side = F.broadcast(side)
             own, earlier = r.join_on
             acc = acc.join(side, F.col(own) == F.col(earlier))
+        if self.spec.residual is not None:
+            # non-tree cycle edges: σ distributes over the decomposition terms
+            acc = acc.filter(self.spec.residual())
         w = reduce(Column.__mul__, [F.col(f"_w_{r.name}") for r in rels])
         return acc.withColumn("_w", w)
 

@@ -413,6 +413,60 @@ def test_hist_log_structured_equivalent(spark, tmp_path):
         assert _hist_result_map(eng_merge.result()) == expect, f"merge diverged at {i}"
 
 
+# --- cyclic join graphs via spanning tree + residual edge --------------------
+RESIDUAL_SPEC = AcyclicQuerySpec(
+    relations=SPEC.relations,
+    group_by=SPEC.group_by,
+    measures=SPEC.measures,
+    # non-tree edge dim1–dim2 closes the cycle fact–dim1–dim2–fact; with
+    # d1 = k1 and d2 = k2 it is equivalent to keeping only k1 == k2 rows
+    residual=lambda: F.col("d1") == F.col("d2"),
+)
+
+
+def _residual_model(fact_ops):
+    return {
+        g: v for g, v in _model(fact_ops).items() if g[0][1:] == g[1][1:]
+    }
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=FACT_OPS, split=st.integers(0, 16))
+def test_residual_prefix_closure_any_split(spark, tmp_path_factory, ops, split):
+    """Prefix-closure holds with a residual (cycle) edge: σ over the non-tree
+    predicate distributes over the delta-join terms, so the maintained state
+    equals the from-scratch recompute of the CYCLIC query at any split."""
+    tmp = tmp_path_factory.mktemp("ivmr")
+    eng = _engine(spark, tmp, RESIDUAL_SPEC)
+    split = min(split, len(ops))
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(ops[:split] or [], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        }
+    )
+    eng.process_batch({"fact": spark.createDataFrame(ops[split:] or [], FACT_SCHEMA)})
+    assert _result_map(eng.result()) == _residual_model(ops)
+
+
+def test_residual_delete_retracts_through_cycle(spark, tmp_path):
+    """Deletes propagate through a cyclic spec exactly: retracting a dim row
+    retracts only the residual-surviving join results."""
+    eng = _engine(spark, tmp_path, RESIDUAL_SPEC)
+    eng.process_batch(
+        {
+            # (0,0): on-cycle, survives residual; (0,1): filtered by residual
+            "fact": spark.createDataFrame([(0, 0, 7, 1), (0, 1, 3, 1)], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        }
+    )
+    assert _result_map(eng.result()) == {("a0", "b0"): 7}
+    eng.process_batch({"dim2": spark.createDataFrame([(0, "b0", -1)], DIM2_SCHEMA)})
+    assert _result_map(eng.result()) == {}
+
+
 def test_avg_via_finalize(spark, tmp_path):
     """AVG needs no engine support: SUM + COUNT measures divided in finalize
     stay exact under retraction (both components are invertible)."""
