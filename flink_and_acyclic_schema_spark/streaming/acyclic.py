@@ -270,13 +270,44 @@ class IncrementalAcyclicQuery:
                     "empty typed delta) for every relation in the spec"
                 )
             return self.spark.createDataFrame([], self._schemas[rel])
-        dfs = [self.spark.read.parquet(p) for p in paths]
-        return reduce(lambda a, b: a.unionByName(b), dfs)
+        # ONE multi-path read, not a per-segment read + unionByName chain:
+        # per-segment reads cost a driver-side footer/schema inference EACH,
+        # making every batch O(live segments) of driver work — measured as a
+        # +0.1 s/batch creep in log-structured mode (tools/ivm_batch_scaling).
+        # All segments of a relation share one schema; pass it when known
+        # (resume may read before the first delta re-pins it — infer then).
+        reader = self.spark.read
+        if rel in self._schemas:
+            reader = reader.schema(self._schemas[rel])
+        return reader.parquet(*paths)
 
     def _read_state(self, rel: str) -> DataFrame:
         """Current state = union of live segments. In log-structured mode the
         union is UNMERGED — correct by linearity of the weight algebra."""
         return self._read_paths(rel, self._segments.get(rel, []))
+
+    def _conform(self, rel: str, df: DataFrame) -> DataFrame:
+        """Pin (first sight) and enforce the relation's canonical STATE schema.
+
+        Aggregation widens types — SUM(int) is long, SUM(DECIMAL(p,s)) is
+        DECIMAL(p+10,s), growing again at every re-compaction — so without a
+        fixed write schema, segments of one relation drift apart and a pinned
+        multi-path read fails with PARQUET_COLUMN_DATA_TYPE_MISMATCH. The
+        canonical schema is the first delta's schema with ``weight`` (and
+        ``support``) widened to long once, up front; every state write casts
+        back to it, so all segments of a relation are forever bit-compatible.
+        DECIMAL re-narrowing to the declared measure type is lossless for any
+        realistic multiset (DECIMAL(22,4) holds 10^18)."""
+        if rel not in self._schemas:
+            wide = df
+            for c in (WEIGHT, "support"):
+                if c in wide.columns:
+                    wide = wide.withColumn(c, F.col(c).cast("long"))
+            self._schemas[rel] = wide.schema
+        schema = self._schemas[rel]
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
 
     @staticmethod
     def _net(df: DataFrame) -> DataFrame:
@@ -356,8 +387,7 @@ class IncrementalAcyclicQuery:
             d = deltas[r.name]
             if r.delta_filter is not None:
                 d = r.delta_filter(d)
-            filt[r.name] = d
-            self._schemas.setdefault(r.name, d.schema)
+            filt[r.name] = self._conform(r.name, d)
 
         old = {r.name: self._read_state(r.name) for r in rels}
         if self.compact_every == 1:
@@ -401,9 +431,7 @@ class IncrementalAcyclicQuery:
             F.sum(F.col("_w") * expr()).alias(name)
             for name, expr in self.spec.measures.items()
         ] + [F.sum("_w").alias("support")]
-        agg_delta = dj.groupBy(*gb).agg(*aggs)
-
-        self._schemas.setdefault("agg", agg_delta.schema)
+        agg_delta = self._conform("agg", dj.groupBy(*gb).agg(*aggs))
 
         # two-phase commit: every write of this batch executes BEFORE any
         # superseded files are deleted — the agg write's lazy plan still scans
@@ -423,8 +451,10 @@ class IncrementalAcyclicQuery:
         # grouped one level finer — (group key, value) -> net weight
         for name, (_, expr) in self.spec.hist_measures.items():
             rel = f"hist::{name}"
-            hd = dj.groupBy(*gb, expr().alias("_v")).agg(F.sum("_w").alias(WEIGHT))
-            self._schemas.setdefault(rel, hd.schema)
+            hd = self._conform(
+                rel,
+                dj.groupBy(*gb, expr().alias("_v")).agg(F.sum("_w").alias(WEIGHT)),
+            )
             if self.compact_every == 1:
                 h_old = self._read_paths(rel, self._segments.get(rel, []))
                 self._commit_state(rel, self._merge(h_old, hd), hd, cleanup)
@@ -455,7 +485,7 @@ class IncrementalAcyclicQuery:
         if self.compact_every == 1:
             nxt = self._version[rel] + 1
             p = self._path(rel, nxt)
-            merged.write.mode("overwrite").parquet(p)
+            self._conform(rel, merged).write.mode("overwrite").parquet(p)
             self._version[rel] = nxt
             cleanup.extend(self._segments.get(rel, []))
             self._segments[rel] = [p]
@@ -469,7 +499,7 @@ class IncrementalAcyclicQuery:
             nxt = self._version[rel] + 1
             cp = self._path(rel, nxt)
             net = net_fn or self._net
-            net(self._read_paths(rel, self._segments[rel])).write.mode(
+            self._conform(rel, net(self._read_paths(rel, self._segments[rel]))).write.mode(
                 "overwrite"
             ).parquet(cp)
             self._version[rel] = nxt
