@@ -254,6 +254,44 @@ def test_resume_and_replay_skip(spark, tmp_path):
     assert _result_map(eng2.result()) == _model(b0["fact"] + b1 + b2)
 
 
+def test_resume_log_structured_with_hist(spark, tmp_path):
+    """Resume covers the log-structured regime and histogram state too: a
+    fresh instance reattaches to unmerged segments (manifest restores the
+    segment lists; schemas re-pin consistently thanks to canonical-schema
+    writes), skips a redelivered batch, and keeps min/max/distinct exact
+    through post-resume deletes and a compaction."""
+    d = str(tmp_path / "state")
+    eng = IncrementalAcyclicQuery(spark, d, HIST_SPEC, compact_every=3)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(
+                [(0, 0, 2, 1), (0, 0, 9, 1), (0, 0, 5, 1)], FACT_SCHEMA
+            ),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        },
+        batch_id=0,
+    )
+    b1 = [(0, 0, 9, -1)]  # retire the max
+    eng.process_batch({"fact": spark.createDataFrame(b1, FACT_SCHEMA)}, batch_id=1)
+    expect = {("a0", "b0"): (7, 2, 5, 2)}
+    assert _hist_result_map(eng.result()) == expect
+
+    eng2 = IncrementalAcyclicQuery(spark, d, HIST_SPEC, compact_every=3, resume=True)
+    assert _hist_result_map(eng2.result()) == expect
+    # redelivery of batch 1 is a no-op
+    eng2.process_batch({"fact": spark.createDataFrame(b1, FACT_SCHEMA)}, batch_id=1)
+    assert _hist_result_map(eng2.result()) == expect
+    # new batches keep maintaining; enough appends to trigger compaction
+    eng2.process_batch(
+        {"fact": spark.createDataFrame([(0, 0, 5, -1)], FACT_SCHEMA)}, batch_id=2
+    )
+    eng2.process_batch(
+        {"fact": spark.createDataFrame([(0, 0, 4, 1)], FACT_SCHEMA)}, batch_id=3
+    )
+    assert _hist_result_map(eng2.result()) == {("a0", "b0"): (6, 2, 4, 2)}
+
+
 def test_resume_gc_discards_uncommitted_leftovers(spark, tmp_path):
     """Dirs not referenced by the committed manifest (partial writes of a
     crashed batch) are garbage-collected on resume and never read."""
