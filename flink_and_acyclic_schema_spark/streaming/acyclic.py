@@ -69,21 +69,36 @@ WEIGHT = "weight"
 class RelSpec:
     """One relation (tree node) of an acyclic query.
 
-    ``join_on`` = (own_col, earlier_col): equi-join predicate linking this
-    relation to a column exposed by SOME earlier relation in the spec order —
-    the FK edge of the tree (ref DataFlow.java:45-57 keyBy wiring). The first
-    relation has ``join_on=None``.
+    ``join_on`` = (own_col, earlier_col) — or, for a COMPOSITE foreign key, a
+    tuple of such pairs ``((own1, earlier1), (own2, earlier2), …)`` ANDed
+    together: the equi-join predicate linking this relation to columns
+    exposed by SOME earlier relation in the spec order — the FK edge of the
+    tree (ref DataFlow.java:45-57 keyBy wiring). The first relation has
+    ``join_on=None``.
 
     ``delta_filter`` is applied to this relation's deltas at ingest (ref ops
     #8/#10 — the σ boxes of the dataflow); state never holds filtered-out
-    rows. ``broadcast_state`` marks dimension-sized relations whose state and
+    rows. ``project`` then prunes the delta to the named columns (+ weight)
+    so state never holds columns the query doesn't touch — the π twin of the
+    σ gating, and the state-size lever at 100 TB where base rows are wide.
+    ``broadcast_state`` marks dimension-sized relations whose state and
     deltas should broadcast in every delta-join term (e.g. nation).
     """
 
     name: str
-    join_on: tuple[str, str] | None = None
+    join_on: tuple | None = None
     delta_filter: Callable[[DataFrame], DataFrame] | None = None
+    project: tuple[str, ...] | None = None
     broadcast_state: bool = False
+
+    def join_pairs(self) -> tuple[tuple[str, str], ...]:
+        """Normalize ``join_on`` to a tuple of (own, earlier) pairs."""
+        if self.join_on is None:
+            return ()
+        if isinstance(self.join_on[0], (tuple, list)):
+            return tuple((o, e) for o, e in self.join_on)
+        own, earlier = self.join_on
+        return ((own, earlier),)
 
 
 @dataclass(frozen=True)
@@ -353,8 +368,11 @@ class IncrementalAcyclicQuery:
             side = versions[r.name].withColumnRenamed(WEIGHT, f"_w_{r.name}")
             if r.broadcast_state:
                 side = F.broadcast(side)
-            own, earlier = r.join_on
-            acc = acc.join(side, F.col(own) == F.col(earlier))
+            cond = reduce(
+                Column.__and__,
+                [F.col(own) == F.col(earlier) for own, earlier in r.join_pairs()],
+            )
+            acc = acc.join(side, cond)
         if self.spec.residual is not None:
             # non-tree cycle edges: σ distributes over the decomposition terms
             acc = acc.filter(self.spec.residual())
@@ -387,6 +405,8 @@ class IncrementalAcyclicQuery:
             d = deltas[r.name]
             if r.delta_filter is not None:
                 d = r.delta_filter(d)
+            if r.project is not None:
+                d = d.select(*r.project, WEIGHT)
             filt[r.name] = self._conform(r.name, d)
 
         old = {r.name: self._read_state(r.name) for r in rels}

@@ -317,6 +317,48 @@ def test_resume_gc_discards_uncommitted_leftovers(spark, tmp_path):
     assert _result_map(eng2.result()) == {("a0", "b0"): 5}
 
 
+def test_composite_join_key_and_projection(spark, tmp_path):
+    """A COMPOSITE FK edge ((own1, earlier1), (own2, earlier2)) joins on the
+    conjunction; ``project`` prunes delta columns at ingest so state never
+    holds untouched columns."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("fact", project=("k1", "k2", "v")),
+            # dimension keyed by the PAIR (d1, d2) — composite edge to fact
+            RelSpec("dimp", join_on=(("d1", "k1"), ("d2", "k2"))),
+        ),
+        group_by=("label",),
+        measures={"total": lambda: F.col("v")},
+    )
+    eng = _engine(spark, tmp_path, spec)
+    eng.process_batch(
+        {
+            # extra column must be pruned by project, not enter state
+            "fact": spark.createDataFrame(
+                [(0, 0, 5, "junk", 1), (0, 1, 7, "junk", 1), (1, 0, 11, "junk", 1)],
+                "k1 int, k2 int, v int, extra string, weight int",
+            ),
+            "dimp": spark.createDataFrame(
+                [(0, 0, "p00", 1), (0, 1, "p01", 1)],
+                "d1 int, d2 int, label string, weight int",
+            ),
+        }
+    )
+    res = {r["label"]: r["total"] for r in eng.result().collect()}
+    assert res == {"p00": 5, "p01": 7}  # (1,0) matches NO composite key
+    assert "extra" not in eng._read_state("fact").columns
+    # delete one half of a composite key pair -> only that pair retracts
+    eng.process_batch(
+        {
+            "dimp": spark.createDataFrame(
+                [(0, 1, "p01", -1)], "d1 int, d2 int, label string, weight int"
+            )
+        }
+    )
+    res = {r["label"]: r["total"] for r in eng.result().collect()}
+    assert res == {"p00": 5}
+
+
 # --- non-invertible aggregates (MIN/MAX/COUNT DISTINCT) via histogram state -
 HIST_SPEC = AcyclicQuerySpec(
     relations=SPEC.relations,

@@ -315,3 +315,57 @@ def test_curation_funnel_consistent_at_12x(spark):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) > 0, "degenerate funnel (0 survivors)"
+
+
+def test_ivm_q5_stream_at_10x(spark):
+    """Run the generic IVM engine's hardest registered query — continuous
+    CYCLIC Q5 (6 relations, residual edge, deletes on every relation) — at
+    sf0.1, 10× the oracle-verification scale, and hash the maintained state
+    against a from-scratch Spark recompute over the net multiplicities. This
+    exercises real multi-batch state volume (600k lineitem changelog rows)
+    through the full Structured Streaming harness, where a state-merge or
+    segment-schema bug that is invisible at sf0.01 would surface."""
+    from flink_and_acyclic_schema_spark.functions.numeric import dec as _dec
+    from flink_and_acyclic_schema_spark.plans.ivm_ext import incremental_q5_stream
+
+    got = {
+        r["n_name"]: round(r["revenue"], 4)
+        for r in incremental_q5_stream(spark, SF_BENCH).collect()
+    }
+
+    def with_m(name, key, dup=None, del_=None):
+        df = load(spark, SF_BENCH, name)
+        m = F.lit(1)
+        if dup:
+            m = m + (F.col(key) % dup == 0).cast("int")
+        if del_:
+            m = m - (F.col(key) % del_ == 0).cast("int")
+        return df.withColumn("m", m)
+
+    li = with_m("lineitem", "l_orderkey", dup=5, del_=7)
+    o = with_m("orders", "o_orderkey", del_=9).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    c = with_m("customer", "c_custkey", del_=11)
+    s = with_m("supplier", "s_suppkey", dup=6)
+    n = load(spark, SF_BENCH, "nation")
+    r = load(spark, SF_BENCH, "region").filter(F.col("r_name") == "ASIA")
+    w = li["m"] * o["m"] * c["m"] * s["m"]
+    rev = _dec("l_extendedprice") * _dec(F.lit(1.0) - F.col("l_discount"))
+    exp_df = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, (F.col("c_custkey") == F.col("o_custkey")))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(w * rev).cast("double").alias("revenue"),
+            F.sum(w).alias("support"),
+        )
+        .filter(F.col("support") > 0)
+    )
+    expect = {row["n_name"]: round(row["revenue"], 4) for row in exp_df.collect()}
+    assert got == expect
