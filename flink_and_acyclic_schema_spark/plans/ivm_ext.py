@@ -15,6 +15,10 @@ duplicate inserts, and deletes arriving across micro-batches:
   (orders / part / supplier), which the sequential decomposition handles
   because each relation joins a column of ANY earlier relation, not just the
   immediately previous one
+- ``incremental_q13_outer_stream`` — LEFT-OUTER preservation (TPC-H Q13's
+  core): zero-match customers surface with count 0, and deleting a
+  customer's last order re-surfaces it as a zero row — the outer-join
+  retraction case an inner-join IVM silently loses
 - ``incremental_q5_stream`` — continuous TPC-H Q5, a CYCLIC query (the
   c_nationkey = s_nationkey back-edge) maintained via the spanning-tree +
   residual-edge reduction — outside the reference framework's definable class
@@ -287,6 +291,66 @@ register(
          AND c_nationkey = s_nationkey
        GROUP BY n_name
        HAVING sum(li.m * o.m * c.m * s.m) > 0""",
+)
+
+
+# --- continuous Q13 shape: LEFT-OUTER preservation under retraction ----------
+def incremental_q13_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous customer⟕orders count/revenue (TPC-H Q13's outer-join
+    core): customers with ZERO orders surface with count 0 — and, the IVM
+    hard case, a customer whose last order is DELETED mid-stream re-surfaces
+    as a zero row instead of vanishing (del_mod=3 retires a third of all
+    orders, so many customers drain to zero). ``preserve`` reads the live
+    customer state for padding; inner support gates the aggregate."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("customer"),
+            RelSpec("orders", join_on=("o_custkey", "c_custkey")),
+        ),
+        group_by=("c_custkey",),
+        measures={
+            "n_orders": lambda: F.lit(1),
+            "revenue": lambda: dec("o_totalprice"),
+        },
+        preserve="customer",
+        finalize=lambda df: df.select(
+            "c_custkey",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("revenue"), F.lit(0)).cast("double").alias("revenue"),
+        ),
+    )
+    gens = (
+        DeltaGen("customer", "c_custkey", ("c_custkey",), del_mod=13),
+        DeltaGen(
+            "orders",
+            "o_orderkey",
+            ("o_orderkey", "o_custkey", "o_totalprice"),
+            dup_mod=4,
+            del_mod=3,
+        ),
+    )
+    return _run(spark, sf_dir, "ivm_q13", spec, gens)
+
+
+register(
+    "incremental_q13_outer_stream",
+    incremental_q13_outer_stream,
+    """WITH o AS (
+         SELECT *, 1 + (o_orderkey % 4 = 0)::INT - (o_orderkey % 3 = 0)::INT AS m
+         FROM orders),
+       c AS (
+         SELECT *, 1 - (c_custkey % 13 = 0)::INT AS m FROM customer),
+       ia AS (
+         SELECT o_custkey AS c_custkey, sum(m) AS support,
+                sum(m)::BIGINT AS n_orders,
+                sum(m * o_totalprice::DECIMAL(12,4)) AS rev
+         FROM o GROUP BY o_custkey)
+       SELECT c.c_custkey,
+              coalesce(CASE WHEN support > 0 THEN n_orders END, 0)::BIGINT
+                AS n_orders,
+              coalesce(CASE WHEN support > 0 THEN rev END, 0)::DOUBLE AS revenue
+       FROM c LEFT JOIN ia USING (c_custkey)
+       WHERE c.m > 0""",
 )
 
 

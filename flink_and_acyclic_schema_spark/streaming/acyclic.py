@@ -134,6 +134,17 @@ class AcyclicQuerySpec:
     # exact by linearity of selection over the multiset decomposition. E.g.
     # Q5's back-edge: lambda: F.col("c_nationkey") == F.col("s_nationkey")
     residual: Callable[[], Column] | None = None
+    # LEFT-OUTER preservation (continuous Q13 shape): name ONE relation whose
+    # groups must surface even with zero joining tuples — every group_by
+    # column must come from it. Emission unions in a padded row (measures
+    # NULL; coalesce defaults in ``finalize``) for each distinct group in
+    # that relation's live state (net weight > 0, after its delta_filter)
+    # that the inner aggregate doesn't surface. The retraction hard case
+    # falls out of state separation: deleting a customer's LAST order drains
+    # inner support, and the customer re-emerges as a padded row because its
+    # own state row still lives — no special delta handling needed. ``having``
+    # applies AFTER padding (NULL measures fail comparisons, SQL semantics).
+    preserve: str | None = None
     # optional predicate over the maintained result columns (Q18's
     # HAVING SUM(l_quantity) > t — evaluated at emission, state keeps all
     # groups so the predicate can flip both ways under deletes); may also
@@ -162,6 +173,12 @@ class AcyclicQuerySpec:
         clash = set(self.hist_measures) & (set(self.measures) | set(self.group_by))
         if clash:
             raise ValueError(f"hist measure names collide: {sorted(clash)}")
+        if self.preserve is not None and self.preserve not in names:
+            raise ValueError(
+                f"preserve={self.preserve!r} is not a spec relation: {names}"
+            )
+        if self.preserve is not None and not self.group_by:
+            raise ValueError("preserve requires a non-empty group_by")
 
 
 class IncrementalAcyclicQuery:
@@ -549,6 +566,15 @@ class IncrementalAcyclicQuery:
                 out = out.join(per_group, on=gb, how="inner")
             else:  # global aggregate: both sides are single-row
                 out = out.crossJoin(F.broadcast(per_group))
+        if self.spec.preserve is not None:
+            # left-outer padding: live preserved groups the inner aggregate
+            # doesn't surface, with NULL measures (coalesce in finalize)
+            pstate = self._read_state(self.spec.preserve)
+            if self.compact_every > 1:
+                pstate = self._net(pstate)
+            pgroups = pstate.filter(F.col(WEIGHT) > 0).select(*gb).distinct()
+            padded = pgroups.join(out.select(*gb), on=gb, how="left_anti")
+            out = out.unionByName(padded, allowMissingColumns=True)
         if self.spec.having is not None:
             out = out.filter(self.spec.having())
         out = out.select(

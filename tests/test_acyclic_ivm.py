@@ -547,6 +547,80 @@ def test_residual_delete_retracts_through_cycle(spark, tmp_path):
     assert _result_map(eng.result()) == {}
 
 
+# --- left-outer preservation (continuous Q13 shape) --------------------------
+PRESERVE_SPEC = AcyclicQuerySpec(
+    relations=(
+        RelSpec("parent"),
+        RelSpec("child", join_on=("c_pid", "pid")),
+    ),
+    group_by=("pid", "pname"),
+    measures={"n_children": lambda: F.lit(1)},
+    preserve="parent",
+    finalize=lambda df: df.withColumn(
+        "n_children", F.coalesce(F.col("n_children"), F.lit(0)).cast("long")
+    ),
+)
+PARENT_SCHEMA = "pid int, pname string, weight int"
+CHILD_SCHEMA = "c_pid int, cv int, weight int"
+
+
+def _preserve_map(df):
+    return {(r["pid"], r["pname"]): r["n_children"] for r in df.collect()}
+
+
+def test_preserve_zero_match_groups_surface(spark, tmp_path):
+    """Parents with no joining children surface with the padded default —
+    left-outer semantics a pure inner-join IVM loses."""
+    eng = _engine(spark, tmp_path, PRESERVE_SPEC)
+    eng.process_batch(
+        {
+            "parent": spark.createDataFrame([(1, "a", 1), (2, "b", 1)], PARENT_SCHEMA),
+            "child": spark.createDataFrame([(1, 10, 1), (1, 11, 1)], CHILD_SCHEMA),
+        }
+    )
+    assert _preserve_map(eng.result()) == {(1, "a"): 2, (2, "b"): 0}
+
+
+def test_preserve_outer_retraction_resurfaces_zero(spark, tmp_path):
+    """THE outer-join retraction hard case: deleting a parent's LAST child
+    drains inner support, and the parent must RE-SURFACE as a padded zero row
+    (not vanish); deleting the parent itself finally removes the group."""
+    eng = _engine(spark, tmp_path, PRESERVE_SPEC)
+    eng.process_batch(
+        {
+            "parent": spark.createDataFrame([(1, "a", 1)], PARENT_SCHEMA),
+            "child": spark.createDataFrame([(1, 10, 1)], CHILD_SCHEMA),
+        }
+    )
+    assert _preserve_map(eng.result()) == {(1, "a"): 1}
+    eng.process_batch({"child": spark.createDataFrame([(1, 10, -1)], CHILD_SCHEMA)})
+    assert _preserve_map(eng.result()) == {(1, "a"): 0}
+    eng.process_batch({"parent": spark.createDataFrame([(1, "a", -1)], PARENT_SCHEMA)})
+    assert _preserve_map(eng.result()) == {}
+
+
+def test_preserve_log_structured(spark, tmp_path):
+    """Padding reads the preserved state's net multiset in the log-structured
+    regime too (unmerged segments reduced lazily)."""
+    eng = IncrementalAcyclicQuery(
+        spark, str(tmp_path / "log"), PRESERVE_SPEC, compact_every=5
+    )
+    eng.process_batch(
+        {
+            "parent": spark.createDataFrame([(1, "a", 1), (2, "b", 1)], PARENT_SCHEMA),
+            "child": spark.createDataFrame([(2, 7, 1)], CHILD_SCHEMA),
+        }
+    )
+    eng.process_batch(
+        {
+            # delete parent 1 (never matched) and parent 2's only child
+            "parent": spark.createDataFrame([(1, "a", -1)], PARENT_SCHEMA),
+            "child": spark.createDataFrame([(2, 7, -1)], CHILD_SCHEMA),
+        }
+    )
+    assert _preserve_map(eng.result()) == {(2, "b"): 0}
+
+
 def test_avg_via_finalize(spark, tmp_path):
     """AVG needs no engine support: SUM + COUNT measures divided in finalize
     stay exact under retraction (both components are invertible)."""
