@@ -19,6 +19,9 @@ duplicate inserts, and deletes arriving across micro-batches:
   core): zero-match customers surface with count 0, and deleting a
   customer's last order re-surfaces it as a zero row — the outer-join
   retraction case an inner-join IVM silently loses
+- ``incremental_q13_full_stream`` — FULL Q13 (customer distribution by order
+  count): the second aggregation level re-aggregates the maintained
+  aggregate-sized level-1 state at emission, O(groups) per read
 - ``incremental_q5_stream`` — continuous TPC-H Q5, a CYCLIC query (the
   c_nationkey = s_nationkey back-edge) maintained via the spanning-tree +
   residual-edge reduction — outside the reference framework's definable class
@@ -351,6 +354,62 @@ register(
               coalesce(CASE WHEN support > 0 THEN rev END, 0)::DOUBLE AS revenue
        FROM c LEFT JOIN ia USING (c_custkey)
        WHERE c.m > 0""",
+)
+
+
+# --- full continuous Q13: two-level aggregate over the maintained state ------
+def incremental_q13_full_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL TPC-H Q13 maintained continuously: the distribution of customers
+    by order count (custdist), including the zero bucket via ``preserve``.
+    The second aggregation level (GROUP BY c_count) runs at EMISSION over the
+    maintained level-1 state — which is already aggregate-sized (one row per
+    customer), so the re-aggregation is O(groups), never a base-table rescan:
+    the correct two-level IVM cost model. Deletes move customers between
+    count buckets and into/out of the zero bucket."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("customer"),
+            RelSpec("orders", join_on=("o_custkey", "c_custkey")),
+        ),
+        group_by=("c_custkey",),
+        measures={"n_orders": lambda: F.lit(1)},
+        preserve="customer",
+        finalize=lambda df: df.select(
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("c_count")
+        )
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist")),
+    )
+    gens = (
+        DeltaGen("customer", "c_custkey", ("c_custkey",), del_mod=13),
+        DeltaGen(
+            "orders",
+            "o_orderkey",
+            ("o_orderkey", "o_custkey"),
+            dup_mod=4,
+            del_mod=3,
+        ),
+    )
+    return _run(spark, sf_dir, "ivm_q13full", spec, gens)
+
+
+register(
+    "incremental_q13_full_stream",
+    incremental_q13_full_stream,
+    """WITH o AS (
+         SELECT *, 1 + (o_orderkey % 4 = 0)::INT - (o_orderkey % 3 = 0)::INT AS m
+         FROM orders),
+       c AS (
+         SELECT *, 1 - (c_custkey % 13 = 0)::INT AS m FROM customer),
+       ia AS (
+         SELECT o_custkey AS c_custkey, sum(m) AS support FROM o GROUP BY o_custkey),
+       percust AS (
+         SELECT c.c_custkey,
+                coalesce(CASE WHEN support > 0 THEN support END, 0)::BIGINT AS c_count
+         FROM c LEFT JOIN ia USING (c_custkey)
+         WHERE c.m > 0)
+       SELECT c_count, count(*)::BIGINT AS custdist
+       FROM percust GROUP BY c_count""",
 )
 
 
