@@ -15,6 +15,10 @@ duplicate inserts, and deletes arriving across micro-batches:
   (orders / part / supplier), which the sequential decomposition handles
   because each relation joins a column of ANY earlier relation, not just the
   immediately previous one
+- ``incremental_q4_exists_stream`` — EXISTS subquery (semi-join), nonlinear
+  in child multiplicity, maintained via presence-delta linearization:
+  duplicate children never double-count, deleting the last qualifying child
+  retracts the parent
 - ``incremental_q13_outer_stream`` — LEFT-OUTER preservation (TPC-H Q13's
   core): zero-match customers surface with count 0, and deleting a
   customer's last order re-surfaces it as a zero row — the outer-join
@@ -354,6 +358,78 @@ register(
               coalesce(CASE WHEN support > 0 THEN rev END, 0)::DOUBLE AS revenue
        FROM c LEFT JOIN ia USING (c_custkey)
        WHERE c.m > 0""",
+)
+
+
+# --- continuous Q4 shape: EXISTS gate via presence deltas --------------------
+def incremental_q4_exists_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous TPC-H Q4 shape: orders per priority having AT LEAST ONE
+    returned line — an EXISTS subquery (semi-join), nonlinear in child
+    multiplicity, maintained via the engine's presence-delta linearization
+    (RelSpec.semi). An order with three returned lines counts once; the
+    changelog's deletes (del_mod=5 on lineitem) repeatedly remove SOME copies
+    without flipping existence and eventually the LAST copy, which must
+    retract the order — the step-function behavior a plain joined count
+    cannot express."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec(
+                "orders",
+                delta_filter=lambda d: d.filter(
+                    (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                    & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+                ),
+            ),
+            RelSpec(
+                "lineitem",
+                join_on=("l_orderkey", "o_orderkey"),
+                semi=True,
+                delta_filter=lambda d: d.filter(F.col("l_returnflag") == "R"),
+            ),
+        ),
+        group_by=("o_orderpriority",),
+        measures={"order_count": lambda: F.lit(1)},
+        finalize=lambda df: df.withColumn(
+            "order_count", F.col("order_count").cast("long")
+        ),
+    )
+    gens = (
+        DeltaGen(
+            "orders",
+            "o_orderkey",
+            ("o_orderkey", "o_orderdate", "o_orderpriority"),
+            dup_mod=4,
+            del_mod=6,
+        ),
+        DeltaGen(
+            "lineitem",
+            "l_orderkey",
+            ("l_orderkey", "l_returnflag"),
+            dup_mod=3,
+            del_mod=5,
+        ),
+    )
+    return _run(spark, sf_dir, "ivm_q4", spec, gens)
+
+
+register(
+    "incremental_q4_exists_stream",
+    incremental_q4_exists_stream,
+    """WITH o AS (
+         SELECT *, 1 + (o_orderkey % 4 = 0)::INT - (o_orderkey % 6 = 0)::INT AS m
+         FROM orders),
+       li AS (
+         SELECT *, 1 + (l_orderkey % 3 = 0)::INT - (l_orderkey % 5 = 0)::INT AS m
+         FROM lineitem),
+       lp AS (
+         SELECT l_orderkey FROM li WHERE l_returnflag = 'R'
+         GROUP BY l_orderkey HAVING sum(m) > 0)
+       SELECT o_orderpriority, sum(o.m)::BIGINT AS order_count
+       FROM o JOIN lp ON l_orderkey = o_orderkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY o_orderpriority
+       HAVING sum(o.m) > 0""",
 )
 
 

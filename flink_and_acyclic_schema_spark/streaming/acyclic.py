@@ -24,7 +24,13 @@ runner-up). The engine maintains these from the same ΔJ via per-measure
 VALUE-HISTOGRAM state, (group key…, value) → net weight, reduced at emission
 over values whose net weight is positive; see ``AcyclicQuerySpec.
 hist_measures``. AVG needs no engine support: declare SUM and COUNT measures
-and divide in ``finalize`` (invertible aggregates compose).
+and divide in ``finalize`` (invertible aggregates compose). EXISTS subqueries
+(SQL semi-joins) are nonlinear too — a step function of child multiplicity —
+and are linearized via the DBSP distinct trick: a ``semi=True`` relation
+participates through its 0/1 key-presence view, whose per-batch PRESENCE
+DELTA (keys crossing zero) flows through the same decomposition
+(``RelSpec.semi``). LEFT-OUTER preservation pads zero-match groups at
+emission (``AcyclicQuerySpec.preserve``).
 
 The relation list may be any *tree* linearization, not just a path: each
 non-root relation joins on a column of ANY earlier relation in the list (the
@@ -83,6 +89,20 @@ class RelSpec:
     σ gating, and the state-size lever at 100 TB where base rows are wide.
     ``broadcast_state`` marks dimension-sized relations whose state and
     deltas should broadcast in every delta-join term (e.g. nation).
+
+    ``semi=True`` makes this relation an EXISTS gate (SQL semi-join): it
+    contributes ONLY the 0/1 presence of its join key(s), never tuple
+    multiplicities or non-key columns. Presence is a *nonlinear* (step)
+    function of the multiset, so the engine converts it back into a linear
+    changelog — the DBSP ``distinct`` trick: the relation's raw weighted
+    state is maintained as usual, and each batch derives a PRESENCE DELTA
+    (+1/−1 per key whose net count crossed zero, computed only for keys the
+    batch touched — O(Δ ⋈ state-by-key)), which then flows through the same
+    delta-join decomposition. Duplicate children therefore do NOT
+    double-count parents, and deleting one of two copies changes nothing
+    while deleting the last copy retracts the parent — exact EXISTS
+    semantics under retraction. ``delta_filter`` composes: the gate is
+    EXISTS(child WHERE pred).
     """
 
     name: str
@@ -90,6 +110,7 @@ class RelSpec:
     delta_filter: Callable[[DataFrame], DataFrame] | None = None
     project: tuple[str, ...] | None = None
     broadcast_state: bool = False
+    semi: bool = False
 
     def join_pairs(self) -> tuple[tuple[str, str], ...]:
         """Normalize ``join_on`` to a tuple of (own, earlier) pairs."""
@@ -179,6 +200,13 @@ class AcyclicQuerySpec:
             )
         if self.preserve is not None and not self.group_by:
             raise ValueError("preserve requires a non-empty group_by")
+        for r in self.relations:
+            if r.semi and r.join_on is None:
+                raise ValueError(f"semi relation {r.name!r} must be non-root")
+        if self.preserve is not None:
+            (p,) = [r for r in self.relations if r.name == self.preserve]
+            if p.semi:
+                raise ValueError("preserve relation cannot be a semi gate")
 
 
 class IncrementalAcyclicQuery:
@@ -357,6 +385,19 @@ class IncrementalAcyclicQuery:
     def _merge(cls, state: DataFrame, delta: DataFrame) -> DataFrame:
         return cls._net(state.unionByName(delta))
 
+    @staticmethod
+    def _presence(df: DataFrame, keys: list[str]) -> DataFrame:
+        """0/1 key-presence view of a weighted multiset: distinct keys with
+        positive net count, each carrying weight 1 (the linearizing output of
+        the DBSP-style distinct operator for EXISTS gates)."""
+        return (
+            df.groupBy(*keys)
+            .agg(F.sum(WEIGHT).alias(WEIGHT))
+            .filter(F.col(WEIGHT) > 0)
+            .select(*keys)
+            .withColumn(WEIGHT, F.lit(1))
+        )
+
     def _agg_net(self, df: DataFrame) -> DataFrame:
         """Reduce (possibly segmented) aggregate state to one row per group.
         A group may transiently hold support == 0 with NONZERO measures
@@ -444,6 +485,32 @@ class IncrementalAcyclicQuery:
                 for r in rels
             }
 
+        # semi gates: swap the relation's multiset for its 0/1 PRESENCE view,
+        # and its raw delta for the presence DELTA (keys whose net count
+        # crossed zero this batch, computed over touched keys only)
+        term_new: dict[str, DataFrame] = {}
+        term_old: dict[str, DataFrame] = {}
+        term_delta: dict[str, DataFrame] = {}
+        for r in rels:
+            if not r.semi:
+                term_new[r.name], term_old[r.name] = new[r.name], old[r.name]
+                if r.name in filt:
+                    term_delta[r.name] = filt[r.name]
+                continue
+            keys = [own for own, _ in r.join_pairs()]
+            old_p = self._presence(old[r.name], keys)
+            new_p = self._presence(new[r.name], keys)
+            term_new[r.name], term_old[r.name] = new_p, old_p
+            if r.name in filt:
+                touched = filt[r.name].select(*keys).distinct()
+                old_pk = old_p.join(touched, keys, "left_semi")
+                new_pk = new_p.join(touched, keys, "left_semi")
+                appeared = new_pk.join(old_pk, keys, "left_anti")
+                vanished = old_pk.join(new_pk, keys, "left_anti").withColumn(
+                    WEIGHT, F.lit(-1)
+                )
+                term_delta[r.name] = appeared.unionByName(vanished)
+
         # ΔJ: one term per relation that actually has a delta this batch
         terms: list[DataFrame] = []
         for i, ri in enumerate(rels):
@@ -452,11 +519,11 @@ class IncrementalAcyclicQuery:
             versions = {}
             for j, rj in enumerate(rels):
                 if j < i:
-                    versions[rj.name] = new[rj.name]
+                    versions[rj.name] = term_new[rj.name]
                 elif j == i:
-                    versions[rj.name] = filt[rj.name]
+                    versions[rj.name] = term_delta[rj.name]
                 else:
-                    versions[rj.name] = old[rj.name]
+                    versions[rj.name] = term_old[rj.name]
             terms.append(self._join_chain(versions))
         if not terms:
             return  # empty batch: nothing changes

@@ -547,6 +547,112 @@ def test_residual_delete_retracts_through_cycle(spark, tmp_path):
     assert _result_map(eng.result()) == {}
 
 
+# --- EXISTS gates (semi-join via presence deltas) ----------------------------
+SEMI_SPEC = AcyclicQuerySpec(
+    relations=(
+        RelSpec("fact"),
+        RelSpec("dim1", join_on=("d1", "k1"), broadcast_state=True),
+        RelSpec("gate", join_on=("g", "k2"), semi=True),
+    ),
+    group_by=("name1",),
+    measures={"total": lambda: F.col("v")},
+)
+GATE_SCHEMA = "g int, gv int, weight int"
+
+
+def _semi_map(df):
+    return {r["name1"]: r["total"] for r in df.collect()}
+
+
+def _semi_model(fact_ops, gate_ops):
+    """Recompute: fact rows contribute iff their k2 has POSITIVE NET count in
+    the gate (key-level net — exact EXISTS for well-formed changelogs)."""
+    from collections import Counter
+
+    key_net: Counter = Counter()
+    for g, _, w in gate_ops:
+        key_net[g] += w
+    present = {g for g, m in key_net.items() if m > 0}
+    fnet: Counter = Counter()
+    for k1, k2, v, w in fact_ops:
+        fnet[(k1, k2, v)] += w
+    total: Counter = Counter()
+    support: Counter = Counter()
+    for (k1, k2, v), m in fnet.items():
+        if 0 <= k1 < 3 and k2 in present:
+            total[f"a{k1}"] += m * v
+            support[f"a{k1}"] += m
+    return {g: total[g] for g in total if support[g] > 0}
+
+
+def test_semi_gate_multiplicity_invariant(spark, tmp_path):
+    """EXISTS semantics: two qualifying children count the parent ONCE;
+    deleting one of two copies changes nothing; deleting the last copy
+    retracts the parent — the step function a plain join gets wrong."""
+    eng = _engine(spark, tmp_path, SEMI_SPEC)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame([(0, 7, 10, 1)], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "gate": spark.createDataFrame([(7, 1, 1), (7, 2, 1)], GATE_SCHEMA),
+        }
+    )
+    assert _semi_map(eng.result()) == {"a0": 10}  # once, not twice
+    eng.process_batch({"gate": spark.createDataFrame([(7, 1, -1)], GATE_SCHEMA)})
+    assert _semi_map(eng.result()) == {"a0": 10}  # copy removed, still exists
+    eng.process_batch({"gate": spark.createDataFrame([(7, 2, -1)], GATE_SCHEMA)})
+    assert _semi_map(eng.result()) == {}  # last copy removed -> retracted
+
+
+def test_semi_gate_child_arrives_after_parent(spark, tmp_path):
+    """A presence flip propagates to ALREADY-BUFFERED parents (the gate's
+    delta term joins the parents' state), both directions."""
+    eng = _engine(spark, tmp_path, SEMI_SPEC)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame([(1, 5, 4, 1)], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "gate": spark.createDataFrame([], GATE_SCHEMA),
+        }
+    )
+    assert _semi_map(eng.result()) == {}
+    eng.process_batch({"gate": spark.createDataFrame([(5, 9, 1)], GATE_SCHEMA)})
+    assert _semi_map(eng.result()) == {"a1": 4}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fact_ops=FACT_OPS,
+    gate_ops=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2), st.sampled_from([1, -1])),
+        min_size=0,
+        max_size=12,
+    ),
+    split=st.integers(0, 16),
+)
+def test_semi_prefix_closure_any_split(spark, tmp_path_factory, fact_ops, gate_ops, split):
+    """Prefix closure with an EXISTS gate: presence deltas telescope, so any
+    batch split reproduces the from-scratch gated recompute."""
+    tmp = tmp_path_factory.mktemp("ivms")
+    eng = _engine(spark, tmp, SEMI_SPEC)
+    fs = min(split, len(fact_ops))
+    gs = min(split, len(gate_ops))
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(fact_ops[:fs] or [], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "gate": spark.createDataFrame(gate_ops[:gs] or [], GATE_SCHEMA),
+        }
+    )
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(fact_ops[fs:] or [], FACT_SCHEMA),
+            "gate": spark.createDataFrame(gate_ops[gs:] or [], GATE_SCHEMA),
+        }
+    )
+    assert _semi_map(eng.result()) == _semi_model(fact_ops, gate_ops)
+
+
 # --- left-outer preservation (continuous Q13 shape) --------------------------
 PRESERVE_SPEC = AcyclicQuerySpec(
     relations=(
