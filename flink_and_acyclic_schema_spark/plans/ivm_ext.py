@@ -15,6 +15,9 @@ duplicate inserts, and deletes arriving across micro-batches:
   (orders / part / supplier), which the sequential decomposition handles
   because each relation joins a column of ANY earlier relation, not just the
   immediately previous one
+- ``incremental_q22_noorders_stream`` — NOT EXISTS (anti-join) by
+  inclusion–exclusion over the presence view: draining a customer's last
+  order makes it APPEAR in the no-orders count, a late insert retracts it
 - ``incremental_q4_exists_stream`` — EXISTS subquery (semi-join), nonlinear
   in child multiplicity, maintained via presence-delta linearization:
   duplicate children never double-count, deleting the last qualifying child
@@ -430,6 +433,54 @@ register(
          AND o_orderdate < TIMESTAMP '1997-01-01'
        GROUP BY o_orderpriority
        HAVING sum(o.m) > 0""",
+)
+
+
+# --- continuous Q22 shape: NOT EXISTS via anti gate --------------------------
+def incremental_q22_noorders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous TPC-H Q22 core: customers per market segment having NO
+    orders — a NOT EXISTS subquery maintained by the engine's anti gate
+    (inclusion–exclusion over the presence view). The changelog deletes a
+    third of all orders (del_mod=3), so customers keep DRAINING to zero
+    orders and must APPEAR in the count, while late order inserts retract
+    them again — the inverted step function under retraction."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("customer"),
+            RelSpec("orders", join_on=("o_custkey", "c_custkey"), anti=True),
+        ),
+        group_by=("c_mktsegment",),
+        measures={"n_customers": lambda: F.lit(1)},
+        finalize=lambda df: df.withColumn(
+            "n_customers", F.col("n_customers").cast("long")
+        ),
+    )
+    gens = (
+        DeltaGen(
+            "customer", "c_custkey", ("c_custkey", "c_mktsegment"), del_mod=11
+        ),
+        DeltaGen(
+            "orders", "o_orderkey", ("o_orderkey", "o_custkey"), dup_mod=4, del_mod=3
+        ),
+    )
+    return _run(spark, sf_dir, "ivm_q22", spec, gens)
+
+
+register(
+    "incremental_q22_noorders_stream",
+    incremental_q22_noorders_stream,
+    """WITH o AS (
+         SELECT *, 1 + (o_orderkey % 4 = 0)::INT - (o_orderkey % 3 = 0)::INT AS m
+         FROM orders),
+       c AS (
+         SELECT *, 1 - (c_custkey % 11 = 0)::INT AS m FROM customer),
+       op AS (
+         SELECT o_custkey FROM o GROUP BY o_custkey HAVING sum(m) > 0)
+       SELECT c_mktsegment, sum(m)::BIGINT AS n_customers
+       FROM c
+       WHERE NOT EXISTS (SELECT 1 FROM op WHERE op.o_custkey = c.c_custkey)
+       GROUP BY c_mktsegment
+       HAVING sum(m) > 0""",
 )
 
 

@@ -103,6 +103,14 @@ class RelSpec:
     while deleting the last copy retracts the parent — exact EXISTS
     semantics under retraction. ``delta_filter`` composes: the gate is
     EXISTS(child WHERE pred).
+
+    ``anti=True`` is the NOT-EXISTS twin: the parent contributes iff NO
+    qualifying child key is present. Since anti-weight = (1 − presence), the
+    engine compiles the gate by inclusion–exclusion: maintain the query
+    WITHOUT the gate minus the query WITH it as a semi gate — per batch,
+    both decompositions' delta terms fold into ONE aggregate state, the
+    semi-tree terms with negated weights. Deleting the last qualifying child
+    makes the parent APPEAR; inserting the first makes it retract.
     """
 
     name: str
@@ -111,6 +119,7 @@ class RelSpec:
     project: tuple[str, ...] | None = None
     broadcast_state: bool = False
     semi: bool = False
+    anti: bool = False
 
     def join_pairs(self) -> tuple[tuple[str, str], ...]:
         """Normalize ``join_on`` to a tuple of (own, earlier) pairs."""
@@ -201,12 +210,14 @@ class AcyclicQuerySpec:
         if self.preserve is not None and not self.group_by:
             raise ValueError("preserve requires a non-empty group_by")
         for r in self.relations:
-            if r.semi and r.join_on is None:
-                raise ValueError(f"semi relation {r.name!r} must be non-root")
+            if (r.semi or r.anti) and r.join_on is None:
+                raise ValueError(f"gate relation {r.name!r} must be non-root")
+            if r.semi and r.anti:
+                raise ValueError(f"relation {r.name!r} cannot be both semi and anti")
         if self.preserve is not None:
             (p,) = [r for r in self.relations if r.name == self.preserve]
-            if p.semi:
-                raise ValueError("preserve relation cannot be a semi gate")
+            if p.semi or p.anti:
+                raise ValueError("preserve relation cannot be a semi/anti gate")
 
 
 class IncrementalAcyclicQuery:
@@ -415,11 +426,33 @@ class IncrementalAcyclicQuery:
             keep = keep | F.coalesce(F.col(name) != 0, F.lit(False))
         return out.filter(keep)
 
+    def _term_project(self, t: DataFrame) -> DataFrame:
+        """Uniform contribution row for one delta-join term: group key columns,
+        each measure pre-multiplied by the term weight, each hist value, and
+        the weight itself. Evaluating measures per term (then summing) equals
+        evaluating on the unioned join by linearity, and gives every term the
+        same schema regardless of which virtual tree produced it."""
+        cols: list[Column] = [F.col(c) for c in self.spec.group_by]
+        cols += [
+            (F.col("_w") * expr()).alias(name)
+            for name, expr in self.spec.measures.items()
+        ]
+        cols += [
+            expr().alias(f"_hv_{name}")
+            for name, (_, expr) in self.spec.hist_measures.items()
+        ]
+        cols.append(F.col("_w"))
+        return t.select(*cols)
+
     # --- delta-join decomposition ------------------------------------------
-    def _join_chain(self, versions: Mapping[str, DataFrame]) -> DataFrame:
+    def _join_chain(
+        self, versions: Mapping[str, DataFrame], rels: tuple[RelSpec, ...] | None = None
+    ) -> DataFrame:
         """k-way join over one version assignment; output weight ``_w`` is the
-        product of per-relation weights (joins multiply multiplicities)."""
-        rels = self.spec.relations
+        product of per-relation weights (joins multiply multiplicities).
+        ``rels`` narrows the chain to a virtual sub-tree (anti-gate
+        inclusion–exclusion); defaults to the full spec."""
+        rels = self.spec.relations if rels is None else rels
         first = versions[rels[0].name].withColumnRenamed(WEIGHT, f"_w_{rels[0].name}")
         acc = first
         for r in rels[1:]:
@@ -492,7 +525,7 @@ class IncrementalAcyclicQuery:
         term_old: dict[str, DataFrame] = {}
         term_delta: dict[str, DataFrame] = {}
         for r in rels:
-            if not r.semi:
+            if not (r.semi or r.anti):
                 term_new[r.name], term_old[r.name] = new[r.name], old[r.name]
                 if r.name in filt:
                     term_delta[r.name] = filt[r.name]
@@ -511,30 +544,45 @@ class IncrementalAcyclicQuery:
                 )
                 term_delta[r.name] = appeared.unionByName(vanished)
 
-        # ΔJ: one term per relation that actually has a delta this batch
+        # ΔJ: one term per relation-with-delta per virtual tree. Anti gates
+        # expand by inclusion–exclusion — Q = Σ_S (−1)^|S| J(tree ∪ S) over
+        # subsets S of the anti relations (each participating as presence) —
+        # and each J's own sequential decomposition applies; every term is
+        # projected to a uniform (group key, w·measure…, hist value…, _w)
+        # row so trees with different column sets union cleanly.
+        import itertools
+
+        anti_rels = tuple(r for r in rels if r.anti)
         terms: list[DataFrame] = []
-        for i, ri in enumerate(rels):
-            if ri.name not in filt:
-                continue
-            versions = {}
-            for j, rj in enumerate(rels):
-                if j < i:
-                    versions[rj.name] = term_new[rj.name]
-                elif j == i:
-                    versions[rj.name] = term_delta[rj.name]
-                else:
-                    versions[rj.name] = term_old[rj.name]
-            terms.append(self._join_chain(versions))
+        for k in range(len(anti_rels) + 1):
+            for S in itertools.combinations(anti_rels, k):
+                vlist = tuple(r for r in rels if not r.anti or r in S)
+                sign = -1 if k % 2 else 1
+                for i, ri in enumerate(vlist):
+                    if ri.name not in term_delta:
+                        continue
+                    versions = {}
+                    for j, rj in enumerate(vlist):
+                        if j < i:
+                            versions[rj.name] = term_new[rj.name]
+                        elif j == i:
+                            versions[rj.name] = term_delta[rj.name]
+                        else:
+                            versions[rj.name] = term_old[rj.name]
+                    t = self._join_chain(versions, vlist)
+                    if sign < 0:
+                        t = t.withColumn("_w", -F.col("_w"))
+                    terms.append(self._term_project(t))
         if not terms:
             return  # empty batch: nothing changes
         dj = reduce(lambda a, b: a.unionByName(b), terms)
 
-        # fold ΔJ into grouped aggregate state
+        # fold ΔJ into grouped aggregate state (measures were multiplied by
+        # _w per term in _term_project; summing here is the same algebra)
         gb = list(self.spec.group_by)
-        aggs = [
-            F.sum(F.col("_w") * expr()).alias(name)
-            for name, expr in self.spec.measures.items()
-        ] + [F.sum("_w").alias("support")]
+        aggs = [F.sum(name).alias(name) for name in self.spec.measures] + [
+            F.sum("_w").alias("support")
+        ]
         agg_delta = self._conform("agg", dj.groupBy(*gb).agg(*aggs))
 
         # two-phase commit: every write of this batch executes BEFORE any
@@ -553,11 +601,13 @@ class IncrementalAcyclicQuery:
             self._commit_state("agg", None, agg_delta, cleanup, net_fn=self._agg_net)
         # value-histogram state for non-invertible aggregates: same ΔJ,
         # grouped one level finer — (group key, value) -> net weight
-        for name, (_, expr) in self.spec.hist_measures.items():
+        for name in self.spec.hist_measures:
             rel = f"hist::{name}"
             hd = self._conform(
                 rel,
-                dj.groupBy(*gb, expr().alias("_v")).agg(F.sum("_w").alias(WEIGHT)),
+                dj.groupBy(*gb, F.col(f"_hv_{name}").alias("_v")).agg(
+                    F.sum("_w").alias(WEIGHT)
+                ),
             )
             if self.compact_every == 1:
                 h_old = self._read_paths(rel, self._segments.get(rel, []))

@@ -653,6 +653,93 @@ def test_semi_prefix_closure_any_split(spark, tmp_path_factory, fact_ops, gate_o
     assert _semi_map(eng.result()) == _semi_model(fact_ops, gate_ops)
 
 
+# --- NOT-EXISTS gates (anti-join by inclusion-exclusion) ---------------------
+ANTI_SPEC = AcyclicQuerySpec(
+    relations=(
+        RelSpec("fact"),
+        RelSpec("dim1", join_on=("d1", "k1"), broadcast_state=True),
+        RelSpec("gate", join_on=("g", "k2"), anti=True),
+    ),
+    group_by=("name1",),
+    measures={"total": lambda: F.col("v")},
+)
+
+
+def _anti_model(fact_ops, gate_ops):
+    from collections import Counter
+
+    key_net: Counter = Counter()
+    for g, _, w in gate_ops:
+        key_net[g] += w
+    present = {g for g, m in key_net.items() if m > 0}
+    fnet: Counter = Counter()
+    for k1, k2, v, w in fact_ops:
+        fnet[(k1, k2, v)] += w
+    total: Counter = Counter()
+    support: Counter = Counter()
+    for (k1, k2, v), m in fnet.items():
+        if 0 <= k1 < 3 and k2 not in present:
+            total[f"a{k1}"] += m * v
+            support[f"a{k1}"] += m
+    return {g: total[g] for g in total if support[g] > 0}
+
+
+def test_anti_gate_flip_both_ways(spark, tmp_path):
+    """NOT EXISTS under retraction: inserting the first qualifying child
+    RETRACTS the parent; deleting the last child makes it REAPPEAR — the
+    inverted step function, exact through inclusion-exclusion."""
+    eng = _engine(spark, tmp_path, ANTI_SPEC)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame([(0, 7, 10, 1), (1, 8, 3, 1)], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "gate": spark.createDataFrame([], GATE_SCHEMA),
+        }
+    )
+    assert _semi_map(eng.result()) == {"a0": 10, "a1": 3}  # nothing exists yet
+    eng.process_batch({"gate": spark.createDataFrame([(7, 1, 1)], GATE_SCHEMA)})
+    assert _semi_map(eng.result()) == {"a1": 3}  # a0's key now exists -> out
+    eng.process_batch({"gate": spark.createDataFrame([(7, 2, 1)], GATE_SCHEMA)})
+    assert _semi_map(eng.result()) == {"a1": 3}  # second copy: no change
+    eng.process_batch(
+        {"gate": spark.createDataFrame([(7, 1, -1), (7, 2, -1)], GATE_SCHEMA)}
+    )
+    assert _semi_map(eng.result()) == {"a0": 10, "a1": 3}  # drained -> back
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fact_ops=FACT_OPS,
+    gate_ops=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2), st.sampled_from([1, -1])),
+        min_size=0,
+        max_size=12,
+    ),
+    split=st.integers(0, 16),
+)
+def test_anti_prefix_closure_any_split(spark, tmp_path_factory, fact_ops, gate_ops, split):
+    """Prefix closure for NOT EXISTS: the inclusion-exclusion terms telescope
+    like everything else, any batch split reproduces the gated recompute."""
+    tmp = tmp_path_factory.mktemp("ivma")
+    eng = _engine(spark, tmp, ANTI_SPEC)
+    fs = min(split, len(fact_ops))
+    gs = min(split, len(gate_ops))
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(fact_ops[:fs] or [], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "gate": spark.createDataFrame(gate_ops[:gs] or [], GATE_SCHEMA),
+        }
+    )
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(fact_ops[fs:] or [], FACT_SCHEMA),
+            "gate": spark.createDataFrame(gate_ops[gs:] or [], GATE_SCHEMA),
+        }
+    )
+    assert _semi_map(eng.result()) == _anti_model(fact_ops, gate_ops)
+
+
 # --- left-outer preservation (continuous Q13 shape) --------------------------
 PRESERVE_SPEC = AcyclicQuerySpec(
     relations=(
