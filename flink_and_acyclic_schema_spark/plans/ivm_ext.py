@@ -15,6 +15,10 @@ duplicate inserts, and deletes arriving across micro-batches:
   (orders / part / supplier), which the sequential decomposition handles
   because each relation joins a column of ANY earlier relation, not just the
   immediately previous one
+- ``incremental_q17_view_chain_stream`` — correlated scalar-aggregate
+  subquery (Q17's 0.2·avg threshold) by CHAINING engines: the inner
+  maintained view's changelog (emit_delta) feeds the outer engine as an
+  ordinary relation — full view composition
 - ``incremental_q22_noorders_stream`` — NOT EXISTS (anti-join) by
   inclusion–exclusion over the presence view: draining a customer's last
   order makes it APPEAR in the no-orders count, a late insert retracts it
@@ -53,10 +57,13 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dec
 from ..registry import register
 from ..streaming.acyclic import AcyclicQuerySpec, RelSpec
+from ..streaming.acyclic import IncrementalAcyclicQuery
 from ..streaming.delta_transport import (
     DeltaGen,
     generate_delta_chunks,
     run_acyclic_delta_stream,
+    run_delta_stream,
+    split_deltas,
 )
 from .streaming_plans import _scratch
 
@@ -481,6 +488,97 @@ register(
        WHERE NOT EXISTS (SELECT 1 FROM op WHERE op.o_custkey = c.c_custkey)
        GROUP BY c_mktsegment
        HAVING sum(m) > 0""",
+)
+
+
+# --- continuous Q17: chained engines (maintained view as an input) -----------
+def incremental_q17_view_chain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous TPC-H Q17 shape — a CORRELATED SCALAR-AGGREGATE subquery
+    (l_quantity < 0.2 · avg(l_quantity) per part) maintained by CHAINING two
+    engine instances: the inner engine maintains the per-part quantity
+    SUM/COUNT view and emits its changelog via process_batch(emit_delta=True)
+    (−old row, +new row per touched part); the outer engine consumes that
+    changelog as an ordinary relation, joining lineitem⋈part⋈view with the
+    threshold as a residual predicate, in multiplication-free exact form
+    (5·qty·cnt < sum ⟺ qty < 0.2·avg). Every lineitem delta thus updates
+    BOTH the per-part average and the rows compared against it — the
+    self-referential feedback a correlated subquery demands."""
+    scratch = _scratch("ivm_q17", sf_dir)
+    gens = (
+        DeltaGen(
+            "lineitem",
+            "l_orderkey",
+            ("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+            dup_mod=5,
+            del_mod=7,
+        ),
+        DeltaGen("part", "p_partkey", ("p_partkey", "p_brand"), del_mod=9),
+    )
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+
+    inner_spec = AcyclicQuerySpec(
+        relations=(RelSpec("lineitem"),),
+        group_by=("l_partkey",),
+        measures={"sq": lambda: dec("l_quantity"), "cnt": lambda: F.lit(1)},
+        finalize=lambda df: df.select(F.col("l_partkey").alias("pk"), "sq", "cnt"),
+    )
+    outer_spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("lineitem"),
+            RelSpec(
+                "part",
+                join_on=("p_partkey", "l_partkey"),
+                delta_filter=lambda d: d.filter(F.col("p_brand") == "Brand#4"),
+                broadcast_state=True,
+            ),
+            RelSpec("avgview", join_on=("pk", "l_partkey")),
+        ),
+        residual=lambda: dec("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sq"),
+        group_by=(),
+        measures={"total_price": lambda: dec("l_extendedprice")},
+        finalize=lambda df: df.select(
+            (F.col("total_price").cast("double") / F.lit(7.0)).alias("avg_yearly")
+        ),
+    )
+    inner = IncrementalAcyclicQuery(spark, f"{scratch}/state_inner", inner_spec)
+    outer = IncrementalAcyclicQuery(spark, f"{scratch}/state_outer", outer_spec)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        d = split_deltas(batch, rel_columns)
+        view_delta = inner.process_batch(
+            {"lineitem": d["lineitem"]}, batch_id, emit_delta=True
+        )
+        outer_deltas = {"lineitem": d["lineitem"], "part": d["part"]}
+        if view_delta is not None:
+            outer_deltas["avgview"] = view_delta
+        outer.process_batch(outer_deltas, batch_id)
+
+    run_delta_stream(spark, delta_dir, schema, scratch, handle)
+    return outer.result()
+
+
+register(
+    "incremental_q17_view_chain_stream",
+    incremental_q17_view_chain_stream,
+    """WITH li AS (
+         SELECT *, 1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
+         FROM lineitem),
+       p AS (
+         SELECT *, 1 - (p_partkey % 9 = 0)::INT AS m FROM part),
+       agg AS (
+         SELECT l_partkey, sum(m * l_quantity::DECIMAL(12,4)) AS sq,
+                sum(m)::BIGINT AS cnt
+         FROM li GROUP BY l_partkey HAVING sum(m) > 0)
+       SELECT (sum(li.m * p.m * l_extendedprice::DECIMAL(12,4))::DOUBLE / 7.0)
+                AS avg_yearly
+       FROM li JOIN p ON p_partkey = li.l_partkey
+       JOIN agg ON agg.l_partkey = li.l_partkey
+       WHERE p_brand = 'Brand#4'
+         AND 5 * li.l_quantity::DECIMAL(12,4) * cnt < sq
+       HAVING sum(li.m * p.m) > 0""",
 )
 
 

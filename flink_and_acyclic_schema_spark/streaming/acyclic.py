@@ -471,8 +471,24 @@ class IncrementalAcyclicQuery:
         return acc.withColumn("_w", w)
 
     def process_batch(
-        self, deltas: Mapping[str, DataFrame], batch_id: int | None = None
-    ) -> None:
+        self,
+        deltas: Mapping[str, DataFrame],
+        batch_id: int | None = None,
+        emit_delta: bool = False,
+    ) -> DataFrame | None:
+        """Apply one micro-batch of weighted deltas.
+
+        With ``emit_delta=True``, additionally returns the CHANGELOG OF THE
+        EMITTED VIEW for this batch: for every group the batch touched, the
+        pre-batch emitted row with weight −1 and the post-batch row with
+        weight +1 (rows appearing/vanishing via HAVING, padding, or support
+        draining included). That changelog is a valid weighted delta for
+        ANOTHER engine's relation — the composition hook that stacks
+        maintained views (a continuously-maintained aggregate feeding a
+        downstream continuous query, e.g. Q17's correlated per-part average).
+        Cost: the delta-join output is localCheckpoint'ed once and the view
+        is evaluated restricted to touched groups — O(touched), not O(view).
+        """
         # idempotent replay skip: after checkpoint recovery, foreachBatch
         # redelivers the last uncommitted batch — if our manifest already
         # committed it, applying it again would double-count
@@ -481,7 +497,7 @@ class IncrementalAcyclicQuery:
             and self._last_batch is not None
             and batch_id <= self._last_batch
         ):
-            return
+            return None
         rels = self.spec.relations
         known = {r.name for r in rels}
         unknown = set(deltas) - known
@@ -585,6 +601,23 @@ class IncrementalAcyclicQuery:
         ]
         agg_delta = self._conform("agg", dj.groupBy(*gb).agg(*aggs))
 
+        touched_groups = pre_view = None
+        if emit_delta:
+            # materialize the delta-join once (it feeds the commit below and
+            # the touched-group set), then snapshot the PRE-batch view rows
+            # of touched groups before any state file changes. Preserve-
+            # padded rows can flip on a parent-only delta with no join rows,
+            # so the preserved relation's delta keys count as touched too.
+            agg_delta = agg_delta.localCheckpoint()
+            if gb:
+                touched_groups = agg_delta.select(*gb)
+                if self.spec.preserve is not None and self.spec.preserve in filt:
+                    touched_groups = touched_groups.unionByName(
+                        filt[self.spec.preserve].select(*gb)
+                    )
+                touched_groups = touched_groups.distinct().localCheckpoint()
+            pre_view = self._emit(touched_groups).localCheckpoint()
+
         # two-phase commit: every write of this batch executes BEFORE any
         # superseded files are deleted — the agg write's lazy plan still scans
         # the pre-batch relation segments
@@ -619,6 +652,13 @@ class IncrementalAcyclicQuery:
         self._commit_manifest()  # atomic commit point; cleanup is post-commit
         for p in cleanup:
             shutil.rmtree(p, ignore_errors=True)
+
+        if not emit_delta:
+            return None
+        post_view = self._emit(touched_groups).localCheckpoint()
+        return post_view.withColumn(WEIGHT, F.lit(1)).unionByName(
+            pre_view.withColumn(WEIGHT, F.lit(-1))
+        )
 
     def _commit_state(
         self,
@@ -662,6 +702,14 @@ class IncrementalAcyclicQuery:
 
     # --- result -------------------------------------------------------------
     def result(self) -> DataFrame:
+        return self._emit()
+
+    def _emit(self, touched: DataFrame | None = None) -> DataFrame:
+        """Build the emitted view; ``touched`` (group-key rows) restricts the
+        output to those groups BEFORE ``finalize`` — used by emit_delta, which
+        therefore treats finalize as row-wise over group rows (a finalize that
+        aggregates ACROSS groups should be expressed as a chained engine via
+        emit_delta instead — that is exactly what the hook is for)."""
         agg = self._read_paths("agg", self._segments.get("agg", []))
         if self.compact_every > 1:
             agg = self._agg_net(agg)  # lazy reduction over live segments
@@ -697,6 +745,8 @@ class IncrementalAcyclicQuery:
         out = out.select(
             *self.spec.group_by, *self.spec.measures.keys(), *self.spec.hist_measures.keys()
         )
+        if touched is not None and gb:
+            out = out.join(touched, on=gb, how="left_semi")
         if self.spec.finalize is not None:
             out = self.spec.finalize(out)
         return out

@@ -113,31 +113,19 @@ def split_deltas(
     }
 
 
-def run_acyclic_delta_stream(
+def run_delta_stream(
     spark: SparkSession,
-    spec: AcyclicQuerySpec,
     delta_dir: str,
     schema: StructType,
     scratch_dir: str,
-    rel_columns: Mapping[str, Sequence[str]],
-    compact_every: int = 1,
-) -> DataFrame:
-    """Real Structured Streaming wiring for any AcyclicQuerySpec: parquet file
-    source over the chunk dir, one file per micro-batch, IVM merge in
-    foreachBatch, availableNow trigger. Returns the final maintained result
-    as a batch DataFrame. Zero driver-side data reads — the driver only
-    coordinates (mirrors run_incremental_q10_stream). ``compact_every > 1``
-    selects the log-structured O(Δ)-per-batch state regime."""
-    engine = IncrementalAcyclicQuery(
-        spark, os.path.join(scratch_dir, "state"), spec, compact_every=compact_every
-    )
+    handle,
+) -> None:
+    """Structured Streaming harness shared by all IVM plans: parquet file
+    source over the chunk dir, one file per micro-batch, the given
+    foreachBatch handler, availableNow trigger, blocking until drained."""
     ckpt = os.path.join(scratch_dir, "ckpt")
     if os.path.exists(ckpt):
         shutil.rmtree(ckpt)
-
-    def handle(batch: DataFrame, batch_id: int) -> None:
-        engine.process_batch(split_deltas(batch, rel_columns), batch_id)
-
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -150,4 +138,28 @@ def run_acyclic_delta_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_acyclic_delta_stream(
+    spark: SparkSession,
+    spec: AcyclicQuerySpec,
+    delta_dir: str,
+    schema: StructType,
+    scratch_dir: str,
+    rel_columns: Mapping[str, Sequence[str]],
+    compact_every: int = 1,
+) -> DataFrame:
+    """Single-engine wiring for any AcyclicQuerySpec over the shared harness.
+    Returns the final maintained result as a batch DataFrame. Zero driver-side
+    data reads — the driver only coordinates (mirrors
+    run_incremental_q10_stream). ``compact_every > 1`` selects the
+    log-structured O(Δ)-per-batch state regime."""
+    engine = IncrementalAcyclicQuery(
+        spark, os.path.join(scratch_dir, "state"), spec, compact_every=compact_every
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        engine.process_batch(split_deltas(batch, rel_columns), batch_id)
+
+    run_delta_stream(spark, delta_dir, schema, scratch_dir, handle)
     return engine.result()

@@ -842,6 +842,59 @@ def test_avg_via_finalize(spark, tmp_path):
     assert rows == {("a0", "b0"): 4.0}
 
 
+def test_emit_delta_chains_engines(spark, tmp_path):
+    """View composition: process_batch(emit_delta=True) returns the emitted
+    view's changelog, valid as a downstream engine's input relation — the
+    maintained per-k1 SUM feeds an outer join, and updates/retractions of
+    the view row (−old, +new) keep the outer aggregate exact."""
+    inner_spec = AcyclicQuerySpec(
+        relations=(RelSpec("fact"),),
+        group_by=("k1",),
+        measures={"sv": lambda: F.col("v")},
+        finalize=lambda df: df.select(F.col("k1").alias("vk"), "sv"),
+    )
+    outer_spec = AcyclicQuerySpec(
+        relations=(RelSpec("base"), RelSpec("view", join_on=("vk", "bk"))),
+        group_by=("label",),
+        measures={"total": lambda: F.col("sv")},
+    )
+    BASE_SCHEMA = "bk int, label string, weight int"
+    inner = _engine(spark, tmp_path, inner_spec)
+    outer = _engine(spark, tmp_path, outer_spec)
+
+    def outer_map():
+        return {r["label"]: r["total"] for r in outer.result().collect()}
+
+    vd = inner.process_batch(
+        {"fact": spark.createDataFrame([(0, 0, 5, 1), (1, 0, 3, 1)], FACT_SCHEMA)},
+        emit_delta=True,
+    )
+    outer.process_batch(
+        {
+            "base": spark.createDataFrame([(0, "x", 1), (1, "y", 1)], BASE_SCHEMA),
+            "view": vd,
+        }
+    )
+    assert outer_map() == {"x": 5, "y": 3}
+    # view row UPDATE: changelog must retract (0,5) and insert (0,7)
+    vd = inner.process_batch(
+        {"fact": spark.createDataFrame([(0, 0, 2, 1)], FACT_SCHEMA)}, emit_delta=True
+    )
+    assert {(r["vk"], r["sv"], r["weight"]) for r in vd.collect()} == {
+        (0, 7, 1),
+        (0, 5, -1),
+    }
+    outer.process_batch({"view": vd})
+    assert outer_map() == {"x": 7, "y": 3}
+    # draining k1=0 retracts the view row entirely -> outer group vanishes
+    vd = inner.process_batch(
+        {"fact": spark.createDataFrame([(0, 0, 5, -1), (0, 0, 2, -1)], FACT_SCHEMA)},
+        emit_delta=True,
+    )
+    outer.process_batch({"view": vd})
+    assert outer_map() == {"y": 3}
+
+
 def test_spec_validation():
     import pytest
 
