@@ -582,6 +582,169 @@ register(
 )
 
 
+# --- continuous Q21: correlated NON-EQUI gates via a chained stats view ------
+def incremental_q21_waiting_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous TPC-H Q21 (waiting suppliers) — the hardest continuous
+    TPC-H shape: TWO correlated subqueries with NON-EQUI predicates
+    (EXISTS l2: same order, OTHER supplier; NOT EXISTS l3: same order, other
+    supplier, also late). The plain presence-gate machinery (RelSpec.semi/
+    anti) cannot express them: the gate condition references the OUTER row's
+    l_suppkey, so key presence alone under/over-counts.
+
+    The engine composition that can: decorrelate each gate into a per-order
+    DISTINCT-SUPPLIER count — exact because the correlated row itself belongs
+    to the set it is compared against (EXISTS other supp ⟺ n_supp > 1;
+    NOT EXISTS other late supp ⟺ n_late = 1 given l1 is late) — and maintain
+    those counts in an INNER engine (count_distinct histogram state over
+    lineitem⋈orders), whose emit_delta changelog feeds the OUTER engine as an
+    ordinary relation; the gates become residual predicates over the view's
+    columns. Lineitem deltas are keyed by l_suppkey, so a delete retires SOME
+    siblings of an order: n_late drains 2→1 and a previously-blocked supplier
+    APPEARS, or an only-supplier order gains a sibling and n_supp 1→2 admits
+    it — both gate flips exercised under retraction, cross-batch.
+
+    Testdata lacks commit/receipt dates; "late" = shipped > 60 days after
+    o_orderdate, mirroring the batch q21_waiting_supplier (plans/core.py).
+    Ref parity: the reference cannot define this query at all — its framework
+    is single-block acyclic FK joins (SURVEY.md §2); this is the composition
+    depth the generic engine buys."""
+    scratch = _scratch("ivm_q21", sf_dir)
+    gens = (
+        # keyed by l_suppkey: dup/del hit one supplier's lines across orders,
+        # i.e. PARTIAL sibling retirement within an order — the gate-flip case
+        DeltaGen(
+            "lineitem",
+            "l_suppkey",
+            ("l_orderkey", "l_suppkey", "l_shipdate"),
+            dup_mod=5,
+            del_mod=7,
+        ),
+        DeltaGen(
+            "orders",
+            "o_orderkey",
+            ("o_orderkey", "o_orderstatus", "o_orderdate"),
+            dup_mod=4,
+            del_mod=9,
+        ),
+        DeltaGen("supplier", "s_suppkey", ("s_suppkey", "s_nationkey", "s_name"), dup_mod=6),
+        DeltaGen("nation", "n_nationkey", ("n_nationkey", "n_name")),
+    )
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+
+    def _late() -> F.Column:
+        return F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+
+    def _f_orders(d: DataFrame) -> DataFrame:
+        return d.filter(F.col("o_orderstatus") == "F")
+
+    inner_spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("lineitem"),
+            RelSpec(
+                "orders",
+                join_on=("o_orderkey", "l_orderkey"),
+                delta_filter=_f_orders,
+                project=("o_orderkey", "o_orderdate"),
+            ),
+        ),
+        group_by=("l_orderkey",),
+        hist_measures={
+            # distinct suppliers of the order / distinct LATE suppliers —
+            # count_distinct histogram state steps down exactly on deletes
+            "n_supp": ("count_distinct", lambda: F.col("l_suppkey")),
+            "n_late": ("count_distinct", lambda: F.when(_late(), F.col("l_suppkey"))),
+        },
+        finalize=lambda df: df.select(
+            F.col("l_orderkey").alias("ok"), "n_supp", "n_late"
+        ),
+    )
+    outer_spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("lineitem"),
+            RelSpec(
+                "orders",
+                join_on=("o_orderkey", "l_orderkey"),
+                delta_filter=_f_orders,
+                project=("o_orderkey", "o_orderdate"),
+            ),
+            RelSpec("statsview", join_on=("ok", "l_orderkey")),
+            RelSpec("supplier", join_on=("s_suppkey", "l_suppkey")),
+            RelSpec(
+                "nation",
+                join_on=("n_nationkey", "s_nationkey"),
+                delta_filter=lambda d: d.filter(F.col("n_name") == "NATION_3"),
+                broadcast_state=True,
+            ),
+        ),
+        # l1 is late AND ∃ other supplier AND ∄ other LATE supplier
+        residual=lambda: _late() & (F.col("n_supp") > 1) & (F.col("n_late") == 1),
+        group_by=("s_name",),
+        measures={"numwait": lambda: F.lit(1)},
+        finalize=lambda df: df.withColumn("numwait", F.col("numwait").cast("long")),
+    )
+    inner = IncrementalAcyclicQuery(spark, f"{scratch}/state_inner", inner_spec)
+    outer = IncrementalAcyclicQuery(spark, f"{scratch}/state_outer", outer_spec)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        d = split_deltas(batch, rel_columns)
+        view_delta = inner.process_batch(
+            {"lineitem": d["lineitem"], "orders": d["orders"]},
+            batch_id,
+            emit_delta=True,
+        )
+        outer_deltas = {k: d[k] for k in ("lineitem", "orders", "supplier", "nation")}
+        if view_delta is not None:
+            outer_deltas["statsview"] = view_delta
+        outer.process_batch(outer_deltas, batch_id)
+
+    run_delta_stream(spark, delta_dir, schema, scratch, handle)
+    return outer.result()
+
+
+register(
+    "incremental_q21_waiting_stream",
+    incremental_q21_waiting_stream,
+    # the oracle states the ORIGINAL correlated EXISTS / NOT EXISTS semantics
+    # over the net multiset — it does NOT presuppose the count-distinct
+    # decorrelation the engine uses, so it checks that linearization too
+    """WITH li AS (
+         SELECT *, 1 + (l_suppkey % 5 = 0)::INT - (l_suppkey % 7 = 0)::INT AS m
+         FROM lineitem),
+       o AS (
+         SELECT *, 1 + (o_orderkey % 4 = 0)::INT - (o_orderkey % 9 = 0)::INT AS m
+         FROM orders WHERE o_orderstatus = 'F'),
+       s AS (
+         SELECT *, 1 + (s_suppkey % 6 = 0)::INT AS m FROM supplier),
+       lo AS (
+         SELECT l_orderkey, l_suppkey,
+                (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late,
+                li.m * o.m AS w
+         FROM li JOIN o ON l_orderkey = o_orderkey),
+       pairs AS (
+         SELECT l_orderkey, l_suppkey FROM lo
+         GROUP BY 1, 2 HAVING sum(w) > 0),
+       late_pairs AS (
+         SELECT l_orderkey, l_suppkey FROM lo WHERE is_late
+         GROUP BY 1, 2 HAVING sum(w) > 0)
+       SELECT s_name, sum(lo.w * s.m)::BIGINT AS numwait
+       FROM lo
+       JOIN s ON lo.l_suppkey = s.s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE is_late AND n_name = 'NATION_3'
+         AND EXISTS (SELECT 1 FROM pairs p2
+                     WHERE p2.l_orderkey = lo.l_orderkey
+                       AND p2.l_suppkey <> lo.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM late_pairs p3
+                         WHERE p3.l_orderkey = lo.l_orderkey
+                           AND p3.l_suppkey <> lo.l_suppkey)
+       GROUP BY s_name
+       HAVING sum(lo.w * s.m) > 0""",
+)
+
+
 # --- full continuous Q13: two-level aggregate over the maintained state ------
 def incremental_q13_full_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL TPC-H Q13 maintained continuously: the distribution of customers
@@ -635,6 +798,127 @@ register(
          WHERE c.m > 0)
        SELECT c_count, count(*)::BIGINT AS custdist
        FROM percust GROUP BY c_count""",
+)
+
+
+# --- continuous Q15: argmax join-back over a THREE-level engine chain --------
+def incremental_q15_argmax_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous TPC-H Q15 (top supplier) — a JOIN-BACK ON AN AGGREGATE
+    VALUE (total_revenue = MAX over all suppliers' total_revenue), i.e. a
+    nested aggregate-of-aggregate, maintained by a three-level engine chain:
+
+        lineitem ──(engine 1: per-supplier revenue SUM)──▶ rev view
+        rev view ──(engine 2: GLOBAL MAX via value-histogram)──▶ max view
+        supplier ⋈ rev view ⋈ max view WHERE total_rev = max_rev  (engine 3)
+
+    Each level's emit_delta changelog is the next level's input relation, so
+    a lineitem delete that LOWERS the leader's revenue retracts the old
+    global max from the histogram (stepping to the runner-up) and the
+    join-back re-points to the new argmax supplier — ties surface every
+    tied supplier, exactly like the batch SQL. The global max view joins on
+    a constant key (1-row broadcast), the argmax equality rides in
+    ``residual``. At 100 TB: level-1 state shards by supplier, level-2 state
+    is one value histogram, inter-level traffic is delta-sized changelogs."""
+    scratch = _scratch("ivm_q15", sf_dir)
+    gens = (
+        # keyed by l_orderkey: deletes retire whole orders, shifting several
+        # suppliers' revenues at once -> the max/argmax keeps moving
+        DeltaGen(
+            "lineitem",
+            "l_orderkey",
+            ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"),
+            dup_mod=4,
+            del_mod=6,
+        ),
+        DeltaGen(
+            "supplier", "s_suppkey", ("s_suppkey", "s_name"), dup_mod=6, del_mod=9
+        ),
+    )
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+
+    rev_spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec(
+                "lineitem",
+                delta_filter=lambda d: d.filter(
+                    (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                    & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+                ),
+            ),
+        ),
+        group_by=("l_suppkey",),
+        measures={"total_rev": _revenue},
+        # "one" is the constant join key the 1-row global-max view attaches to
+        finalize=lambda df: df.select(
+            F.col("l_suppkey").alias("sk"), "total_rev", F.lit(1).alias("one")
+        ),
+    )
+    max_spec = AcyclicQuerySpec(
+        relations=(RelSpec("rev", project=("total_rev",)),),
+        group_by=(),
+        hist_measures={"max_rev": ("max", lambda: F.col("total_rev"))},
+        finalize=lambda df: df.select("max_rev", F.lit(1).alias("mk")),
+    )
+    top_spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("supplier"),
+            RelSpec("revview", join_on=("sk", "s_suppkey")),
+            RelSpec("maxview", join_on=("mk", "one"), broadcast_state=True),
+        ),
+        residual=lambda: F.col("total_rev") == F.col("max_rev"),
+        group_by=("s_suppkey", "s_name", "total_rev"),
+        finalize=lambda df: df.select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        ),
+    )
+    rev = IncrementalAcyclicQuery(spark, f"{scratch}/state_rev", rev_spec)
+    mx = IncrementalAcyclicQuery(spark, f"{scratch}/state_max", max_spec)
+    top = IncrementalAcyclicQuery(spark, f"{scratch}/state_top", top_spec)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        d = split_deltas(batch, rel_columns)
+        rev_delta = rev.process_batch(
+            {"lineitem": d["lineitem"]}, batch_id, emit_delta=True
+        )
+        top_deltas = {"supplier": d["supplier"]}
+        if rev_delta is not None:
+            top_deltas["revview"] = rev_delta
+            max_delta = mx.process_batch({"rev": rev_delta}, batch_id, emit_delta=True)
+            if max_delta is not None:
+                top_deltas["maxview"] = max_delta
+        top.process_batch(top_deltas, batch_id)
+
+    run_delta_stream(spark, delta_dir, schema, scratch, handle)
+    return top.result()
+
+
+register(
+    "incremental_q15_argmax_stream",
+    incremental_q15_argmax_stream,
+    """WITH li AS (
+         SELECT *, 1 + (l_orderkey % 4 = 0)::INT - (l_orderkey % 6 = 0)::INT AS m
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'),
+       s AS (
+         SELECT *, 1 + (s_suppkey % 6 = 0)::INT - (s_suppkey % 9 = 0)::INT AS m
+         FROM supplier),
+       rev AS (
+         SELECT l_suppkey,
+                sum(m * l_extendedprice::DECIMAL(12,4)
+                    * (1 - l_discount)::DECIMAL(12,4)) AS total_rev
+         FROM li GROUP BY l_suppkey HAVING sum(m) > 0),
+       mx AS (SELECT max(total_rev) AS max_rev FROM rev)
+       SELECT s_suppkey, s_name, total_rev::DOUBLE AS total_revenue
+       FROM s JOIN rev ON l_suppkey = s_suppkey
+       JOIN mx ON total_rev = max_rev
+       GROUP BY 1, 2, 3
+       HAVING sum(s.m) > 0""",
 )
 
 

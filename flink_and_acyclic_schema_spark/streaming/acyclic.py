@@ -600,6 +600,18 @@ class IncrementalAcyclicQuery:
             F.sum("_w").alias("support")
         ]
         agg_delta = self._conform("agg", dj.groupBy(*gb).agg(*aggs))
+        # build (and schema-pin) the hist deltas BEFORE any emit_delta
+        # pre-view: _emit reads hist state, and on the first batch that state
+        # is empty with no schema yet — conforming here pins it so the
+        # pre-view sees an empty typed histogram instead of raising
+        hist_deltas: dict[str, DataFrame] = {}
+        for name in self.spec.hist_measures:
+            hist_deltas[name] = self._conform(
+                f"hist::{name}",
+                dj.groupBy(*gb, F.col(f"_hv_{name}").alias("_v")).agg(
+                    F.sum("_w").alias(WEIGHT)
+                ),
+            )
 
         touched_groups = pre_view = None
         if emit_delta:
@@ -636,12 +648,7 @@ class IncrementalAcyclicQuery:
         # grouped one level finer — (group key, value) -> net weight
         for name in self.spec.hist_measures:
             rel = f"hist::{name}"
-            hd = self._conform(
-                rel,
-                dj.groupBy(*gb, F.col(f"_hv_{name}").alias("_v")).agg(
-                    F.sum("_w").alias(WEIGHT)
-                ),
-            )
+            hd = hist_deltas[name]
             if self.compact_every == 1:
                 h_old = self._read_paths(rel, self._segments.get(rel, []))
                 self._commit_state(rel, self._merge(h_old, hd), hd, cleanup)

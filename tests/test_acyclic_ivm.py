@@ -895,6 +895,114 @@ def test_emit_delta_chains_engines(spark, tmp_path):
     assert outer_map() == {"y": 3}
 
 
+def test_three_level_argmax_chain(spark, tmp_path):
+    """Q15-shape nested aggregate-of-aggregate: per-key SUM view feeds a
+    GLOBAL-MAX view (value histogram), and the outer engine joins back on
+    total = max (argmax). Deleting from the leader must step the max down to
+    the runner-up AND re-point the join-back; ties surface every tied key."""
+    sum_spec = AcyclicQuerySpec(
+        relations=(RelSpec("fact"),),
+        group_by=("k1",),
+        measures={"sv": lambda: F.col("v")},
+        finalize=lambda df: df.select(
+            F.col("k1").alias("vk"), "sv", F.lit(1).alias("one")
+        ),
+    )
+    max_spec = AcyclicQuerySpec(
+        relations=(RelSpec("rev", project=("sv",)),),
+        group_by=(),
+        hist_measures={"mx": ("max", lambda: F.col("sv"))},
+        finalize=lambda df: df.select("mx", F.lit(1).alias("mk")),
+    )
+    top_spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("base"),
+            RelSpec("view", join_on=("vk", "bk")),
+            RelSpec("maxv", join_on=("mk", "one"), broadcast_state=True),
+        ),
+        residual=lambda: F.col("sv") == F.col("mx"),
+        group_by=("label",),
+    )
+    BASE_SCHEMA = "bk int, label string, weight int"
+    inner = _engine(spark, tmp_path, sum_spec)
+    gmax = _engine(spark, tmp_path, max_spec)
+    top = _engine(spark, tmp_path, top_spec)
+
+    def step(fact_rows, base_rows=()):
+        deltas = {"base": spark.createDataFrame(list(base_rows) or [], BASE_SCHEMA)}
+        vd = inner.process_batch(
+            {"fact": spark.createDataFrame(fact_rows, FACT_SCHEMA)}, emit_delta=True
+        )
+        if vd is not None:
+            deltas["view"] = vd
+            md = gmax.process_batch({"rev": vd}, emit_delta=True)
+            if md is not None:
+                deltas["maxv"] = md
+        top.process_batch(deltas)
+        return {r["label"] for r in top.result().collect()}
+
+    assert step(
+        [(0, 0, 5, 1), (1, 0, 3, 1)], [(0, "x", 1), (1, "y", 1)]
+    ) == {"x"}
+    # leader loses 4 -> k0 sums to 1, global max steps down to 3 -> argmax y
+    assert step([(0, 0, 4, -1)]) == {"y"}
+    # k0 climbs back to a TIE at 3 -> both surface
+    assert step([(0, 0, 2, 1)]) == {"x", "y"}
+    # draining y's base row retracts it from the join-back (view row stays)
+    assert step([], [(1, "y", -1)]) == {"x"}
+
+
+def test_chained_nonequi_gates_flip_both_ways(spark, tmp_path):
+    """Q21-shape correlated NON-EQUI gates (EXISTS sibling with OTHER key;
+    NOT EXISTS other LATE sibling) via a chained count-distinct stats view:
+    the inner engine maintains per-order (n_supp, n_late) histograms, the
+    outer applies the decorrelated gates as residuals over the view columns.
+    Exercises both flip directions under retraction: deleting a late sibling
+    ADMITS a previously-blocked row (n_late 2→1), inserting a sibling admits
+    an only-supplier row (n_supp 1→2), and a late re-insert retracts again."""
+    LINE_SCHEMA = "ok int, sk int, late int, weight int"
+    inner_spec = AcyclicQuerySpec(
+        relations=(RelSpec("line"),),
+        group_by=("ok",),
+        hist_measures={
+            "n_supp": ("count_distinct", lambda: F.col("sk")),
+            "n_late": ("count_distinct", lambda: F.when(F.col("late") == 1, F.col("sk"))),
+        },
+        finalize=lambda df: df.select(F.col("ok").alias("vk"), "n_supp", "n_late"),
+    )
+    outer_spec = AcyclicQuerySpec(
+        relations=(RelSpec("line"), RelSpec("view", join_on=("vk", "ok"))),
+        residual=lambda: (F.col("late") == 1)
+        & (F.col("n_supp") > 1)
+        & (F.col("n_late") == 1),
+        group_by=("sk",),
+        measures={"numwait": lambda: F.lit(1)},
+    )
+    inner = _engine(spark, tmp_path, inner_spec)
+    outer = _engine(spark, tmp_path, outer_spec)
+
+    def step(rows):
+        d = spark.createDataFrame(rows, LINE_SCHEMA)
+        vd = inner.process_batch({"line": d}, emit_delta=True)
+        deltas = {"line": d}
+        if vd is not None:
+            deltas["view"] = vd
+        outer.process_batch(deltas)
+        return {r["sk"]: r["numwait"] for r in outer.result().collect()}
+
+    # order 1: suppliers 10 & 20 both late (blocked), 30 on time
+    assert step([(1, 10, 1, 1), (1, 20, 1, 1), (1, 30, 0, 1)]) == {}
+    # NOT-EXISTS flip: deleting 20's late line leaves 10 the ONLY late
+    # supplier of a multi-supplier order -> 10 appears
+    assert step([(1, 20, 1, -1)]) == {10: 1}
+    # order 2: supplier 10 late but alone -> n_supp=1 blocks it
+    assert step([(2, 10, 1, 1)]) == {10: 1}
+    # EXISTS flip: an on-time sibling admits order 2's late line
+    assert step([(2, 40, 0, 1)]) == {10: 2}
+    # re-inserting a late sibling into order 1 retracts 10's order-1 row
+    assert step([(1, 20, 1, 1)]) == {10: 1}
+
+
 def test_spec_validation():
     import pytest
 
