@@ -716,8 +716,22 @@ class IncrementalAcyclicQuery:
         output to those groups BEFORE ``finalize`` — used by emit_delta, which
         therefore treats finalize as row-wise over group rows (a finalize that
         aggregates ACROSS groups should be expressed as a chained engine via
-        emit_delta instead — that is exactly what the hook is for)."""
-        agg = self._read_paths("agg", self._segments.get("agg", []))
+        emit_delta instead — that is exactly what the hook is for).
+
+        The touched restriction is PUSHED DOWN onto every state read (it
+        commutes with the per-group reductions, which never mix groups), so
+        an emit_delta snapshot aggregates only touched groups' state rows —
+        per-batch emit work is O(touched ⋈ state), not O(all groups). At
+        100 TB with bucketed/keyed state the same semi-join is a co-located
+        point lookup per touched group."""
+        gb = list(self.spec.group_by)
+
+        def restrict(df: DataFrame) -> DataFrame:
+            if touched is not None and gb:
+                return df.join(touched, on=gb, how="left_semi")
+            return df
+
+        agg = restrict(self._read_paths("agg", self._segments.get("agg", [])))
         if self.compact_every > 1:
             agg = self._agg_net(agg)  # lazy reduction over live segments
         out = agg.filter(F.col("support") > 0)
@@ -725,10 +739,11 @@ class IncrementalAcyclicQuery:
         # positive-net-weight values. Inner join is safe: support > 0 forces
         # at least one value with net weight > 0 in every surfaced group
         # (Σ_v w_v = support), so no surfaced group can lack histogram rows.
-        gb = list(self.spec.group_by)
         fns = {"min": F.min, "max": F.max, "count_distinct": F.count_distinct}
         for name, (kind, _) in self.spec.hist_measures.items():
-            h = self._read_paths(f"hist::{name}", self._segments.get(f"hist::{name}", []))
+            h = restrict(
+                self._read_paths(f"hist::{name}", self._segments.get(f"hist::{name}", []))
+            )
             if self.compact_every > 1:
                 h = self._net(h)  # lazy reduction over unmerged segments
             per_group = (
@@ -741,7 +756,7 @@ class IncrementalAcyclicQuery:
         if self.spec.preserve is not None:
             # left-outer padding: live preserved groups the inner aggregate
             # doesn't surface, with NULL measures (coalesce in finalize)
-            pstate = self._read_state(self.spec.preserve)
+            pstate = restrict(self._read_state(self.spec.preserve))
             if self.compact_every > 1:
                 pstate = self._net(pstate)
             pgroups = pstate.filter(F.col(WEIGHT) > 0).select(*gb).distinct()
@@ -752,8 +767,6 @@ class IncrementalAcyclicQuery:
         out = out.select(
             *self.spec.group_by, *self.spec.measures.keys(), *self.spec.hist_measures.keys()
         )
-        if touched is not None and gb:
-            out = out.join(touched, on=gb, how="left_semi")
         if self.spec.finalize is not None:
             out = self.spec.finalize(out)
         return out
