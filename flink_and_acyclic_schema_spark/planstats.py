@@ -44,10 +44,15 @@ def plan_metrics(df: DataFrame) -> dict[str, int]:
     regression tripwire needs. (AQE may still improve shapes at runtime; it
     never makes the static plan's broadcast become a shuffle.)
     """
+    import re
+
     plan = plan_string(df)
-    broadcast_ex = plan.count("BroadcastExchange")
+    # operator-name match, not substring: "Exchange" as a word — otherwise
+    # ReusedExchange (including reused broadcasts) miscounts as a shuffle
+    shuffle_ex = len(re.findall(r"(?<![A-Za-z])Exchange\b", plan))
     return {
-        "shuffle_exchanges": plan.count("Exchange") - broadcast_ex,
+        "shuffle_exchanges": shuffle_ex,
+        "reused_exchanges": plan.count("ReusedExchange"),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "shuffled_hash_joins": plan.count("ShuffledHashJoin"),

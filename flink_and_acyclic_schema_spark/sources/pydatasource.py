@@ -131,9 +131,15 @@ try:
         the same two-phase-commit shape as Hadoop output committers)."""
 
         def __init__(self, options) -> None:
+            import uuid
+
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("csv_dir sink requires option 'path'")
+            # run id minted driver-side and pickled to every task: lets
+            # abort() target ONLY this run's files, leaving a previous
+            # successful snapshot (parts + its _SUCCESS) fully intact
+            self.run = uuid.uuid4().hex[:12]
 
         def write(self, iterator):
             import csv
@@ -144,7 +150,9 @@ try:
 
             pid = TaskContext.get().partitionId()
             os.makedirs(self.path, exist_ok=True)
-            fname = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.csv")
+            fname = os.path.join(
+                self.path, f"part-{pid:05d}-{self.run}-{uuid.uuid4().hex[:8]}.csv"
+            )
             # write to a dot-prefixed temp and rename on task success: a task
             # that crashes mid-write leaves only a hidden .tmp (invisible to
             # *.csv globs and to Spark readers), never a half-written part
@@ -158,10 +166,13 @@ try:
             os.replace(tmp, fname)
             return _CsvCommit(path=fname, rows=n)
 
-        def _sweep_orphans(self, keep: set[str]) -> None:
+        def _sweep_orphans(self, keep: set[str], only_run: str | None = None) -> None:
             """Remove part files no committed task claims (a retried task whose
             first attempt finished writing but whose commit message was lost)
-            and any leftover in-progress temps."""
+            and any leftover in-progress temps. ``only_run`` restricts the
+            sweep to files carrying that run id — abort's scope, so a failed
+            run never deletes a previous successful snapshot out from under
+            its still-valid _SUCCESS manifest."""
             import os
 
             try:
@@ -169,6 +180,8 @@ try:
             except FileNotFoundError:
                 return
             for entry in entries:
+                if only_run is not None and f"-{only_run}-" not in entry:
+                    continue
                 orphan_part = entry.startswith("part-") and entry.endswith(".csv") and entry not in keep
                 stale_tmp = entry.startswith(".part-") and entry.endswith(".tmp")
                 if orphan_part or stale_tmp:
@@ -181,6 +194,8 @@ try:
             import os
 
             names = [os.path.basename(m.path) for m in messages if m is not None]
+            # replacing the snapshot: previous runs' parts are superseded by
+            # the new manifest written below, so the global sweep is correct
             self._sweep_orphans(set(names))
             with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
                 for m in messages:
@@ -188,7 +203,7 @@ try:
                         fh.write(f"{os.path.basename(m.path)},{m.rows}\n")
 
         def abort(self, messages) -> None:
-            self._sweep_orphans(set())
+            self._sweep_orphans(set(), only_run=self.run)
 
     class CsvDirSink(DataSource):
         """`df.write.format("csv_dir").option("path", dir).save()` sink."""

@@ -48,13 +48,25 @@ the terms unchanged. (Efficiency note: residual edges filter *after* the
 tree join, exactly as a batch optimizer treats non-equi cycle edges; the
 tree joins still prune on their FK keys first.)
 
-Scale notes (100 TB): per-batch work is O(Δ ⋈ state) — each term joins ONE
-delta against persisted states; states would live bucketed-by-join-key (or in
-a RocksDB state store) so the state side of every join is a co-located scan
-and only deltas shuffle. Here state is versioned parquet to keep the harness
-dependency-free; the merge algebra is identical. Filters are applied to
-deltas at ingest so state only ever holds filter-surviving tuples — the same
-state-size reduction the reference's alive-gating achieves.
+Scale notes (100 TB): per-batch work is O(Δ ⋈ touched state), implemented —
+not just argued — by two mechanisms. (1) DELTA-FIRST JOIN ORDER: each term is
+evaluated by BFS outward from its delta over the join tree, so every
+intermediate result is bounded by the delta's fan-out; the naive sequential
+order would join full upstream states together before the delta restricts
+them. (2) BUCKETED STATE + PARTITION-PRUNED READS: a relation with
+``RelSpec.buckets`` persists its state hash-partitioned on
+``bucket_key`` (a ``_bucket`` parquet partition column, the on-disk analogue
+of a keyed state store's key-group layout); when a term probes it directly
+from the delta, the engine collects the delta's bucket ids (≤ buckets ints,
+a bounded driver read) and the state scan prunes to only those partition
+directories — per-batch state IO tracks the delta's key spread, not the
+state size (measured flat under 10× state growth with Δ held fixed,
+tools/ivm_state_scaling.py, SCALE.md). Relations reached ≥2 hops from the
+delta fall back to a full-scan join restricted by the (already delta-bounded)
+accumulated side. Filters are applied to deltas at ingest so state only ever
+holds filter-surviving tuples — the same state-size reduction the
+reference's alive-gating achieves. A hot join key concentrating a term's
+shuffle is spread with ``RelSpec.salt``.
 """
 
 from __future__ import annotations
@@ -69,6 +81,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 WEIGHT = "weight"
+BUCKET = "_bucket"  # reserved: hash-bucket partition column of bucketed state
 
 
 @dataclass(frozen=True)
@@ -111,6 +124,22 @@ class RelSpec:
     both decompositions' delta terms fold into ONE aggregate state, the
     semi-tree terms with negated weights. Deleting the last qualifying child
     makes the parent APPEAR; inserting the first makes it retract.
+
+    ``buckets``/``bucket_key`` persist this relation's state hash-partitioned
+    on ``bucket_key`` (a ``_bucket`` parquet partition column — the on-disk
+    twin of a keyed state store's key groups). Terms that probe the relation
+    directly from a delta on its tree neighbour then prune the state scan to
+    the delta's bucket ids: per-batch state IO tracks Δ's key spread, not
+    state size. Declare ``bucket_key`` as the columns the relation is PROBED
+    on by the high-churn neighbour (e.g. lineitem state bucketed by
+    ``l_orderkey`` for orders deltas). ``_bucket`` is a reserved column name.
+
+    ``salt`` (shuffle-spread for skew): a hot join key concentrates a term's
+    shuffle on one task; ``salt=s`` replicates this relation's state s× with
+    a salt column and scatters the probing side across the s copies by a
+    deterministic row hash, so the hot key fans out over s tasks. Exact —
+    each probe row meets each state row exactly once. Incompatible with
+    ``broadcast_state`` (broadcast joins never shuffle).
     """
 
     name: str
@@ -120,6 +149,9 @@ class RelSpec:
     broadcast_state: bool = False
     semi: bool = False
     anti: bool = False
+    buckets: int = 0
+    bucket_key: tuple[str, ...] | None = None
+    salt: int = 0
 
     def join_pairs(self) -> tuple[tuple[str, str], ...]:
         """Normalize ``join_on`` to a tuple of (own, earlier) pairs."""
@@ -218,6 +250,33 @@ class AcyclicQuerySpec:
             (p,) = [r for r in self.relations if r.name == self.preserve]
             if p.semi or p.anti:
                 raise ValueError("preserve relation cannot be a semi/anti gate")
+        n_anti = sum(1 for r in self.relations if r.anti)
+        if n_anti > 3:
+            raise ValueError(
+                f"{n_anti} anti gates expand to 2**{n_anti} inclusion-"
+                "exclusion trees per delta; decorrelate the extra NOT-EXISTS "
+                "gates via chained views (emit_delta) instead"
+            )
+        for r in self.relations:
+            if r.buckets < 0 or r.salt < 0:
+                raise ValueError(f"relation {r.name!r}: buckets/salt must be >= 0")
+            if r.buckets > 0 and not r.bucket_key:
+                raise ValueError(f"relation {r.name!r}: buckets > 0 needs bucket_key")
+            if r.bucket_key and not r.buckets:
+                raise ValueError(f"relation {r.name!r}: bucket_key needs buckets > 0")
+            if r.salt > 0 and r.broadcast_state:
+                raise ValueError(
+                    f"relation {r.name!r}: salt spreads a shuffle; "
+                    "broadcast_state joins never shuffle"
+                )
+            if (r.semi or r.anti) and r.buckets > 0:
+                own = tuple(o for o, _ in r.join_pairs())
+                if tuple(r.bucket_key) != own:
+                    raise ValueError(
+                        f"gate relation {r.name!r} must bucket by its join "
+                        f"keys {own}: presence grouping carries _bucket only "
+                        "when the bucket is key-determined"
+                    )
 
 
 class IncrementalAcyclicQuery:
@@ -276,6 +335,10 @@ class IncrementalAcyclicQuery:
         self._appends: dict[str, int] = {}  # rel -> lifetime segment counter
         self._schemas: dict = {}  # rel -> StructType, captured at first delta
         self._last_batch: int | None = None  # last committed batch_id
+        self._by_name = {r.name: r for r in spec.relations}
+        # last persisted emitted-changelog {"batch": id, "path": dir} — lets a
+        # crash-replayed batch hand downstream engines the exact view delta
+        self._emitted: dict | None = None
         if resume and os.path.exists(self._manifest_path()):
             self._load_manifest()
         else:
@@ -300,6 +363,7 @@ class IncrementalAcyclicQuery:
             "appends": self._appends,
             "last_batch": self._last_batch,
             "compact_every": self.compact_every,
+            "emitted": self._emitted,
         }
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -315,10 +379,13 @@ class IncrementalAcyclicQuery:
         self._segments = data["segments"]
         self._appends = data["appends"]
         self._last_batch = data["last_batch"]
+        self._emitted = data.get("emitted")
         # GC anything the committed manifest doesn't reference — partial
         # writes of a crashed batch, or superseded dirs whose cleanup the
         # crash interrupted
         live = {os.path.basename(p) for paths in self._segments.values() for p in paths}
+        if self._emitted is not None:
+            live.add(os.path.basename(self._emitted["path"]))
         for entry in os.listdir(self.state_dir):
             if entry.startswith("MANIFEST"):
                 continue
@@ -368,7 +435,13 @@ class IncrementalAcyclicQuery:
         ``support``) widened to long once, up front; every state write casts
         back to it, so all segments of a relation are forever bit-compatible.
         DECIMAL re-narrowing to the declared measure type is lossless for any
-        realistic multiset (DECIMAL(22,4) holds 10^18)."""
+        realistic multiset (DECIMAL(22,4) holds 10^18).
+
+        Bucketed relations additionally gain the ``_bucket`` column here
+        (hash of ``bucket_key``), so every state write can partition on it."""
+        r = self._by_name.get(rel)
+        if r is not None and r.buckets > 0 and BUCKET not in df.columns:
+            df = df.withColumn(BUCKET, self._bucket_expr(r.bucket_key, r.buckets))
         if rel not in self._schemas:
             wide = df
             for c in (WEIGHT, "support"):
@@ -397,15 +470,27 @@ class IncrementalAcyclicQuery:
         return cls._net(state.unionByName(delta))
 
     @staticmethod
+    def _bucket_expr(cols: tuple[str, ...], n: int) -> Column:
+        """Bucket id of a key tuple. Cast to string first: Murmur3 hashes
+        differ across numeric widths, and the two sides of an FK edge may pin
+        different integer types — the string form is width-stable, so equal
+        key values always land in equal buckets on both sides."""
+        return F.pmod(F.hash(*[F.col(c).cast("string") for c in cols]), F.lit(n))
+
+    @staticmethod
     def _presence(df: DataFrame, keys: list[str]) -> DataFrame:
         """0/1 key-presence view of a weighted multiset: distinct keys with
         positive net count, each carrying weight 1 (the linearizing output of
-        the DBSP-style distinct operator for EXISTS gates)."""
+        the DBSP-style distinct operator for EXISTS gates). A bucketed gate's
+        ``_bucket`` rides along (key-determined by spec validation, so groups
+        are unchanged) — a later bucket filter then pushes below this
+        aggregate into the partition-pruned state scan."""
+        extra = [BUCKET] if BUCKET in df.columns else []
         return (
-            df.groupBy(*keys)
+            df.groupBy(*keys, *extra)
             .agg(F.sum(WEIGHT).alias(WEIGHT))
             .filter(F.col(WEIGHT) > 0)
-            .select(*keys)
+            .select(*keys, *extra)
             .withColumn(WEIGHT, F.lit(1))
         )
 
@@ -445,25 +530,157 @@ class IncrementalAcyclicQuery:
         return t.select(*cols)
 
     # --- delta-join decomposition ------------------------------------------
+    def _edge_steps(self, rels: tuple[RelSpec, ...], columns) -> dict | None:
+        """Resolve the tree edges of ``rels`` into an undirected adjacency:
+        {name: [(other, pairs, other_is_child)]}. Each non-root relation's
+        ``earlier`` columns must resolve to ONE earlier relation (the closest
+        match wins when names repeat — they don't in practice); returns None
+        when unresolvable (an edge spanning two owners), signalling fallback
+        to the sequential spec-order chain."""
+        adj: dict[str, list] = {r.name: [] for r in rels}
+        pos = {r.name: i for i, r in enumerate(rels)}
+        for r in rels:
+            if r.join_on is None:
+                continue
+            owner = None
+            for _own, earlier in r.join_pairs():
+                found = None
+                for cand in rels:
+                    if pos[cand.name] >= pos[r.name]:
+                        break
+                    if earlier in columns[cand.name]:
+                        found = cand.name
+                if found is None or (owner is not None and found != owner):
+                    return None
+                owner = found
+            if owner is None:
+                return None
+            adj[owner].append((r.name, r.join_pairs(), True))
+            adj[r.name].append((owner, r.join_pairs(), False))
+        return adj
+
+    def _delta_first_order(
+        self, rels: tuple[RelSpec, ...], start: str, columns
+    ) -> list | None:
+        """BFS join steps outward from the delta relation over the tree:
+        [(rel_to_add, pairs, via_name, add_side_cols)]. Every intermediate
+        join result is then bounded by the delta's fan-out — the naive
+        sequential order instead joins full upstream states together BEFORE
+        the delta restricts them, which is the per-batch scale killer."""
+        adj = self._edge_steps(rels, columns)
+        if adj is None or start not in adj:
+            return None
+        byname = {r.name: r for r in rels}
+        seen, steps, queue = {start}, [], [start]
+        while queue:
+            u = queue.pop(0)
+            for v, pairs, v_is_child in adj[u]:
+                if v in seen:
+                    continue
+                seen.add(v)
+                add_cols = (
+                    tuple(o for o, _ in pairs)
+                    if v_is_child
+                    else tuple(e for _, e in pairs)
+                )
+                steps.append((byname[v], pairs, u, add_cols))
+                queue.append(v)
+        if len(seen) != len(rels):
+            return None
+        return steps
+
+    def _bucket_ids(
+        self, delta_df: DataFrame, r: RelSpec, probe_cols: tuple[str, ...], memo
+    ) -> list[int]:
+        """Bucket ids the delta can possibly probe in relation ``r`` — a
+        bounded driver read (≤ r.buckets ints) that turns the term's state
+        scan into a partition-pruned scan. Memoized per batch."""
+        key = (r.name, probe_cols)
+        if memo is not None and key in memo:
+            return memo[key]
+        ids = [
+            row[0]
+            for row in delta_df.select(
+                self._bucket_expr(probe_cols, r.buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if memo is not None:
+            memo[key] = ids
+        return ids
+
     def _join_chain(
-        self, versions: Mapping[str, DataFrame], rels: tuple[RelSpec, ...] | None = None
+        self,
+        versions: Mapping[str, DataFrame],
+        rels: tuple[RelSpec, ...] | None = None,
+        delta_name: str | None = None,
+        bucket_memo: dict | None = None,
     ) -> DataFrame:
         """k-way join over one version assignment; output weight ``_w`` is the
         product of per-relation weights (joins multiply multiplicities).
         ``rels`` narrows the chain to a virtual sub-tree (anti-gate
-        inclusion–exclusion); defaults to the full spec."""
+        inclusion–exclusion); defaults to the full spec.
+
+        The version ASSIGNMENT (new/Δ/old by spec position) fixes the term's
+        semantics; the join EXECUTION order is free, and ``delta_name``
+        selects the delta-first BFS order plus bucket pruning: a bucketed
+        relation probed directly from the delta (one tree hop) reads only the
+        delta's bucket partitions. Relations ≥2 hops away full-scan but join
+        a delta-bounded accumulated side. Falls back to sequential spec order
+        when the edge graph doesn't resolve statically."""
         rels = self.spec.relations if rels is None else rels
-        first = versions[rels[0].name].withColumnRenamed(WEIGHT, f"_w_{rels[0].name}")
-        acc = first
-        for r in rels[1:]:
-            side = versions[r.name].withColumnRenamed(WEIGHT, f"_w_{r.name}")
+        columns = {r.name: versions[r.name].columns for r in rels}
+        steps = None
+        if delta_name is not None and len(rels) > 1:
+            steps = self._delta_first_order(rels, delta_name, columns)
+        if steps is None:
+            first = rels[0]
+            chain = [(r, r.join_pairs(), None, ()) for r in rels[1:]]
+        else:
+            first = next(r for r in rels if r.name == delta_name)
+            chain = steps
+
+        def prep(r: RelSpec, bucket_ids=None) -> DataFrame:
+            df = versions[r.name].withColumnRenamed(WEIGHT, f"_w_{r.name}")
+            if bucket_ids is not None:
+                df = df.filter(F.col(BUCKET).isin(bucket_ids))
+            return df.drop(BUCKET)
+
+        acc = prep(first)
+        for r, pairs, via, add_cols in chain:
+            ids = None
+            if (
+                r.buckets > 0
+                and via == delta_name
+                and via is not None
+                and BUCKET in columns[r.name]
+                and tuple(r.bucket_key) == add_cols
+            ):
+                owns = tuple(o for o, _ in pairs)
+                probe = tuple(e for _, e in pairs) if add_cols == owns else owns
+                ids = self._bucket_ids(versions[via], r, probe, bucket_memo)
+            side = prep(r, ids)
             if r.broadcast_state:
                 side = F.broadcast(side)
             cond = reduce(
                 Column.__and__,
-                [F.col(own) == F.col(earlier) for own, earlier in r.join_pairs()],
+                [F.col(own) == F.col(earlier) for own, earlier in pairs],
             )
-            acc = acc.join(side, cond)
+            if r.salt > 0:
+                # replicate state side ×salt; scatter the probing side by a
+                # deterministic full-row hash so a hot join key fans out
+                side = side.withColumn(
+                    "_salt_s", F.explode(F.array(*[F.lit(i) for i in range(r.salt)]))
+                )
+                acc = acc.withColumn(
+                    "_salt_a",
+                    F.pmod(F.hash(*[F.col(c) for c in acc.columns]), F.lit(r.salt)),
+                )
+                cond = cond & (F.col("_salt_a") == F.col("_salt_s"))
+                acc = acc.join(side, cond).drop("_salt_a", "_salt_s")
+            else:
+                acc = acc.join(side, cond)
         if self.spec.residual is not None:
             # non-tree cycle edges: σ distributes over the decomposition terms
             acc = acc.filter(self.spec.residual())
@@ -491,12 +708,21 @@ class IncrementalAcyclicQuery:
         """
         # idempotent replay skip: after checkpoint recovery, foreachBatch
         # redelivers the last uncommitted batch — if our manifest already
-        # committed it, applying it again would double-count
+        # committed it, applying it again would double-count. A replayed
+        # emit_delta batch returns the PERSISTED changelog of that batch
+        # (written inside the batch's atomic commit), so downstream engines
+        # and sinks can catch up — exactly-once extends across chains
         if (
             batch_id is not None
             and self._last_batch is not None
             and batch_id <= self._last_batch
         ):
+            if (
+                emit_delta
+                and self._emitted is not None
+                and self._emitted["batch"] == batch_id
+            ):
+                return self.spark.read.parquet(self._emitted["path"])
             return None
         rels = self.spec.relations
         known = {r.name for r in rels}
@@ -570,6 +796,7 @@ class IncrementalAcyclicQuery:
 
         anti_rels = tuple(r for r in rels if r.anti)
         terms: list[DataFrame] = []
+        bucket_memo: dict = {}
         for k in range(len(anti_rels) + 1):
             for S in itertools.combinations(anti_rels, k):
                 vlist = tuple(r for r in rels if not r.anti or r in S)
@@ -585,12 +812,19 @@ class IncrementalAcyclicQuery:
                             versions[rj.name] = term_delta[rj.name]
                         else:
                             versions[rj.name] = term_old[rj.name]
-                    t = self._join_chain(versions, vlist)
+                    t = self._join_chain(
+                        versions, vlist, delta_name=ri.name, bucket_memo=bucket_memo
+                    )
                     if sign < 0:
                         t = t.withColumn("_w", -F.col("_w"))
                     terms.append(self._term_project(t))
         if not terms:
-            return  # empty batch: nothing changes
+            # empty batch: no state changes, but still record batch_id so
+            # last_batch stays aligned with the stream's committed offsets
+            if batch_id is not None:
+                self._last_batch = batch_id
+                self._commit_manifest()
+            return None
         dj = reduce(lambda a, b: a.unionByName(b), terms)
 
         # fold ΔJ into grouped aggregate state (measures were multiplied by
@@ -656,16 +890,26 @@ class IncrementalAcyclicQuery:
                 self._commit_state(rel, None, hd, cleanup)
         if batch_id is not None:
             self._last_batch = batch_id
+        changelog = None
+        if emit_delta:
+            # post-batch view reads the freshly written (pre-manifest) state
+            post_view = self._emit(touched_groups).localCheckpoint()
+            changelog = post_view.withColumn(WEIGHT, F.lit(1)).unionByName(
+                pre_view.withColumn(WEIGHT, F.lit(-1))
+            )
+            if batch_id is not None:
+                # persist the emitted changelog INSIDE this batch's atomic
+                # commit so a crash-replayed batch can still hand the exact
+                # view delta to downstream engines / sinks (see replay skip)
+                epath = os.path.join(self.state_dir, f"emitted_b{batch_id}")
+                changelog.write.mode("overwrite").parquet(epath)
+                if self._emitted is not None:
+                    cleanup.append(self._emitted["path"])
+                self._emitted = {"batch": batch_id, "path": epath}
         self._commit_manifest()  # atomic commit point; cleanup is post-commit
         for p in cleanup:
             shutil.rmtree(p, ignore_errors=True)
-
-        if not emit_delta:
-            return None
-        post_view = self._emit(touched_groups).localCheckpoint()
-        return post_view.withColumn(WEIGHT, F.lit(1)).unionByName(
-            pre_view.withColumn(WEIGHT, F.lit(-1))
-        )
+        return changelog
 
     def _commit_state(
         self,
@@ -686,26 +930,43 @@ class IncrementalAcyclicQuery:
         if self.compact_every == 1:
             nxt = self._version[rel] + 1
             p = self._path(rel, nxt)
-            self._conform(rel, merged).write.mode("overwrite").parquet(p)
+            self._write_state(rel, self._conform(rel, merged), p)
             self._version[rel] = nxt
             cleanup.extend(self._segments.get(rel, []))
             self._segments[rel] = [p]
             return
         n = self._appends.get(rel, 0)
         seg = self._seg_path(rel, n)
-        delta.write.mode("overwrite").parquet(seg)
+        self._write_state(rel, delta, seg)
         self._appends[rel] = n + 1
         self._segments.setdefault(rel, []).append(seg)
         if len(self._segments[rel]) > self.compact_every:
             nxt = self._version[rel] + 1
             cp = self._path(rel, nxt)
             net = net_fn or self._net
-            self._conform(rel, net(self._read_paths(rel, self._segments[rel]))).write.mode(
-                "overwrite"
-            ).parquet(cp)
+            self._write_state(
+                rel, self._conform(rel, net(self._read_paths(rel, self._segments[rel]))), cp
+            )
             self._version[rel] = nxt
             cleanup.extend(self._segments[rel])
             self._segments[rel] = [cp]
+
+    def _write_state(self, rel: str, df: DataFrame, path: str) -> None:
+        """Write one state file set. A bucketed relation is hash-partitioned
+        on ``_bucket`` (parquet partition column, one writer task per bucket
+        so the layout stays one-file-per-bucket locally; at cluster scale the
+        same layout shards each bucket across executors) — the on-disk index
+        that delta-probed reads prune on."""
+        r = self._by_name.get(rel)
+        if r is not None and r.buckets > 0:
+            (
+                df.repartition(r.buckets, F.col(BUCKET))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET)
+                .parquet(path)
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)
 
     # --- result -------------------------------------------------------------
     def result(self) -> DataFrame:

@@ -1,0 +1,314 @@
+"""Round-5 scale features of the generic IVM engine (streaming/acyclic.py):
+
+- BUCKETED STATE: a relation with ``buckets``/``bucket_key`` persists its
+  state hash-partitioned on a ``_bucket`` parquet partition column; a term
+  probing it directly from a delta prunes the state scan to the delta's
+  bucket ids — per-batch state IO tracks Δ's key spread, not state size.
+  Checked two ways: result equivalence against the unbucketed engine AND the
+  pruning itself (the term plan carries a ``_bucket`` partition filter with
+  strictly fewer bucket ids than the relation has buckets).
+- SALT: replicate-state/scatter-probe skew spreading is a multiset identity
+  (each probe row meets each state row exactly once) — equivalence under a
+  deliberately skewed changelog (one key = 50% of deltas) plus a plan check
+  that the join condition fans out over the salt column.
+- PERSISTED EMITTED CHANGELOG: a crash-replayed ``emit_delta`` batch returns
+  the batch's persisted view delta instead of None, so chained engines /
+  sinks recover exactly-once ACROSS the chain, not just per engine.
+- Empty batches still advance ``last_batch`` (manifest stays aligned with the
+  stream's committed offsets), and the anti-gate inclusion–exclusion blowup
+  is guarded at spec construction.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_and_acyclic_schema_spark.planstats import plan_string
+from flink_and_acyclic_schema_spark.streaming.acyclic import (
+    AcyclicQuerySpec,
+    IncrementalAcyclicQuery,
+    RelSpec,
+)
+
+ORD_SCHEMA = "o_key int, o_cust int, weight int"
+LI_SCHEMA = "l_key int, l_qty int, weight int"
+CUST_SCHEMA = "c_key int, c_name string, weight int"
+
+
+def _spec(li_extra=None, cust_extra=None):
+    """3-relation path: customer <- orders <- lineitem, SUM(l_qty) by name."""
+    return AcyclicQuerySpec(
+        relations=(
+            RelSpec("orders"),
+            RelSpec("customer", join_on=("c_key", "o_cust"), **(cust_extra or {})),
+            RelSpec("lineitem", join_on=("l_key", "o_key"), **(li_extra or {})),
+        ),
+        group_by=("c_name",),
+        measures={"qty": lambda: F.col("l_qty")},
+    )
+
+
+CUST = [(i, f"c{i}", 1) for i in range(4)]
+
+
+def _engine(spark, tmp_path, spec, **kw):
+    return IncrementalAcyclicQuery(
+        spark, str(tmp_path / f"s{uuid.uuid4().hex[:8]}"), spec, **kw
+    )
+
+
+def _feed(spark, eng, batches):
+    for i, (orders, lineitem) in enumerate(batches):
+        deltas = {
+            "orders": spark.createDataFrame(orders or [], ORD_SCHEMA),
+            "lineitem": spark.createDataFrame(lineitem or [], LI_SCHEMA),
+        }
+        if i == 0:
+            deltas["customer"] = spark.createDataFrame(CUST, CUST_SCHEMA)
+        eng.process_batch(deltas, batch_id=i)
+    return sorted(tuple(r) for r in eng.result().collect())
+
+
+BATCHES = [
+    # batch 0: bulk state — orders spread over keys, lineitems over orders
+    (
+        [(o, o % 4, 1) for o in range(40)],
+        [(o, o + 1, 1) for o in range(40)],
+    ),
+    # batch 1: small delta — 2 orders incl. a delete, lineitem dup + delete
+    (
+        [(1, 1, -1), (40, 2, 1)],
+        [(40, 7, 1), (3, 4, -1), (5, 6, 1)],
+    ),
+]
+
+
+def test_bucketed_state_equivalent(spark, tmp_path):
+    plain = _feed(spark, _engine(spark, tmp_path, _spec()), BATCHES)
+    bucketed = _feed(
+        spark,
+        _engine(
+            spark,
+            tmp_path,
+            _spec(li_extra={"buckets": 8, "bucket_key": ("l_key",)}),
+        ),
+        BATCHES,
+    )
+    assert bucketed == plain and plain  # non-trivial result
+
+
+def test_bucketed_state_log_structured_equivalent(spark, tmp_path):
+    plain = _feed(spark, _engine(spark, tmp_path, _spec()), BATCHES)
+    bucketed = _feed(
+        spark,
+        _engine(
+            spark,
+            tmp_path,
+            _spec(li_extra={"buckets": 8, "bucket_key": ("l_key",)}),
+            compact_every=4,
+        ),
+        BATCHES,
+    )
+    assert bucketed == plain and plain
+
+
+def _files_read(df):
+    """Files ACTUALLY read by executing df — the executed plan's per-scan
+    ``numFiles`` metric (post partition pruning; ``inputFiles()`` would list
+    the whole file index regardless of pruning)."""
+    df.collect()
+    sp = df._jdf.queryExecution().executedPlan()
+    leaves = sp.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        mm = leaves.apply(i).metrics()
+        if mm.contains("numFiles"):
+            total += mm.apply("numFiles").value()
+    return total
+
+
+def test_bucket_pruning_reaches_the_state_scan(spark, tmp_path):
+    """The delta-probed term must read only the delta's bucket partitions:
+    the term plan carries a ``_bucket`` PartitionFilter, and the pruned scan
+    READS strictly fewer files than the full bucketed state."""
+    spec = _spec(li_extra={"buckets": 8, "bucket_key": ("l_key",)})
+    eng = _engine(spark, tmp_path, spec)
+    _feed(spark, eng, BATCHES[:1])  # seed 40-order state across buckets
+    # one-order delta: its l_key probe set covers exactly one bucket
+    delta = eng._conform(
+        "orders", spark.createDataFrame([(7, 3, 1)], ORD_SCHEMA)
+    ).localCheckpoint()
+    versions = {
+        "orders": delta,
+        "customer": eng._read_state("customer"),
+        "lineitem": eng._read_state("lineitem"),
+    }
+    term = eng._join_chain(versions, delta_name="orders", bucket_memo={})
+    plan = plan_string(term)
+    assert "PartitionFilters" in plan and "_bucket" in plan
+    full = _files_read(eng._read_state("lineitem"))
+    memo: dict = {}
+    ids = eng._bucket_ids(delta, spec.relations[2], ("o_key",), memo)
+    assert len(ids) == 1
+    pruned = _files_read(
+        eng._read_state("lineitem").filter(F.col("_bucket").isin(ids))
+    )
+    assert 0 < pruned < full
+
+
+def test_bucketed_semi_gate_equivalent(spark, tmp_path):
+    """A bucketed EXISTS gate: the presence view carries ``_bucket`` (key-
+    determined), so gate state reads prune too — and multiplicity semantics
+    are unchanged (duplicate children never double-count)."""
+
+    def gate_spec(**li):
+        return AcyclicQuerySpec(
+            relations=(
+                RelSpec("orders"),
+                RelSpec("customer", join_on=("c_key", "o_cust")),
+                RelSpec("lineitem", join_on=("l_key", "o_key"), semi=True, **li),
+            ),
+            group_by=("c_name",),
+            measures={"n": lambda: F.lit(1)},
+        )
+
+    batches = [
+        ([(o, o % 4, 1) for o in range(12)], [(o, 0, 1) for o in range(0, 12, 2)]),
+        ([(3, 3, -1)], [(0, 0, 1), (2, 0, -1), (4, 0, -1), (4, 0, -1)]),
+    ]
+    plain = _feed(spark, _engine(spark, tmp_path, gate_spec()), batches)
+    bucketed = _feed(
+        spark,
+        _engine(
+            spark, tmp_path, gate_spec(buckets=4, bucket_key=("l_key",))
+        ),
+        batches,
+    )
+    assert bucketed == plain and plain
+
+
+def test_salted_join_equivalent_under_skew(spark, tmp_path):
+    """1 hot order key carries 50% of the lineitem deltas; the salted state
+    relation must still produce the exact unsalted result."""
+    hot = [(0, q, 1) for q in range(1, 21)]  # 20 deltas on l_key=0
+    cold = [(o, 1, 1) for o in range(1, 21)]
+    batches = [
+        ([(o, o % 4, 1) for o in range(21)], hot[:10] + cold[:10]),
+        ([(0, 0, -1)], hot[10:] + cold[10:] + [(0, 1, -1)]),
+    ]
+    plain = _feed(spark, _engine(spark, tmp_path, _spec()), batches)
+    salted = _feed(
+        spark, _engine(spark, tmp_path, _spec(li_extra={"salt": 4})), batches
+    )
+    assert salted == plain and plain
+
+
+def test_salted_join_fans_out_in_plan(spark, tmp_path):
+    spec = _spec(li_extra={"salt": 4})
+    eng = _engine(spark, tmp_path, spec)
+    _feed(spark, eng, BATCHES[:1])
+    delta = eng._conform("orders", spark.createDataFrame([(7, 3, 1)], ORD_SCHEMA))
+    versions = {
+        "orders": delta,
+        "customer": eng._read_state("customer"),
+        "lineitem": eng._read_state("lineitem"),
+    }
+    plan = plan_string(eng._join_chain(versions, delta_name="orders"))
+    # state side exploded across salt values, join keyed on (_salt_a = _salt_s)
+    assert "_salt_s" in plan and "_salt_a" in plan and "explode" in plan.lower()
+
+
+def test_emitted_changelog_survives_crash_replay(spark, tmp_path):
+    """Chain recovery: inner engine commits batch 1 (emit_delta), then the
+    driver 'crashes' before the outer engine commits. On resume the stream
+    redelivers batch 1; the replayed inner engine must return the SAME view
+    delta (from its manifest-committed parquet), not None — so the outer
+    engine catches up instead of silently diverging."""
+    sdir = str(tmp_path / "inner")
+    spec = _spec()
+    inner = IncrementalAcyclicQuery(spark, sdir, spec)
+
+    def deltas(i):
+        orders, lineitem = BATCHES[i]
+        d = {
+            "orders": spark.createDataFrame(orders, ORD_SCHEMA),
+            "lineitem": spark.createDataFrame(lineitem, LI_SCHEMA),
+        }
+        if i == 0:
+            d["customer"] = spark.createDataFrame(CUST, CUST_SCHEMA)
+        return d
+
+    inner.process_batch(deltas(0), batch_id=0, emit_delta=True)
+    live = inner.process_batch(deltas(1), batch_id=1, emit_delta=True)
+    expect = sorted(map(tuple, live.collect()))
+
+    # crash: re-open from disk, stream redelivers batch 1
+    resumed = IncrementalAcyclicQuery(spark, sdir, spec, resume=True)
+    replay = resumed.process_batch(deltas(1), batch_id=1, emit_delta=True)
+    assert replay is not None
+    assert sorted(map(tuple, replay.collect())) == expect
+    # an older batch is unrecoverable by design -> None (documented)
+    assert resumed.process_batch(deltas(0), batch_id=0, emit_delta=True) is None
+    # and net-applying the changelog to the batch-0 view equals the live view
+    assert {tuple(r) for r in resumed.result().collect()} == {
+        tuple(r) for r in IncrementalAcyclicQuery(spark, sdir, spec, resume=True).result().collect()
+    }
+
+
+def test_empty_batch_advances_last_batch(spark, tmp_path):
+    sdir = str(tmp_path / "e")
+    eng = IncrementalAcyclicQuery(spark, sdir, _spec())
+    orders, lineitem = BATCHES[0]
+    eng.process_batch(
+        {
+            "orders": spark.createDataFrame(orders, ORD_SCHEMA),
+            "lineitem": spark.createDataFrame(lineitem, LI_SCHEMA),
+            "customer": spark.createDataFrame(CUST, CUST_SCHEMA),
+        },
+        batch_id=0,
+    )
+    eng.process_batch({}, batch_id=1)  # no deltas at all
+    resumed = IncrementalAcyclicQuery(spark, sdir, _spec(), resume=True)
+    assert resumed._last_batch == 1  # offset-aligned even for empty batches
+
+
+def test_spec_guards():
+    def rels(n_anti):
+        base = [RelSpec("f")]
+        base += [
+            RelSpec(f"g{i}", join_on=(f"k{i}", "fk"), anti=True) for i in range(n_anti)
+        ]
+        return tuple(base)
+
+    AcyclicQuerySpec(relations=rels(3), group_by=("g",))  # 8 trees: allowed
+    with pytest.raises(ValueError, match="inclusion-exclusion"):
+        AcyclicQuerySpec(relations=rels(4), group_by=("g",))
+    with pytest.raises(ValueError, match="bucket_key"):
+        AcyclicQuerySpec(
+            relations=(RelSpec("f", buckets=4),), group_by=("g",)
+        )
+    with pytest.raises(ValueError, match="never shuffle"):
+        AcyclicQuerySpec(
+            relations=(
+                RelSpec("f"),
+                RelSpec("d", join_on=("k", "fk"), salt=2, broadcast_state=True),
+            ),
+            group_by=("g",),
+        )
+    with pytest.raises(ValueError, match="bucket by its join keys"):
+        AcyclicQuerySpec(
+            relations=(
+                RelSpec("f"),
+                RelSpec(
+                    "g",
+                    join_on=("k", "fk"),
+                    semi=True,
+                    buckets=4,
+                    bucket_key=("other",),
+                ),
+            ),
+            group_by=("g",),
+        )
