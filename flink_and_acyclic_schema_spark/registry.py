@@ -81,6 +81,8 @@ def _register_all() -> None:
     from .plans import sql_ext  # noqa: F401
     from .plans import streaming_plans  # noqa: F401
     from .plans import ivm_ext  # noqa: F401  (round 4: generic acyclic IVM)
+    from .plans import ivm_tpch_ext  # noqa: F401  (round 5: Q2/Q11/Q16/Q20)
+    from .plans import ivm_sink_ext  # noqa: F401  (round 5: emission sink)
 
 
 _register_all()
