@@ -49,12 +49,18 @@ def q10_spec(lo: str = Q10_LO, hi: str = Q10_HI) -> AcyclicQuerySpec:
     hand-compiles into five ProcessFunctions (DataFlow.java:26-61) and this
     repo used to hand-wire in ~60 lines of joins. Relations in leaf-to-root
     order (lineitem→orders→customer→nation), filters at the edge (ref ops
-    #8/#10), nation broadcast (25 rows)."""
+    #8/#10), nation broadcast (25 rows). Lineitem — the high-volume state
+    every orders delta probes on l_orderkey — is BUCKETED (round 5): its
+    state persists hash-partitioned on the probe key, so an orders delta's
+    term reads only the delta's bucket partitions, the on-disk analogue of
+    the reference's keyed state lookup (keyBy, DataFlow.java:45-56)."""
     return AcyclicQuerySpec(
         relations=(
             RelSpec(
                 "lineitem",
                 delta_filter=lambda d: d.filter(F.col("l_returnflag") == "R"),
+                buckets=16,
+                bucket_key=("l_orderkey",),
             ),
             RelSpec(
                 "orders",

@@ -20,8 +20,21 @@ measured is the delta-join term's STATE READ:
 
 Both variants must produce identical maintained results (asserted).
 
+Two layers of evidence, because local[32] hides IO inside fixed overhead:
+
+- per-BATCH walltime (mean over the measured batches, first skipped as JIT
+  warmup): the end-to-end number — at local scale both variants sit on the
+  ~0.9 s/batch scheduling floor, so "flat" here is necessary but weak;
+- per-TERM cost: the delta-join term (Δorders ⋈ lineitem_state) built and
+  executed in isolation, reporting walltime AND the executed scan's
+  ``numFiles`` metric. This is the component the 100 TB claim is about:
+  plain state reads EVERY file at every growth (IO grows 10× with state),
+  bucketed reads only the delta's ≤delta_keys bucket partitions — flat in
+  state size. Files-read cannot be faked by scheduling noise.
+
 Usage:  python tools/ivm_state_scaling.py [sf_dir] [buckets] [delta_keys]
-Prints one JSON line with per-growth mean batch seconds + 10x/1x ratios.
+Prints one JSON line with per-growth batch seconds, term seconds/files,
+and 10x/1x ratios.
 """
 
 from __future__ import annotations
@@ -49,6 +62,38 @@ from flink_and_acyclic_schema_spark.tables import load  # noqa: E402
 GROWTHS = (1, 3, 10)
 N_MEASURE = 6
 KEY_SHIFT = 50_000_000  # cold-copy order keys land far outside the base range
+
+
+def _run_term(eng, delta, n_iter: int = 3) -> dict:
+    """Build ONE delta-join term (the Δorders probe into lineitem state) and
+    execute it in isolation: best-of-n walltime + the executed scans'
+    numFiles / numOutputRows metrics (post partition pruning). collect() is
+    safe — the term output is delta-bounded (Δ's join fan-out), which is the
+    whole point. The metrics come from the SAME QueryExecution that ran
+    (count() would compile a separate plan and leave these at zero)."""
+    import time as _t
+
+    versions = {
+        "orders": eng._conform("orders", delta),
+        "lineitem": eng._read_state("lineitem"),
+    }
+    best = float("inf")
+    files = rows = 0
+    for _ in range(n_iter):
+        term = eng._join_chain(versions, delta_name="orders", bucket_memo={})
+        t0 = _t.monotonic()
+        term.collect()
+        best = min(best, _t.monotonic() - t0)
+        sp = term._jdf.queryExecution().executedPlan()
+        leaves = sp.collectLeaves()
+        files = rows = 0
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            mm = node.metrics()
+            if mm.contains("numFiles"):
+                files += mm.apply("numFiles").value()
+                rows += mm.apply("numOutputRows").value()
+    return {"sec": round(best, 3), "files": files, "scan_rows": rows}
 
 
 def _spec(buckets: int) -> AcyclicQuerySpec:
@@ -114,7 +159,10 @@ def run(sf_dir: str, buckets: int, delta_keys: int) -> dict:
                     t0 = time.monotonic()
                     eng.process_batch({"orders": d}, batch_id=i + 1)
                     times.append(time.monotonic() - t0)
-                means[g] = round(sum(times) / len(times), 3)
+                means[g] = round(sum(times[1:]) / len(times[1:]), 3)
+                out.setdefault(f"{variant}_term", {})[str(g)] = _run_term(
+                    eng, deltas[0]
+                )
                 results[(variant, g)] = {
                     tuple(r) for r in eng.result().collect()
                 }
@@ -122,6 +170,10 @@ def run(sf_dir: str, buckets: int, delta_keys: int) -> dict:
             out[variant] = {str(g): means[g] for g in GROWTHS}
             out[f"{variant}_ratio_10x"] = round(
                 means[GROWTHS[-1]] / means[GROWTHS[0]], 2
+            )
+            t = out[f"{variant}_term"]
+            out[f"{variant}_term_ratio_10x"] = round(
+                t[str(GROWTHS[-1])]["sec"] / max(t[str(GROWTHS[0])]["sec"], 1e-9), 2
             )
         for g in GROWTHS:  # same maintained result, bucketed or not
             assert results[("plain", g)] == results[("bucketed", g)], g
