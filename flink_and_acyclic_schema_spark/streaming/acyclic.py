@@ -59,9 +59,11 @@ them. (2) BUCKETED STATE + PARTITION-PRUNED READS: a relation with
 of a keyed state store's key-group layout); when a term probes it directly
 from the delta, the engine collects the delta's bucket ids (≤ buckets ints,
 a bounded driver read) and the state scan prunes to only those partition
-directories — per-batch state IO tracks the delta's key spread, not the
-state size (measured flat under 10× state growth with Δ held fixed,
-tools/ivm_state_scaling.py, SCALE.md). Relations reached ≥2 hops from the
+directories; the delta's probe KEYS (≤ 1024, single-column) additionally
+push into the scan as an ``In`` filter that parquet page/rowgroup statistics
+of the key-sorted bucket files prune on — rows read track the delta's key
+spread, not the state size (measured flat under 10× state growth with Δ held
+fixed: tools/ivm_state_scaling.py, SCALE.md). Relations reached ≥2 hops from the
 delta fall back to a full-scan join restricted by the (already delta-bounded)
 accumulated side. Filters are applied to deltas at ingest so state only ever
 holds filter-surviving tuples — the same state-size reduction the
@@ -589,12 +591,21 @@ class IncrementalAcyclicQuery:
             return None
         return steps
 
+    # distinct probe keys above this are not pushed into the scan (bucket
+    # pruning still applies); keeps the per-term driver read bounded
+    KEY_PUSHDOWN_CAP = 1024
+
     def _bucket_ids(
         self, delta_df: DataFrame, r: RelSpec, probe_cols: tuple[str, ...], memo
-    ) -> list[int]:
-        """Bucket ids the delta can possibly probe in relation ``r`` — a
-        bounded driver read (≤ r.buckets ints) that turns the term's state
-        scan into a partition-pruned scan. Memoized per batch."""
+    ):
+        """(bucket ids, probe key values | None) the delta can possibly probe
+        in relation ``r`` — bounded driver reads (≤ r.buckets ints; ≤
+        KEY_PUSHDOWN_CAP key values, single-column keys only). Bucket ids
+        prune the scan to the delta's partition directories; the key values
+        become a pushed ``In`` filter so parquet page/rowgroup statistics
+        (state files are sorted by bucket_key within each bucket) prune
+        WITHIN the bucket too — rows read track the delta, not the fraction
+        state/buckets. Memoized per batch."""
         key = (r.name, probe_cols)
         if memo is not None and key in memo:
             return memo[key]
@@ -606,9 +617,20 @@ class IncrementalAcyclicQuery:
             .distinct()
             .collect()
         ]
+        vals = None
+        if len(probe_cols) == 1:
+            rows = (
+                delta_df.select(probe_cols[0])
+                .distinct()
+                .limit(self.KEY_PUSHDOWN_CAP + 1)
+                .collect()
+            )
+            if len(rows) <= self.KEY_PUSHDOWN_CAP:
+                vals = [row[0] for row in rows]
+        out = (ids, vals)
         if memo is not None:
-            memo[key] = ids
-        return ids
+            memo[key] = out
+        return out
 
     def _join_chain(
         self,
@@ -641,10 +663,16 @@ class IncrementalAcyclicQuery:
             first = next(r for r in rels if r.name == delta_name)
             chain = steps
 
-        def prep(r: RelSpec, bucket_ids=None) -> DataFrame:
+        def prep(r: RelSpec, pruning=None) -> DataFrame:
             df = versions[r.name].withColumnRenamed(WEIGHT, f"_w_{r.name}")
-            if bucket_ids is not None:
+            if pruning is not None:
+                bucket_ids, key_vals = pruning
                 df = df.filter(F.col(BUCKET).isin(bucket_ids))
+                if key_vals is not None:
+                    # superset restriction (non-matching keys can't join):
+                    # pushes to the parquet scan as an In filter, pruned by
+                    # page/rowgroup stats of the key-sorted bucket files
+                    df = df.filter(F.col(r.bucket_key[0]).isin(key_vals))
             return df.drop(BUCKET)
 
         acc = prep(first)
@@ -955,12 +983,16 @@ class IncrementalAcyclicQuery:
         """Write one state file set. A bucketed relation is hash-partitioned
         on ``_bucket`` (parquet partition column, one writer task per bucket
         so the layout stays one-file-per-bucket locally; at cluster scale the
-        same layout shards each bucket across executors) — the on-disk index
-        that delta-probed reads prune on."""
+        same layout shards each bucket across executors) and SORTED by
+        bucket_key within each file, so parquet page/rowgroup min-max
+        statistics make the pushed probe-key ``In`` filter prune within the
+        bucket — together, the on-disk analogue of a keyed state store's
+        key-group + key index."""
         r = self._by_name.get(rel)
         if r is not None and r.buckets > 0:
             (
                 df.repartition(r.buckets, F.col(BUCKET))
+                .sortWithinPartitions(BUCKET, *r.bucket_key)
                 .write.mode("overwrite")
                 .partitionBy(BUCKET)
                 .parquet(path)

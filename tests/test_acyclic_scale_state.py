@@ -149,10 +149,15 @@ def test_bucket_pruning_reaches_the_state_scan(spark, tmp_path):
     term = eng._join_chain(versions, delta_name="orders", bucket_memo={})
     plan = plan_string(term)
     assert "PartitionFilters" in plan and "_bucket" in plan
+    # the delta's probe KEYS are pushed into the parquet scan too (In filter
+    # against the key-sorted bucket files -> page/rowgroup pruning)
+    assert "PushedFilters" in plan
+    assert "In(l_key" in plan or "EqualTo(l_key,7)" in plan  # 1-value In folds
     full = _files_read(eng._read_state("lineitem"))
     memo: dict = {}
-    ids = eng._bucket_ids(delta, spec.relations[2], ("o_key",), memo)
+    ids, key_vals = eng._bucket_ids(delta, spec.relations[2], ("o_key",), memo)
     assert len(ids) == 1
+    assert key_vals == [7]  # the single probed order key
     pruned = _files_read(
         eng._read_state("lineitem").filter(F.col("_bucket").isin(ids))
     )
@@ -273,6 +278,36 @@ def test_empty_batch_advances_last_batch(spark, tmp_path):
     eng.process_batch({}, batch_id=1)  # no deltas at all
     resumed = IncrementalAcyclicQuery(spark, sdir, _spec(), resume=True)
     assert resumed._last_batch == 1  # offset-aligned even for empty batches
+
+
+def test_delta_first_order_starts_at_the_delta():
+    """Join-order derivation is pure: for the Q10 tree
+    (lineitem→orders→customer→nation), a delta on orders must join outward
+    from orders (customer and lineitem at one hop, nation after customer) —
+    never the sequential order that joins full upstream states first."""
+    from flink_and_acyclic_schema_spark.streaming.incremental import q10_spec
+
+    spec = q10_spec()
+    eng = IncrementalAcyclicQuery.__new__(IncrementalAcyclicQuery)  # no state IO
+    eng.spec = spec
+    columns = {
+        "lineitem": ["l_orderkey", "l_extendedprice", "l_discount", "weight"],
+        "orders": ["o_orderkey", "o_custkey", "o_orderdate", "weight"],
+        "customer": ["c_custkey", "c_name", "c_acctbal", "c_nationkey", "weight"],
+        "nation": ["n_nationkey", "n_name", "weight"],
+    }
+    steps = eng._delta_first_order(spec.relations, "orders", columns)
+    assert steps is not None
+    names = [r.name for r, _, _, _ in steps]
+    vias = {r.name: via for r, _, via, _ in steps}
+    assert set(names) == {"lineitem", "customer", "nation"}
+    # one-hop neighbours attach to the delta; nation attaches via customer
+    assert vias["lineitem"] == "orders" and vias["customer"] == "orders"
+    assert vias["nation"] == "customer"
+    assert names.index("customer") < names.index("nation")
+    # a leaf delta (lineitem) walks the path up
+    steps = eng._delta_first_order(spec.relations, "lineitem", columns)
+    assert [r.name for r, _, _, _ in steps] == ["orders", "customer", "nation"]
 
 
 def test_spec_guards():

@@ -84,15 +84,31 @@ def _run_term(eng, delta, n_iter: int = 3) -> dict:
         t0 = _t.monotonic()
         term.collect()
         best = min(best, _t.monotonic() - t0)
-        sp = term._jdf.queryExecution().executedPlan()
-        leaves = sp.collectLeaves()
-        files = rows = 0
-        for i in range(leaves.size()):
-            node = leaves.apply(i)
-            mm = node.metrics()
-            if mm.contains("numFiles"):
-                files += mm.apply("numFiles").value()
-                rows += mm.apply("numOutputRows").value()
+        acc = {"files": 0, "rows": 0}
+
+        def walk(node):
+            # AQE hides scans behind AdaptiveSparkPlanExec / QueryStageExec
+            # leaf wrappers — descend into their materialized subplans
+            name = node.getClass().getSimpleName()
+            try:
+                mm = node.metrics()
+                if mm.contains("numFiles"):
+                    acc["files"] += mm.apply("numFiles").value()
+                    acc["rows"] += mm.apply("numOutputRows").value()
+            except Exception:
+                pass
+            if name.startswith("AdaptiveSparkPlan"):
+                walk(node.executedPlan())
+                return
+            if "QueryStage" in name:
+                walk(node.plan())
+                return
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(term._jdf.queryExecution().executedPlan())
+        files, rows = acc["files"], acc["rows"]
     return {"sec": round(best, 3), "files": files, "scan_rows": rows}
 
 
