@@ -280,6 +280,52 @@ def test_empty_batch_advances_last_batch(spark, tmp_path):
     assert resumed._last_batch == 1  # offset-aligned even for empty batches
 
 
+def test_bucketed_state_survives_resume(spark, tmp_path):
+    """Crash-resume with bucketed state: the manifest-committed partitioned
+    dirs are re-read by schema inference (partition column discovered), the
+    next delta re-pins the canonical schema, and results still match the
+    plain engine — the resume ∘ bucketing composition."""
+    spec = _spec(li_extra={"buckets": 8, "bucket_key": ("l_key",)})
+    sdir = str(tmp_path / "b")
+    eng = IncrementalAcyclicQuery(spark, sdir, spec)
+    orders, lineitem = BATCHES[0]
+    eng.process_batch(
+        {
+            "orders": spark.createDataFrame(orders, ORD_SCHEMA),
+            "lineitem": spark.createDataFrame(lineitem, LI_SCHEMA),
+            "customer": spark.createDataFrame(CUST, CUST_SCHEMA),
+        },
+        batch_id=0,
+    )
+    resumed = IncrementalAcyclicQuery(spark, sdir, spec, resume=True)
+    o1, l1 = BATCHES[1]
+    resumed.process_batch(
+        {
+            "orders": spark.createDataFrame(o1, ORD_SCHEMA),
+            "lineitem": spark.createDataFrame(l1, LI_SCHEMA),
+        },
+        batch_id=1,
+    )
+    plain = _feed(spark, _engine(spark, tmp_path, _spec()), BATCHES)
+    assert sorted(tuple(r) for r in resumed.result().collect()) == plain
+
+
+def test_salt_composes_with_buckets(spark, tmp_path):
+    """salt and buckets on the SAME relation: pruning filters first, then the
+    salt replication — still the exact unadorned result."""
+    plain = _feed(spark, _engine(spark, tmp_path, _spec()), BATCHES)
+    both = _feed(
+        spark,
+        _engine(
+            spark,
+            tmp_path,
+            _spec(li_extra={"buckets": 8, "bucket_key": ("l_key",), "salt": 3}),
+        ),
+        BATCHES,
+    )
+    assert both == plain and plain
+
+
 def test_delta_first_order_starts_at_the_delta():
     """Join-order derivation is pure: for the Q10 tree
     (lineitem→orders→customer→nation), a delta on orders must join outward

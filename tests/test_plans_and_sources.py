@@ -456,11 +456,16 @@ def test_csv_dir_sink_abort_cleans_up(tmp_path):
 
     out = tmp_path / "sink"
     out.mkdir()
-    f = out / "part-orphan.csv"
-    f.write_text("1,x\n")
     w = CsvDirWriter({"path": str(out)})
-    w.abort([_CsvCommit(path=str(f), rows=1), None])
-    assert not f.exists()
+    # abort removes THIS run's files only (run id in the name) — a previous
+    # successful snapshot in the same dir must survive an aborted overwrite,
+    # or its _SUCCESS manifest would point at deleted parts
+    mine = out / f"part-00000-{w.run}-dead.csv"
+    mine.write_text("1,x\n")
+    prev = out / "part-00000-prevrun00000-keep.csv"
+    prev.write_text("0,p\n")
+    w.abort([_CsvCommit(path=str(mine), rows=1), None])
+    assert not mine.exists() and prev.exists()
     # commit() publishes only the listed files and sweeps unlisted parts
     # (a retried task that wrote but never delivered its commit message)
     # plus stale in-progress temps from crashed writers
