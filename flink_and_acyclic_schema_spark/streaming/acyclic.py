@@ -63,9 +63,12 @@ directories; the delta's probe KEYS (≤ 1024, single-column) additionally
 push into the scan as an ``In`` filter that parquet page/rowgroup statistics
 of the key-sorted bucket files prune on — rows read track the delta's key
 spread, not the state size (measured flat under 10× state growth with Δ held
-fixed: tools/ivm_state_scaling.py, SCALE.md). Relations reached ≥2 hops from the
-delta fall back to a full-scan join restricted by the (already delta-bounded)
-accumulated side. Filters are applied to deltas at ingest so state only ever
+fixed: tools/ivm_state_scaling.py, SCALE.md). Pruning is TRANSITIVE:
+relations ≥2 tree hops from the delta are pruned from the accumulated
+(delta-bounded) join's probe-key set — one capped, early-terminating collect
+per term — so the whole tree's state reads track the delta neighbourhood;
+probe sets wider than the cap degrade gracefully to bucket-id pruning, then
+to the plain full-scan join. Filters are applied to deltas at ingest so state only ever
 holds filter-surviving tuples — the same state-size reduction the
 reference's alive-gating achieves. A hot join key concentrating a term's
 shuffle is spread with ``RelSpec.salt``.
@@ -595,41 +598,55 @@ class IncrementalAcyclicQuery:
     # pruning still applies); keeps the per-term driver read bounded
     KEY_PUSHDOWN_CAP = 1024
 
-    def _bucket_ids(
-        self, delta_df: DataFrame, r: RelSpec, probe_cols: tuple[str, ...], memo
+    def _probe_pruning(
+        self,
+        probe_df: DataFrame,
+        r: RelSpec,
+        probe_cols: tuple[str, ...],
+        memo: dict | None = None,
+        memo_key=None,
     ):
-        """(bucket ids, probe key values | None) the delta can possibly probe
-        in relation ``r`` — bounded driver reads (≤ r.buckets ints; ≤
-        KEY_PUSHDOWN_CAP key values, single-column keys only). Bucket ids
-        prune the scan to the delta's partition directories; the key values
-        become a pushed ``In`` filter so parquet page/rowgroup statistics
-        (state files are sorted by bucket_key within each bucket) prune
-        WITHIN the bucket too — rows read track the delta, not the fraction
-        state/buckets. Memoized per batch."""
-        key = (r.name, probe_cols)
-        if memo is not None and key in memo:
-            return memo[key]
-        ids = [
-            row[0]
-            for row in delta_df.select(
-                self._bucket_expr(probe_cols, r.buckets).alias("b")
-            )
-            .distinct()
-            .collect()
+        """(bucket ids, probe key values | None) the probe side can possibly
+        reach in relation ``r`` — bounded driver reads (≤ KEY_PUSHDOWN_CAP
+        key rows; falls back to the ≤ r.buckets distinct-bucket-id collect
+        for wider probes). Bucket ids prune the scan to the probed partition
+        directories; single-column key values additionally push as an ``In``
+        filter that parquet page/rowgroup statistics of the key-sorted
+        bucket files prune on — rows read track the probe set, not
+        state/buckets. The probe side is the DELTA itself for one-hop
+        relations (memoized per batch — the same delta probes across every
+        virtual tree), or the accumulated delta-bounded join for ≥2-hop
+        relations (one capped, early-terminating collect per term: pruning
+        is TRANSITIVE down the tree)."""
+        if memo is not None and memo_key in memo:
+            return memo[memo_key]
+        sel = [F.col(c) for c in probe_cols] + [
+            self._bucket_expr(probe_cols, r.buckets).alias("_b")
         ]
-        vals = None
-        if len(probe_cols) == 1:
-            rows = (
-                delta_df.select(probe_cols[0])
+        rows = (
+            probe_df.select(*sel)
+            .distinct()
+            .limit(self.KEY_PUSHDOWN_CAP + 1)
+            .collect()
+        )
+        if len(rows) <= self.KEY_PUSHDOWN_CAP:
+            ids = sorted({row["_b"] for row in rows})
+            vals = [row[0] for row in rows] if len(probe_cols) == 1 else None
+            out = (ids, vals)
+        else:
+            # wide probe set: still bucket-prune (distinct ids are bounded by
+            # r.buckets however large the probe side is), skip key pushdown
+            ids = [
+                row[0]
+                for row in probe_df.select(
+                    self._bucket_expr(probe_cols, r.buckets).alias("b")
+                )
                 .distinct()
-                .limit(self.KEY_PUSHDOWN_CAP + 1)
                 .collect()
-            )
-            if len(rows) <= self.KEY_PUSHDOWN_CAP:
-                vals = [row[0] for row in rows]
-        out = (ids, vals)
+            ]
+            out = (ids, None)
         if memo is not None:
-            memo[key] = out
+            memo[memo_key] = out
         return out
 
     def _join_chain(
@@ -648,8 +665,9 @@ class IncrementalAcyclicQuery:
         semantics; the join EXECUTION order is free, and ``delta_name``
         selects the delta-first BFS order plus bucket pruning: a bucketed
         relation probed directly from the delta (one tree hop) reads only the
-        delta's bucket partitions. Relations ≥2 hops away full-scan but join
-        a delta-bounded accumulated side. Falls back to sequential spec order
+        delta's bucket partitions; deeper bucketed relations are pruned
+        TRANSITIVELY from the accumulated (delta-bounded) join's probe keys,
+        one capped collect per term. Falls back to sequential spec order
         when the edge graph doesn't resolve statically."""
         rels = self.spec.relations if rels is None else rels
         columns = {r.name: versions[r.name].columns for r in rels}
@@ -677,18 +695,24 @@ class IncrementalAcyclicQuery:
 
         acc = prep(first)
         for r, pairs, via, add_cols in chain:
-            ids = None
+            pruning = None
             if (
                 r.buckets > 0
-                and via == delta_name
                 and via is not None
                 and BUCKET in columns[r.name]
                 and tuple(r.bucket_key) == add_cols
             ):
                 owns = tuple(o for o, _ in pairs)
                 probe = tuple(e for _, e in pairs) if add_cols == owns else owns
-                ids = self._bucket_ids(versions[via], r, probe, bucket_memo)
-            side = prep(r, ids)
+                if via == delta_name:
+                    pruning = self._probe_pruning(
+                        versions[via], r, probe, bucket_memo, (r.name, probe)
+                    )
+                else:
+                    # transitive: the accumulated join is delta-bounded, so
+                    # its probe-key set prunes deeper state scans too
+                    pruning = self._probe_pruning(acc, r, probe)
+            side = prep(r, pruning)
             if r.broadcast_state:
                 side = F.broadcast(side)
             cond = reduce(

@@ -155,13 +155,89 @@ def test_bucket_pruning_reaches_the_state_scan(spark, tmp_path):
     assert "In(l_key" in plan or "EqualTo(l_key,7)" in plan  # 1-value In folds
     full = _files_read(eng._read_state("lineitem"))
     memo: dict = {}
-    ids, key_vals = eng._bucket_ids(delta, spec.relations[2], ("o_key",), memo)
+    ids, key_vals = eng._probe_pruning(
+        delta, spec.relations[2], ("o_key",), memo, ("lineitem", ("o_key",))
+    )
     assert len(ids) == 1
     assert key_vals == [7]  # the single probed order key
     pruned = _files_read(
         eng._read_state("lineitem").filter(F.col("_bucket").isin(ids))
     )
     assert 0 < pruned < full
+
+
+def test_transitive_pruning_reaches_two_hop_state(spark, tmp_path):
+    """A delta on customer probes lineitem only THROUGH orders (2 tree hops):
+    the engine prunes lineitem's scan from the accumulated Δcustomer⋈orders
+    join's order keys — the term plan carries lineitem's PartitionFilter and
+    pushed key filter, and results equal the unbucketed engine."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("customer"),
+            RelSpec("orders", join_on=("o_cust", "c_key")),
+            RelSpec(
+                "lineitem",
+                join_on=("l_key", "o_key"),
+                buckets=8,
+                bucket_key=("l_key",),
+            ),
+        ),
+        group_by=("c_name",),
+        measures={"qty": lambda: F.col("l_qty")},
+    )
+    eng = _engine(spark, tmp_path, spec)
+    eng.process_batch(
+        {
+            "customer": spark.createDataFrame(CUST, CUST_SCHEMA),
+            "orders": spark.createDataFrame(
+                [(o, o % 4, 1) for o in range(40)], ORD_SCHEMA
+            ),
+            "lineitem": spark.createDataFrame(
+                [(o, o + 1, 1) for o in range(40)], LI_SCHEMA
+            ),
+        },
+        batch_id=0,
+    )
+    # customer delta: 1 customer -> ~10 orders -> their lineitem buckets only
+    delta = eng._conform(
+        "customer", spark.createDataFrame([(2, "c2", 1)], CUST_SCHEMA)
+    ).localCheckpoint()
+    versions = {
+        "customer": delta,
+        "orders": eng._read_state("orders"),
+        "lineitem": eng._read_state("lineitem"),
+    }
+    plan = plan_string(eng._join_chain(versions, delta_name="customer"))
+    assert "PartitionFilters" in plan and "_bucket" in plan
+    assert "In(l_key" in plan or "EqualTo(l_key" in plan
+    # and the full stream stays oracle-equal to the unbucketed run
+    plain_spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("customer"),
+            RelSpec("orders", join_on=("o_cust", "c_key")),
+            RelSpec("lineitem", join_on=("l_key", "o_key")),
+        ),
+        group_by=("c_name",),
+        measures={"qty": lambda: F.col("l_qty")},
+    )
+    eng2 = _engine(spark, tmp_path, plain_spec)
+    batches = [
+        ([(o, o % 4, 1) for o in range(40)], [(o, o + 1, 1) for o in range(40)]),
+        ([(3, 3, -1), (40, 1, 1)], [(40, 9, 1), (5, 6, -1)]),
+    ]
+
+    def feed(e):
+        for i, (orders, lineitem) in enumerate(batches):
+            d = {
+                "orders": spark.createDataFrame(orders, ORD_SCHEMA),
+                "lineitem": spark.createDataFrame(lineitem, LI_SCHEMA),
+            }
+            if i == 0:
+                d["customer"] = spark.createDataFrame(CUST, CUST_SCHEMA)
+            e.process_batch(d, batch_id=i + 1)
+        return sorted(tuple(r) for r in e.result().collect())
+
+    assert feed(_engine(spark, tmp_path, spec)) == feed(eng2)
 
 
 def test_bucketed_semi_gate_equivalent(spark, tmp_path):
