@@ -83,6 +83,7 @@ def _register_all() -> None:
     from .plans import ivm_ext  # noqa: F401  (round 4: generic acyclic IVM)
     from .plans import ivm_tpch_ext  # noqa: F401  (round 5: Q2/Q11/Q16/Q20)
     from .plans import ivm_sink_ext  # noqa: F401  (round 5: emission sink)
+    from .plans import ivm_ttl_ext  # noqa: F401  (round 5: watermark TTL)
 
 
 _register_all()

@@ -72,6 +72,29 @@ to the plain full-scan join. Filters are applied to deltas at ingest so state on
 holds filter-surviving tuples — the same state-size reduction the
 reference's alive-gating achieves. A hot join key concentrating a term's
 shuffle is spread with ``RelSpec.salt``.
+
+BOUNDED STATE FOR UNBOUNDED STREAMS (``RelSpec.ttl``): the reference's host
+engine (Flink) bounds keyed state with event-time watermarks and state TTL;
+its demo query never does, so state grows with stream lifetime. Declaring
+``ttl=(ts_col, horizon)`` gives a relation a watermark — the running max
+event time over its ingested deltas, persisted in the manifest — and the
+maintained result becomes the aggregate over the sliding window
+[horizon(wm), wm]: delta rows below the horizon are dropped at ingest (the
+late-data policy; necessary, or a late row would sit in state forever once
+the eviction band has swept past it), and state rows crossing the horizon
+are EVICTED by re-feeding them through the batch as ordinary retraction
+deltas — joins, presence gates, value histograms, HAVING, and chains all
+retract through the existing algebra. Eviction reads only the closing band
+[old horizon, new horizon), a pushed range filter that parquet rowgroup
+statistics prune (tight when arrivals are roughly event-ordered so each
+segment spans a narrow time range; a hash-ordered backfill degrades the
+band read to a filtered state scan — still O(state)/batch worst case, but
+state itself stays window-bounded, which is the claim that matters at
+100 TB: tools/ivm_ttl_scaling.py measures the plateau). Lateness is
+monotone (the horizon only advances), so every row at or above the FINAL
+horizon is never dropped and the drained result equals a from-scratch
+recompute over ``ts >= horizon(max ts)`` regardless of arrival interleaving
+(tests/test_acyclic_ttl.py).
 """
 
 from __future__ import annotations
@@ -87,6 +110,30 @@ from pyspark.sql import functions as F
 
 WEIGHT = "weight"
 BUCKET = "_bucket"  # reserved: hash-bucket partition column of bucketed state
+
+
+def _wm_dump(v) -> list:
+    """JSON-safe (tag, value) encoding of a watermark — date/datetime keep
+    their exact type across a manifest round-trip (fromisoformat would
+    silently widen a date string to datetime)."""
+    from datetime import date, datetime
+
+    if isinstance(v, datetime):
+        return ["dt", v.isoformat(sep=" ")]
+    if isinstance(v, date):
+        return ["d", v.isoformat()]
+    return ["raw", v]
+
+
+def _wm_load(t: list):
+    from datetime import date, datetime
+
+    tag, v = t
+    if tag == "dt":
+        return datetime.fromisoformat(v)
+    if tag == "d":
+        return date.fromisoformat(v)
+    return v
 
 
 @dataclass(frozen=True)
@@ -145,6 +192,17 @@ class RelSpec:
     deterministic row hash, so the hot key fans out over s tasks. Exact —
     each probe row meets each state row exactly once. Incompatible with
     ``broadcast_state`` (broadcast joins never shuffle).
+
+    ``ttl=(ts_col, horizon)`` (watermark-driven retention): ``horizon`` maps
+    the relation's watermark — a typed literal Column holding the running
+    max of ``ts_col`` over ingested deltas — to the window's lower bound,
+    e.g. ``lambda wm: wm - F.expr("INTERVAL 90 DAYS")``. Rows below the
+    horizon are dropped at ingest; state rows crossing it are evicted as
+    retraction deltas, so the maintained aggregate covers the sliding window
+    and state stays window-bounded however long the stream runs (module
+    docstring, 'bounded state'). Rows with NULL ``ts_col`` are never late
+    and never evicted. Advancing the watermark costs one bounded (1-row)
+    driver read per batch.
     """
 
     name: str
@@ -157,6 +215,16 @@ class RelSpec:
     buckets: int = 0
     bucket_key: tuple[str, ...] | None = None
     salt: int = 0
+    ttl: tuple[str, Callable[[Column], Column]] | None = None
+
+    def __post_init__(self):
+        if self.ttl is not None and self.project is not None:
+            if self.ttl[0] not in self.project:
+                raise ValueError(
+                    f"relation {self.name!r}: ttl column {self.ttl[0]!r} must "
+                    f"be in project={self.project} (state must retain the "
+                    "event-time column to evict on it)"
+                )
 
     def join_pairs(self) -> tuple[tuple[str, str], ...]:
         """Normalize ``join_on`` to a tuple of (own, earlier) pairs."""
@@ -340,6 +408,9 @@ class IncrementalAcyclicQuery:
         self._appends: dict[str, int] = {}  # rel -> lifetime segment counter
         self._schemas: dict = {}  # rel -> StructType, captured at first delta
         self._last_batch: int | None = None  # last committed batch_id
+        # rel -> python max event-time value seen (RelSpec.ttl); part of the
+        # atomic manifest commit — losing it would re-admit late rows
+        self._watermarks: dict[str, object] = {}
         self._by_name = {r.name: r for r in spec.relations}
         # last persisted emitted-changelog {"batch": id, "path": dir} — lets a
         # crash-replayed batch hand downstream engines the exact view delta
@@ -369,6 +440,7 @@ class IncrementalAcyclicQuery:
             "last_batch": self._last_batch,
             "compact_every": self.compact_every,
             "emitted": self._emitted,
+            "watermarks": {r: _wm_dump(v) for r, v in self._watermarks.items()},
         }
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -385,6 +457,9 @@ class IncrementalAcyclicQuery:
         self._appends = data["appends"]
         self._last_batch = data["last_batch"]
         self._emitted = data.get("emitted")
+        self._watermarks = {
+            r: _wm_load(v) for r, v in data.get("watermarks", {}).items()
+        }
         # GC anything the committed manifest doesn't reference — partial
         # writes of a crashed batch, or superseded dirs whose cleanup the
         # crash interrupted
@@ -422,6 +497,16 @@ class IncrementalAcyclicQuery:
         reader = self.spark.read
         if rel in self._schemas:
             reader = reader.schema(self._schemas[rel])
+        r = self._by_name.get(rel)
+        if r is not None and r.buckets > 0 and len(paths) > 1:
+            # multiple ``_bucket``-partitioned segment roots cannot share one
+            # partition-discovery pass (CONFLICTING_DIRECTORY_STRUCTURES):
+            # read each root and union. The pinned schema keeps this free of
+            # per-segment footer reads, bucket/partition pruning pushes into
+            # every branch of the union, and compaction bounds its width.
+            return reduce(
+                lambda a, b: a.unionByName(b), [reader.parquet(p) for p in paths]
+            )
         return reader.parquet(*paths)
 
     def _read_state(self, rel: str) -> DataFrame:
@@ -794,7 +879,62 @@ class IncrementalAcyclicQuery:
                 d = d.select(*r.project, WEIGHT)
             filt[r.name] = self._conform(r.name, d)
 
+        # watermark advance + late-data drop (RelSpec.ttl): the watermark is
+        # the running max event time over ingested deltas — ONE bounded 1-row
+        # driver read per ttl relation per batch. Rows below the new horizon
+        # are dropped NOW: the eviction band below only ever sweeps forward,
+        # so a late row that slipped into state would never be revisited.
+        advanced: dict[str, tuple[object, object]] = {}  # rel -> (old_wm, new_wm)
+        for r in rels:
+            if r.ttl is None or r.name not in filt:
+                continue
+            ts_col, horizon = r.ttl
+            if ts_col not in filt[r.name].columns:
+                raise ValueError(
+                    f"relation {r.name!r}: ttl column {ts_col!r} missing from "
+                    f"its delta columns {filt[r.name].columns}"
+                )
+            batch_max = filt[r.name].agg(F.max(ts_col)).first()[0]
+            old_wm = self._watermarks.get(r.name)
+            new_wm = (
+                old_wm
+                if batch_max is None or (old_wm is not None and batch_max <= old_wm)
+                else batch_max
+            )
+            if new_wm is None:
+                continue
+            self._watermarks[r.name] = new_wm
+            advanced[r.name] = (old_wm, new_wm)
+            dtype = self._schemas[r.name][ts_col].dataType
+            cutoff = horizon(F.lit(str(new_wm)).cast(dtype))
+            filt[r.name] = filt[r.name].filter(
+                F.col(ts_col).isNull() | (F.col(ts_col) >= cutoff)
+            )
+
         old = {r.name: self._read_state(r.name) for r in rels}
+
+        # eviction (RelSpec.ttl): state rows crossing the horizon re-enter
+        # the batch as retraction deltas — every downstream mechanism (join
+        # terms, presence gates, value histograms, HAVING, chains) retracts
+        # them through the ordinary algebra. Only the closing band
+        # [old horizon, new horizon) is read: rows below the old horizon were
+        # already evicted or late-dropped, and the pushed range filter lets
+        # parquet rowgroup statistics skip untouched segments.
+        for r in rels:
+            if r.ttl is None or r.name not in advanced:
+                continue
+            ts_col, horizon = r.ttl
+            old_wm, new_wm = advanced[r.name]
+            if old_wm == new_wm and old_wm is not None:
+                continue  # horizon unchanged: nothing can have crossed it
+            dtype = self._schemas[r.name][ts_col].dataType
+            band = F.col(ts_col) < horizon(F.lit(str(new_wm)).cast(dtype))
+            if old_wm is not None:
+                band = band & (
+                    F.col(ts_col) >= horizon(F.lit(str(old_wm)).cast(dtype))
+                )
+            evicted = old[r.name].filter(band).withColumn(WEIGHT, -F.col(WEIGHT))
+            filt[r.name] = filt[r.name].unionByName(evicted)
         if self.compact_every == 1:
             new = {
                 r.name: self._merge(old[r.name], filt[r.name])

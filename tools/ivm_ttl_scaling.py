@@ -1,0 +1,150 @@
+"""Measure STATE-SIZE BOUNDEDNESS under watermark-driven retention
+(``RelSpec.ttl``, streaming/acyclic.py) — the long-running-stream half of the
+engine's 100 TB story, complementing tools/ivm_state_scaling.py (per-batch
+cost vs state size) and tools/ivm_batch_scaling.py (per-batch cost vs delta
+volume).
+
+Setup: one relation, constant per-batch delta volume, event time advancing
+one window-width every W_BATCH batches. Two engines consume the identical
+changelog:
+
+- NO ttl: net state rows grow linearly with batches — an unbounded stream
+  eventually exceeds any cluster's state budget;
+- ttl = trailing window: each batch's horizon advance evicts exactly the
+  rows leaving the window, so net state rows (and on-disk parquet bytes
+  after compaction) plateau at the window's volume, however long the stream
+  runs.
+
+Both numbers are physical, not argued: rows from reading the committed state
+back, bytes from the state directory. The maintained results are also
+cross-checked: the ttl engine must equal a from-scratch recompute of the
+no-ttl engine's state restricted to the final window (the lateness-monotone
+invariant, tests/test_acyclic_ttl.py).
+
+Usage:  python tools/ivm_ttl_scaling.py [n_batches] [rows_per_batch]
+Prints one JSON line: per-batch state rows/bytes for both engines, the
+plateau ratio (last/first measured window-full state for ttl; should be ~1)
+vs the no-ttl growth ratio (~n_batches/window), and result equality.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_and_acyclic_schema_spark.session import get_spark  # noqa: E402
+from flink_and_acyclic_schema_spark.streaming.acyclic import (  # noqa: E402
+    AcyclicQuerySpec,
+    IncrementalAcyclicQuery,
+    RelSpec,
+)
+
+SCHEMA = "e_key long, e_day int, e_cat string, e_val long, weight int"
+WINDOW = 8  # retained days
+DAYS_PER_BATCH = 2  # horizon advances 2 days per batch
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def _spec(ttl: bool) -> AcyclicQuerySpec:
+    extra = (
+        {"ttl": ("e_day", lambda wm: wm - F.lit(WINDOW))} if ttl else {}
+    )
+    return AcyclicQuerySpec(
+        relations=(RelSpec("events", **extra),),
+        group_by=("e_cat",),
+        measures={"val": lambda: F.col("e_val")},
+    )
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    spark = get_spark(app_name="ivm_ttl_scaling", shuffle_partitions=16)
+    work = tempfile.mkdtemp(prefix="ivm_ttl_")
+    engines = {
+        "ttl": IncrementalAcyclicQuery(spark, f"{work}/ttl", _spec(True)),
+        "no_ttl": IncrementalAcyclicQuery(spark, f"{work}/no_ttl", _spec(False)),
+    }
+    series: dict[str, list[dict]] = {k: [] for k in engines}
+    for b in range(n_batches):
+        base_day = b * DAYS_PER_BATCH
+        delta = (
+            spark.range(rows)
+            .select(
+                (F.col("id") + b * rows).alias("e_key"),
+                (F.lit(base_day) + F.col("id") % DAYS_PER_BATCH)
+                .cast("int")
+                .alias("e_day"),
+                F.concat(F.lit("c"), (F.col("id") % 5).cast("string")).alias(
+                    "e_cat"
+                ),
+                (F.col("id") % 97).alias("e_val"),
+                F.lit(1).alias("weight"),
+            )
+            .localCheckpoint()
+        )
+        for name, eng in engines.items():
+            t0 = time.perf_counter()
+            eng.process_batch({"events": delta}, batch_id=b)
+            wall = time.perf_counter() - t0
+            state_rows = (
+                eng._read_state("events")
+                .agg(F.sum(F.abs(F.col("weight"))))
+                .first()[0]
+            )
+            series[name].append(
+                {
+                    "batch": b,
+                    "sec": round(wall, 3),
+                    "state_rows": int(state_rows or 0),
+                    "state_bytes": _dir_bytes(eng.state_dir),
+                }
+            )
+
+    # equality: ttl result == no-ttl state restricted to the final window
+    final_wm = (n_batches - 1) * DAYS_PER_BATCH + DAYS_PER_BATCH - 1
+    windowed = (
+        engines["no_ttl"]
+        ._read_state("events")
+        .filter(F.col("e_day") >= final_wm - WINDOW)
+        .groupBy("e_cat")
+        .agg(F.sum(F.col("weight") * F.col("e_val")).alias("val"))
+    )
+    got = sorted(tuple(r) for r in engines["ttl"].result().collect())
+    want = sorted(tuple(r) for r in windowed.collect())
+
+    # plateau: once the window is full (after WINDOW/DAYS_PER_BATCH batches),
+    # ttl state rows should be flat; no-ttl grows linearly
+    full = WINDOW // DAYS_PER_BATCH
+    ttl_rows = [p["state_rows"] for p in series["ttl"][full:]]
+    raw_rows = [p["state_rows"] for p in series["no_ttl"][full:]]
+    out = {
+        "metric": "ivm_ttl_state_boundedness",
+        "n_batches": n_batches,
+        "rows_per_batch": rows,
+        "window_days": WINDOW,
+        "series": series,
+        "ttl_plateau_ratio": round(ttl_rows[-1] / ttl_rows[0], 3),
+        "no_ttl_growth_ratio": round(raw_rows[-1] / raw_rows[0], 3),
+        "results_equal": got == want,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
