@@ -691,12 +691,15 @@ class IncrementalAcyclicQuery:
         memo: dict | None = None,
         memo_key=None,
     ):
-        """(bucket ids, probe key values | None) the probe side can possibly
-        reach in relation ``r`` — bounded driver reads (≤ KEY_PUSHDOWN_CAP
-        key rows; falls back to the ≤ r.buckets distinct-bucket-id collect
-        for wider probes). Bucket ids prune the scan to the probed partition
-        directories; single-column key values additionally push as an ``In``
-        filter that parquet page/rowgroup statistics of the key-sorted
+        """(bucket ids, per-column probe key values | None) the probe side
+        can possibly reach in relation ``r`` — bounded driver reads (≤
+        KEY_PUSHDOWN_CAP key rows; falls back to the ≤ r.buckets
+        distinct-bucket-id collect for wider probes). Bucket ids prune the
+        scan to the probed partition directories; key values additionally
+        push as per-bucket_key-column ``In`` filters (for multi-column keys
+        the per-column value sets are a conservative cross-product superset
+        of the probed tuples — non-matching keys can't join, so restriction
+        stays exact) that parquet page/rowgroup statistics of the key-sorted
         bucket files prune on — rows read track the probe set, not
         state/buckets. The probe side is the DELTA itself for one-hop
         relations (memoized per batch — the same delta probes across every
@@ -716,7 +719,12 @@ class IncrementalAcyclicQuery:
         )
         if len(rows) <= self.KEY_PUSHDOWN_CAP:
             ids = sorted({row["_b"] for row in rows})
-            vals = [row[0] for row in rows] if len(probe_cols) == 1 else None
+            # NULL probe keys never equi-join, so dropping them from the In
+            # sets keeps the superset property (isin never matches NULL)
+            vals = tuple(
+                [v for v in {row[i] for row in rows} if v is not None]
+                for i in range(len(probe_cols))
+            )
             out = (ids, vals)
         else:
             # wide probe set: still bucket-prune (distinct ids are bounded by
@@ -773,9 +781,11 @@ class IncrementalAcyclicQuery:
                 df = df.filter(F.col(BUCKET).isin(bucket_ids))
                 if key_vals is not None:
                     # superset restriction (non-matching keys can't join):
-                    # pushes to the parquet scan as an In filter, pruned by
-                    # page/rowgroup stats of the key-sorted bucket files
-                    df = df.filter(F.col(r.bucket_key[0]).isin(key_vals))
+                    # pushes to the parquet scan as one In filter per
+                    # bucket_key column, pruned by page/rowgroup stats of
+                    # the key-sorted bucket files
+                    for c, vs in zip(r.bucket_key, key_vals):
+                        df = df.filter(F.col(c).isin(vs))
             return df.drop(BUCKET)
 
         acc = prep(first)

@@ -159,7 +159,7 @@ def test_bucket_pruning_reaches_the_state_scan(spark, tmp_path):
         delta, spec.relations[2], ("o_key",), memo, ("lineitem", ("o_key",))
     )
     assert len(ids) == 1
-    assert key_vals == [7]  # the single probed order key
+    assert key_vals == ([7],)  # the single probed order key
     pruned = _files_read(
         eng._read_state("lineitem").filter(F.col("_bucket").isin(ids))
     )
@@ -469,3 +469,72 @@ def test_spec_guards():
             ),
             group_by=("g",),
         )
+
+
+def test_multicolumn_probe_key_pushdown(spark, tmp_path):
+    """A relation bucketed on a TWO-column join key pushes per-column In
+    filters (a conservative cross-product superset of the probed tuples —
+    exact, because non-matching keys can't join): the term plan carries a
+    pushed filter on BOTH key columns, and results equal the unbucketed
+    engine across a multi-batch stream with deletes."""
+    li2 = "l_key int, l_cust int, l_qty int, weight int"
+
+    def spec(extra=None):
+        return AcyclicQuerySpec(
+            relations=(
+                RelSpec("orders"),
+                RelSpec(
+                    "lineitem",
+                    join_on=(("l_key", "o_key"), ("l_cust", "o_cust")),
+                    **(extra or {}),
+                ),
+            ),
+            group_by=("o_cust",),
+            measures={"qty": lambda: F.col("l_qty")},
+        )
+
+    bucketed = {"buckets": 8, "bucket_key": ("l_key", "l_cust")}
+    eng = _engine(spark, tmp_path, spec(bucketed))
+    eng.process_batch(
+        {
+            "orders": spark.createDataFrame(
+                [(o, o % 4, 1) for o in range(40)], ORD_SCHEMA
+            ),
+            "lineitem": spark.createDataFrame(
+                [(o, o % 4, o + 1, 1) for o in range(40)], li2
+            ),
+        },
+        batch_id=0,
+    )
+    delta = eng._conform(
+        "orders", spark.createDataFrame([(7, 3, 1)], ORD_SCHEMA)
+    ).localCheckpoint()
+    versions = {"orders": delta, "lineitem": eng._read_state("lineitem")}
+    plan = plan_string(eng._join_chain(versions, delta_name="orders"))
+    assert "PartitionFilters" in plan and "_bucket" in plan
+    assert "In(l_key" in plan or "EqualTo(l_key,7)" in plan
+    assert "In(l_cust" in plan or "EqualTo(l_cust,3)" in plan
+    ids, key_vals = eng._probe_pruning(
+        delta, spec(bucketed).relations[1], ("o_key", "o_cust"), {}, None
+    )
+    assert key_vals == ([7], [3]) and len(ids) == 1
+
+    batches = [
+        ([(o, o % 4, 1) for o in range(40)], [(o, o % 4, o + 1, 1) for o in range(40)]),
+        ([(3, 3, -1), (41, 1, 1)], [(41, 1, 9, 1), (5, 1, 6, -1)]),
+    ]
+
+    def feed(e):
+        for i, (orders, lineitem) in enumerate(batches):
+            e.process_batch(
+                {
+                    "orders": spark.createDataFrame(orders, ORD_SCHEMA),
+                    "lineitem": spark.createDataFrame(lineitem, li2),
+                },
+                batch_id=i + 1,
+            )
+        return sorted(tuple(r) for r in e.result().collect())
+
+    assert feed(_engine(spark, tmp_path, spec(bucketed))) == feed(
+        _engine(spark, tmp_path, spec())
+    )
