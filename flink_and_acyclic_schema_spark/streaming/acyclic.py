@@ -1161,7 +1161,17 @@ class IncrementalAcyclicQuery:
         bucket_key within each file, so parquet page/rowgroup min-max
         statistics make the pushed probe-key ``In`` filter prune within the
         bucket — together, the on-disk analogue of a keyed state store's
-        key-group + key index."""
+        key-group + key index.
+
+        A ttl relation's state is instead sorted by its event-time column, so
+        the eviction band read ([old horizon, new horizon), a pushed range
+        predicate) prunes to the closing rowgroups — fresh rows and the old-ts
+        eviction negations of a log-structured segment land in separate
+        rowgroups instead of widening every rowgroup's min-max. A relation
+        that is BOTH bucketed and ttl keeps the key sort (the probe-key In
+        pushdown runs on every delta-join term, eviction once per batch;
+        band reads there prune at segment granularity only — documented
+        trade-off)."""
         r = self._by_name.get(rel)
         if r is not None and r.buckets > 0:
             (
@@ -1170,6 +1180,10 @@ class IncrementalAcyclicQuery:
                 .write.mode("overwrite")
                 .partitionBy(BUCKET)
                 .parquet(path)
+            )
+        elif r is not None and r.ttl is not None:
+            df.sortWithinPartitions(r.ttl[0]).write.mode("overwrite").parquet(
+                path
             )
         else:
             df.write.mode("overwrite").parquet(path)

@@ -115,6 +115,47 @@ def main() -> None:
                 }
             )
 
+    # eviction band read: ttl state is ts-sorted on write, so the pushed
+    # range predicate [old horizon, new horizon) prunes to the closing
+    # rowgroups — rows READ should track the band's volume (one batch), not
+    # the retained window's
+    def _scan_metrics(df):
+        df.collect()
+        acc = {"files": 0, "rows": 0}
+
+        def walk(node):
+            name = node.getClass().getSimpleName()
+            try:
+                mm = node.metrics()
+                if mm.contains("numFiles"):
+                    acc["files"] += mm.apply("numFiles").value()
+                    acc["rows"] += mm.apply("numOutputRows").value()
+            except Exception:
+                pass
+            if name.startswith("AdaptiveSparkPlan"):
+                walk(node.executedPlan())
+                return
+            if "QueryStage" in name:
+                walk(node.plan())
+                return
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(df._jdf.queryExecution().executedPlan())
+        return acc
+
+    # the band the NEXT batch's advance would read (rows still in state):
+    # scan-level numOutputRows counts rows surviving rowgroup pruning, so
+    # with ts-sorted state it tracks the band, not the window
+    wm_last = (n_batches - 1) * DAYS_PER_BATCH + DAYS_PER_BATCH - 1
+    band = (F.col("e_day") >= wm_last - WINDOW) & (
+        F.col("e_day") < wm_last - WINDOW + DAYS_PER_BATCH
+    )
+    state = engines["ttl"]._read_state("events")
+    band_scan = _scan_metrics(state.filter(band))
+    window_rows = int(state.count())
+
     # equality: ttl result == no-ttl state restricted to the final window
     final_wm = (n_batches - 1) * DAYS_PER_BATCH + DAYS_PER_BATCH - 1
     windowed = (
@@ -140,6 +181,9 @@ def main() -> None:
         "series": series,
         "ttl_plateau_ratio": round(ttl_rows[-1] / ttl_rows[0], 3),
         "no_ttl_growth_ratio": round(raw_rows[-1] / raw_rows[0], 3),
+        "eviction_band_scan_rows": band_scan["rows"],
+        "state_window_rows": window_rows,
+        "band_read_fraction": round(band_scan["rows"] / max(window_rows, 1), 3),
         "results_equal": got == want,
     }
     print(json.dumps(out))
