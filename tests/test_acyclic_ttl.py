@@ -308,3 +308,38 @@ def test_ttl_emit_delta_changelog_telescopes(spark, tmp_path):
     telescoped = sorted(k for k, w in net.items() if w != 0)
     final = sorted(tuple(r) for r in eng.result().collect())
     assert telescoped == final == _recompute([r for b in BATCHES for r in b])
+
+
+# --- property: windowed recompute equality under ARBITRARY interleavings ----
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ROW = st.tuples(
+    st.integers(0, 15),  # key
+    st.integers(0, 30),  # event day
+    st.integers(0, 2),  # category
+    st.integers(-5, 50),  # value
+    st.sampled_from([1, 1, -1]),  # weight (insert-biased)
+)
+_BATCHES = st.lists(st.lists(_ROW, max_size=12), min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=_BATCHES)
+def test_ttl_property_any_interleaving_matches_windowed_recompute(
+    spark, tmp_path, batches
+):
+    """The lateness-monotonicity argument as a checked property: for ANY
+    batch split — deletes before inserts, duplicate rows, out-of-order event
+    times, empty batches — the drained ttl engine equals the from-scratch
+    net-multiset recompute over ``day >= max(day) - W``. Rows below the final
+    horizon must net to zero whether they were late-dropped, evicted, or
+    explicitly deleted; rows at/above it are never dropped."""
+    rows = [
+        [(k, d, f"c{c}", v, w) for (k, d, c, v, w) in b] for b in batches
+    ]
+    flat = [r for b in rows for r in b]
+    if not flat:
+        return
+    got = _feed(spark, _engine(spark, tmp_path, _events_spec()), rows)
+    assert got == _recompute(flat)
