@@ -136,6 +136,31 @@ def _wm_load(t: list):
     return v
 
 
+def _range_hits(rng: tuple | None, lo, hi) -> bool:
+    """Can a segment whose ts values lie in ``rng`` contain rows of the band
+    [lo, hi)? ``None`` bounds are unbounded; unknown ranges must be read —
+    stale-wide ranges cost reads, never correctness."""
+    if rng is None:
+        return True
+    mn, mx = rng
+    if hi is not None and mn is not None and mn >= hi:
+        return False
+    if lo is not None and mx is not None and mx < lo:
+        return False
+    return True
+
+
+def _range_union(ranges) -> tuple:
+    """Smallest (lo, hi) superset of the given (possibly None-bounded)
+    ranges; None propagates as unbounded."""
+    ranges = [r for r in ranges if r is not None]
+    if not ranges:
+        return (None, None)
+    lo = None if any(r[0] is None for r in ranges) else min(r[0] for r in ranges)
+    hi = None if any(r[1] is None for r in ranges) else max(r[1] for r in ranges)
+    return (lo, hi)
+
+
 @dataclass(frozen=True)
 class RelSpec:
     """One relation (tree node) of an acyclic query.
@@ -411,6 +436,14 @@ class IncrementalAcyclicQuery:
         # rel -> python max event-time value seen (RelSpec.ttl); part of the
         # atomic manifest commit — losing it would re-admit late rows
         self._watermarks: dict[str, object] = {}
+        # ttl rel -> {segment path: (min_ts|None, max_ts|None)} — a SUPERSET
+        # range per live segment (None = unbounded), tracked driver-side so
+        # the eviction band read SKIPS whole segments that can't intersect
+        # [old horizon, new horizon). Stale-wide ranges only cost extra
+        # reads, never correctness. This is what gives bucketed+ttl
+        # relations (whose files are key-sorted, not ts-sorted) band pruning
+        # at segment granularity.
+        self._seg_ts: dict[str, dict[str, tuple]] = {}
         self._by_name = {r.name: r for r in spec.relations}
         # last persisted emitted-changelog {"batch": id, "path": dir} — lets a
         # crash-replayed batch hand downstream engines the exact view delta
@@ -441,6 +474,10 @@ class IncrementalAcyclicQuery:
             "compact_every": self.compact_every,
             "emitted": self._emitted,
             "watermarks": {r: _wm_dump(v) for r, v in self._watermarks.items()},
+            "seg_ts": {
+                rel: {p: [_wm_dump(v[0]), _wm_dump(v[1])] for p, v in m.items()}
+                for rel, m in self._seg_ts.items()
+            },
         }
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -459,6 +496,10 @@ class IncrementalAcyclicQuery:
         self._emitted = data.get("emitted")
         self._watermarks = {
             r: _wm_load(v) for r, v in data.get("watermarks", {}).items()
+        }
+        self._seg_ts = {
+            rel: {p: (_wm_load(v[0]), _wm_load(v[1])) for p, v in m.items()}
+            for rel, m in data.get("seg_ts", {}).items()
         }
         # GC anything the committed manifest doesn't reference — partial
         # writes of a crashed batch, or superseded dirs whose cleanup the
@@ -927,9 +968,13 @@ class IncrementalAcyclicQuery:
         # the batch as retraction deltas — every downstream mechanism (join
         # terms, presence gates, value histograms, HAVING, chains) retracts
         # them through the ordinary algebra. Only the closing band
-        # [old horizon, new horizon) is read: rows below the old horizon were
-        # already evicted or late-dropped, and the pushed range filter lets
-        # parquet rowgroup statistics skip untouched segments.
+        # [old horizon, new horizon) is read, pruned at TWO levels: the
+        # manifest's per-segment ts ranges skip whole segments driver-side
+        # (the only pruning available to key-sorted bucketed state), and the
+        # pushed range filter lets parquet rowgroup statistics prune within
+        # the ts-sorted segments that remain. Horizon VALUES cost one 1-row
+        # constant-fold job per ttl relation per batch (bounded).
+        seg_range: dict[str, tuple] = {}  # rel -> this batch's segment range
         for r in rels:
             if r.ttl is None or r.name not in advanced:
                 continue
@@ -938,13 +983,30 @@ class IncrementalAcyclicQuery:
             if old_wm == new_wm and old_wm is not None:
                 continue  # horizon unchanged: nothing can have crossed it
             dtype = self._schemas[r.name][ts_col].dataType
-            band = F.col(ts_col) < horizon(F.lit(str(new_wm)).cast(dtype))
+            lit = lambda v: F.lit(str(v)).cast(dtype)  # noqa: E731
+            hrow = self.spark.range(1).select(
+                (horizon(lit(old_wm)) if old_wm is not None else F.lit(None)).alias("lo"),
+                horizon(lit(new_wm)).alias("hi"),
+            ).first()
+            h_old_v, h_new_v = hrow["lo"], hrow["hi"]
+            band = F.col(ts_col) < horizon(lit(new_wm))
             if old_wm is not None:
-                band = band & (
-                    F.col(ts_col) >= horizon(F.lit(str(old_wm)).cast(dtype))
-                )
-            evicted = old[r.name].filter(band).withColumn(WEIGHT, -F.col(WEIGHT))
+                band = band & (F.col(ts_col) >= horizon(lit(old_wm)))
+            ranges = self._seg_ts.get(r.name, {})
+            src_paths = [
+                p
+                for p in self._segments.get(r.name, [])
+                if _range_hits(ranges.get(p), h_old_v, h_new_v)
+            ]
+            src = self._read_paths(r.name, src_paths)
+            evicted = src.filter(band).withColumn(WEIGHT, -F.col(WEIGHT))
             filt[r.name] = filt[r.name].unionByName(evicted)
+            # this batch's write holds fresh rows (>= new horizon, <= wm) and
+            # the band's negations (>= old horizon) — a cheap driver-side
+            # superset range, no extra jobs
+            lo = h_old_v  # None (= -inf) on the first advance
+            hi = new_wm if (h_new_v is None or h_new_v <= new_wm) else None
+            seg_range[r.name] = (lo, hi)
         if self.compact_every == 1:
             new = {
                 r.name: self._merge(old[r.name], filt[r.name])
@@ -1071,8 +1133,15 @@ class IncrementalAcyclicQuery:
         # the pre-batch relation segments
         cleanup: list[str] = []
         changed = [r.name for r in rels if r.name in filt]
+        for r in rels:
+            # ttl segment written without a horizon advance: rows are all
+            # within the current window — (unbounded, wm] is a safe superset
+            if r.ttl is not None and r.name in filt and r.name not in seg_range:
+                seg_range[r.name] = (None, self._watermarks.get(r.name))
         for rel in changed:
-            self._commit_state(rel, new[rel], filt[rel], cleanup)
+            self._commit_state(
+                rel, new[rel], filt[rel], cleanup, ts_range=seg_range.get(rel)
+            )
         agg_old = self._read_paths("agg", self._segments.get("agg", []))
         if self.compact_every == 1:
             self._commit_state(
@@ -1120,6 +1189,7 @@ class IncrementalAcyclicQuery:
         delta: DataFrame,
         cleanup: list[str],
         net_fn=None,
+        ts_range: tuple | None = None,
     ) -> None:
         """Persist one relation's post-batch state.
 
@@ -1128,7 +1198,12 @@ class IncrementalAcyclicQuery:
         (O(Δ) IO) and, past ``compact_every`` live segments, compacts the
         union back to the net multiset with ``net_fn`` (default ``_net``;
         ``_agg_net`` for the aggregate). Superseded paths go to ``cleanup``,
-        deleted only after the whole batch's writes executed."""
+        deleted only after the whole batch's writes executed.
+
+        ``ts_range`` (ttl relations) is this write's driver-side superset of
+        its rows' event times; merged/compacted paths take the union of
+        their constituents — stale-wide, never stale-narrow."""
+        is_ttl = (r := self._by_name.get(rel)) is not None and r.ttl is not None
         if self.compact_every == 1:
             nxt = self._version[rel] + 1
             p = self._path(rel, nxt)
@@ -1136,12 +1211,17 @@ class IncrementalAcyclicQuery:
             self._version[rel] = nxt
             cleanup.extend(self._segments.get(rel, []))
             self._segments[rel] = [p]
+            if is_ttl:
+                prior = self._seg_ts.get(rel, {}).values()
+                self._seg_ts[rel] = {p: _range_union([*prior, ts_range])}
             return
         n = self._appends.get(rel, 0)
         seg = self._seg_path(rel, n)
         self._write_state(rel, delta, seg)
         self._appends[rel] = n + 1
         self._segments.setdefault(rel, []).append(seg)
+        if is_ttl:
+            self._seg_ts.setdefault(rel, {})[seg] = ts_range or (None, None)
         if len(self._segments[rel]) > self.compact_every:
             nxt = self._version[rel] + 1
             cp = self._path(rel, nxt)
@@ -1152,6 +1232,10 @@ class IncrementalAcyclicQuery:
             self._version[rel] = nxt
             cleanup.extend(self._segments[rel])
             self._segments[rel] = [cp]
+            if is_ttl:
+                self._seg_ts[rel] = {
+                    cp: _range_union(self._seg_ts.get(rel, {}).values())
+                }
 
     def _write_state(self, rel: str, df: DataFrame, path: str) -> None:
         """Write one state file set. A bucketed relation is hash-partitioned

@@ -343,3 +343,42 @@ def test_ttl_property_any_interleaving_matches_windowed_recompute(
         return
     got = _feed(spark, _engine(spark, tmp_path, _events_spec()), rows)
     assert got == _recompute(flat)
+
+
+def test_ttl_segment_ranges_prune_eviction_reads(spark, tmp_path):
+    """Log-structured ttl state tracks a per-segment ts range in the
+    manifest; the eviction band read must skip segments that cannot
+    intersect [old horizon, new horizon) — segment-level pruning is the only
+    band pruning available to key-sorted bucketed state. Check the tracked
+    ranges select a strict subset for an old band, survive resume, and that
+    the stream stays recompute-equal."""
+    from flink_and_acyclic_schema_spark.streaming.acyclic import _range_hits
+
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("events", ttl=("e_day", lambda wm: wm - F.lit(4))),
+        ),
+        group_by=("e_cat",),
+        measures={"val": lambda: F.col("e_val")},
+    )
+    state_dir = str(tmp_path / "segprune")
+    eng = IncrementalAcyclicQuery(spark, state_dir, spec, compact_every=10)
+    batches = [
+        [(10 * b + i, 2 * b + i % 2, f"c{i % 3}", i, 1) for i in range(8)]
+        for b in range(5)  # event-ordered: days 0-1, 2-3, ..., 8-9
+    ]
+    got = _feed(spark, eng, batches)
+    assert got == _recompute([r for b in batches for r in b], window=4)
+    segs = eng._segments["events"]
+    ranges = eng._seg_ts["events"]
+    assert set(ranges) == set(segs) and len(segs) >= 4
+    # a band over days [0, 2) can only live in the earliest segments
+    hits = [p for p in segs if _range_hits(ranges[p], 0, 2)]
+    assert 0 < len(hits) < len(segs)
+    # the latest segment's range cannot reach an old band
+    assert not _range_hits(ranges[segs[-1]], 0, 2)
+    # ranges are part of the atomic manifest: a resumed engine keeps pruning
+    resumed = IncrementalAcyclicQuery(
+        spark, state_dir, spec, compact_every=10, resume=True
+    )
+    assert resumed._seg_ts["events"] == ranges
