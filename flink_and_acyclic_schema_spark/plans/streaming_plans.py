@@ -713,7 +713,13 @@ def incremental_q10_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming top-k maintenance (SURVEY.md §7 hard part H2): Q10's ORDER BY
     revenue DESC LIMIT 20 re-ranked from the maintained aggregate state after
     every micro-batch (the foreachBatch answer to update-mode sinks not
-    supporting sorts). Returns the final batch's top-20."""
+    supporting sorts). Returns the final batch's top-20.
+
+    This is the exact-but-O(groups log k)-per-batch BASELINE of the pair; the
+    scale path is ``incremental_q10_topk_buffer_stream``
+    (plans/ivm_topk_ext.py): a bounded candidate buffer maintained from the
+    emit_delta changelog, refilled from state only when retraction drains it
+    below k — per-batch cost tracks top-region churn, not groups."""
     from ..sources.changelog_source import generate_changelog_files
     from ..streaming.incremental import IncrementalQ10
 

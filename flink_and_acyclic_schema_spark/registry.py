@@ -84,6 +84,7 @@ def _register_all() -> None:
     from .plans import ivm_tpch_ext  # noqa: F401  (round 5: Q2/Q11/Q16/Q20)
     from .plans import ivm_sink_ext  # noqa: F401  (round 5: emission sink)
     from .plans import ivm_ttl_ext  # noqa: F401  (round 5: watermark TTL)
+    from .plans import ivm_topk_ext  # noqa: F401  (round 6: continuous top-k)
 
 
 _register_all()

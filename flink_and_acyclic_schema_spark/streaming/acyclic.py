@@ -113,27 +113,71 @@ BUCKET = "_bucket"  # reserved: hash-bucket partition column of bucketed state
 
 
 def _wm_dump(v) -> list:
-    """JSON-safe (tag, value) encoding of a watermark — date/datetime keep
-    their exact type across a manifest round-trip (fromisoformat would
-    silently widen a date string to datetime)."""
+    """JSON-safe (tag, value) encoding of a watermark — date/datetime/Decimal
+    keep their exact type across a manifest round-trip (fromisoformat would
+    silently widen a date string to datetime; a Decimal watermark from a
+    DECIMAL event-time column is not JSON-serializable raw)."""
     from datetime import date, datetime
+    from decimal import Decimal
 
     if isinstance(v, datetime):
         return ["dt", v.isoformat(sep=" ")]
     if isinstance(v, date):
         return ["d", v.isoformat()]
+    if isinstance(v, Decimal):
+        return ["dec", str(v)]
     return ["raw", v]
 
 
 def _wm_load(t: list):
     from datetime import date, datetime
+    from decimal import Decimal
 
     tag, v = t
     if tag == "dt":
         return datetime.fromisoformat(v)
     if tag == "d":
         return date.fromisoformat(v)
+    if tag == "dec":
+        return Decimal(v)
     return v
+
+
+def _ttl_parts(r: "RelSpec") -> tuple:
+    """(ts_col, effective horizon) of a ttl spec. The optional third element
+    ``delay`` (allowed lateness for out-of-order sources) composes in front of
+    the horizon: the stored watermark stays the raw running max — monotone —
+    and both late-drop and eviction cut at ``horizon(delay(wm))``, so no row
+    within the allowed lateness of the max is ever dropped."""
+    ts_col, horizon, *rest = r.ttl
+    if rest and rest[0] is not None:
+        delay = rest[0]
+        return ts_col, (lambda wm: horizon(delay(wm)))
+    return ts_col, horizon
+
+
+def _zone_width(spec: str) -> float:
+    """Zone width in the ts column's native unit: a bare number (numeric ts
+    columns), or "N UNIT" with UNIT in seconds/minutes/hours/days/weeks
+    (date/timestamp columns — width in epoch seconds)."""
+    parts = str(spec).split()
+    if len(parts) == 1:
+        w = float(parts[0])
+    else:
+        n, unit = parts
+        mult = {
+            "SECOND": 1,
+            "MINUTE": 60,
+            "HOUR": 3600,
+            "DAY": 86400,
+            "WEEK": 604800,
+        }.get(unit.upper().rstrip("S"))
+        if mult is None:
+            raise ValueError(f"ttl_zone unit {unit!r} not in second/minute/hour/day/week")
+        w = float(n) * mult
+    if w <= 0:
+        raise ValueError(f"ttl_zone width must be positive, got {spec!r}")
+    return w
 
 
 def _range_hits(rng: tuple | None, lo, hi) -> bool:
@@ -228,6 +272,15 @@ class RelSpec:
     docstring, 'bounded state'). Rows with NULL ``ts_col`` are never late
     and never evicted. Advancing the watermark costs one bounded (1-row)
     driver read per batch.
+
+    An optional THIRD element ``delay`` (allowed lateness, for out-of-order
+    sources — the Flink ``BoundedOutOfOrderness`` twin) maps the raw running
+    max to the effective watermark, e.g.
+    ``ttl=(ts, horizon, lambda wm: wm - F.expr("INTERVAL 3 DAYS"))``: both
+    the late-drop cut and the eviction horizon use ``horizon(delay(wm))``,
+    so a disordered source whose rows lag the max by at most the delay never
+    loses a row; the retained window widens by the delay. Default
+    (2-tuple / None) keeps today's behavior: effective wm = raw max.
     """
 
     name: str
@@ -240,9 +293,50 @@ class RelSpec:
     buckets: int = 0
     bucket_key: tuple[str, ...] | None = None
     salt: int = 0
-    ttl: tuple[str, Callable[[Column], Column]] | None = None
+    # (ts_col, horizon) or (ts_col, horizon, delay) — see class docstring
+    ttl: tuple | None = None
+    # ttl_zone (bucketed+ttl relations): a coarse event-time zone width —
+    # "30 DAYS", "6 HOURS", or a plain number for numeric ts columns — that
+    # state writes sort by WITHIN each bucket, ahead of the key sort:
+    # rowgroups then cluster by time zone (narrow ts min/max, so the
+    # eviction band's pushed range predicate prunes by ROWGROUP even in the
+    # single post-compaction segment that spans the whole window) while keys
+    # stay sorted within a zone (a probe-key In filter reads at most one
+    # rowgroup run per zone instead of one per segment). Without it a
+    # bucketed+ttl relation keeps the pure key sort and band reads prune at
+    # segment granularity only.
+    ttl_zone: str | None = None
+    # adaptive re-bucketing: when > 0, compaction re-derives the bucket
+    # count so mean rows/bucket stays ≈ this target (growing only, powers
+    # of two over the spec's floor) and rewrites ``_bucket`` — state growing
+    # 1000× past a frozen bucket count would otherwise degrade probe-pruning
+    # selectivity linearly. The live count is manifest-persisted; ingest,
+    # probe pruning, and writes all use it, and re-bucketing only ever
+    # happens at a full compaction, so every live segment shares one layout.
+    bucket_target_rows: int = 0
 
     def __post_init__(self):
+        if self.ttl is not None and len(self.ttl) not in (2, 3):
+            raise ValueError(
+                f"relation {self.name!r}: ttl must be (ts_col, horizon) or "
+                "(ts_col, horizon, delay)"
+            )
+        if self.ttl_zone is not None:
+            if self.ttl is None:
+                raise ValueError(
+                    f"relation {self.name!r}: ttl_zone needs ttl (it is a "
+                    "sort refinement of event-time state)"
+                )
+            _zone_width(self.ttl_zone)  # validate parseability at spec time
+        if self.bucket_target_rows < 0:
+            raise ValueError(
+                f"relation {self.name!r}: bucket_target_rows must be >= 0"
+            )
+        if self.bucket_target_rows > 0 and self.buckets == 0:
+            raise ValueError(
+                f"relation {self.name!r}: bucket_target_rows needs buckets > 0 "
+                "(it adapts an existing bucketed layout)"
+            )
         if self.ttl is not None and self.project is not None:
             if self.ttl[0] not in self.project:
                 raise ValueError(
@@ -445,6 +539,12 @@ class IncrementalAcyclicQuery:
         # at segment granularity.
         self._seg_ts: dict[str, dict[str, tuple]] = {}
         self._by_name = {r.name: r for r in spec.relations}
+        # live bucket count per bucketed relation — starts at the spec value,
+        # grows at compaction under bucket_target_rows; manifest-persisted so
+        # ingest/probe/write always agree with the on-disk layout
+        self._buckets: dict[str, int] = {
+            r.name: r.buckets for r in spec.relations if r.buckets > 0
+        }
         # last persisted emitted-changelog {"batch": id, "path": dir} — lets a
         # crash-replayed batch hand downstream engines the exact view delta
         self._emitted: dict | None = None
@@ -473,6 +573,7 @@ class IncrementalAcyclicQuery:
             "last_batch": self._last_batch,
             "compact_every": self.compact_every,
             "emitted": self._emitted,
+            "buckets": self._buckets,
             "watermarks": {r: _wm_dump(v) for r, v in self._watermarks.items()},
             "seg_ts": {
                 rel: {p: [_wm_dump(v[0]), _wm_dump(v[1])] for p, v in m.items()}
@@ -494,6 +595,7 @@ class IncrementalAcyclicQuery:
         self._appends = data["appends"]
         self._last_batch = data["last_batch"]
         self._emitted = data.get("emitted")
+        self._buckets.update(data.get("buckets", {}))
         self._watermarks = {
             r: _wm_load(v) for r, v in data.get("watermarks", {}).items()
         }
@@ -572,7 +674,9 @@ class IncrementalAcyclicQuery:
         (hash of ``bucket_key``), so every state write can partition on it."""
         r = self._by_name.get(rel)
         if r is not None and r.buckets > 0 and BUCKET not in df.columns:
-            df = df.withColumn(BUCKET, self._bucket_expr(r.bucket_key, r.buckets))
+            df = df.withColumn(
+                BUCKET, self._bucket_expr(r.bucket_key, self._buckets[rel])
+            )
         if rel not in self._schemas:
             wide = df
             for c in (WEIGHT, "support"):
@@ -601,12 +705,18 @@ class IncrementalAcyclicQuery:
         return cls._net(state.unionByName(delta))
 
     @staticmethod
-    def _bucket_expr(cols: tuple[str, ...], n: int) -> Column:
-        """Bucket id of a key tuple. Cast to string first: Murmur3 hashes
-        differ across numeric widths, and the two sides of an FK edge may pin
-        different integer types — the string form is width-stable, so equal
-        key values always land in equal buckets on both sides."""
-        return F.pmod(F.hash(*[F.col(c).cast("string") for c in cols]), F.lit(n))
+    def _bucket_expr(cols, n: int) -> Column:
+        """Bucket id of a key tuple (column names or Columns). Cast to string
+        first: Murmur3 hashes differ across numeric widths, and the two sides
+        of an FK edge may pin different integer types — the string form is
+        width-stable within a numeric family, so equal key values land in
+        equal buckets on both sides (_probe_pruning additionally casts the
+        probe side to the state side's declared types, covering cross-family
+        edges like int vs DECIMAL whose string forms differ)."""
+        return F.pmod(
+            F.hash(*[(c if isinstance(c, Column) else F.col(c)).cast("string") for c in cols]),
+            F.lit(n),
+        )
 
     @staticmethod
     def _presence(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -749,9 +859,21 @@ class IncrementalAcyclicQuery:
         is TRANSITIVE down the tree)."""
         if memo is not None and memo_key in memo:
             return memo[memo_key]
-        sel = [F.col(c) for c in probe_cols] + [
-            self._bucket_expr(probe_cols, r.buckets).alias("_b")
+        # canonicalize probe keys to the STATE side's declared types before
+        # hashing/collecting: the string form the bucket hash stabilizes on is
+        # only width-stable within a numeric family (int 5 -> "5" but
+        # DECIMAL(12,4) 5 -> "5.0000"), so an edge whose two sides pin
+        # different families would otherwise bucket equal values apart and
+        # silently drop matching state rows. The cast also lands the pushed
+        # In-filter values in the state column's exact type.
+        schema = self._schemas.get(r.name)
+        types = {f.name: f.dataType for f in schema.fields} if schema else {}
+        canon = [
+            (F.col(c).cast(types[k]) if k in types else F.col(c)).alias(f"_k{i}")
+            for i, (c, k) in enumerate(zip(probe_cols, r.bucket_key))
         ]
+        n_buckets = self._buckets[r.name]
+        sel = canon + [self._bucket_expr(canon, n_buckets).alias("_b")]
         rows = (
             probe_df.select(*sel)
             .distinct()
@@ -769,11 +891,12 @@ class IncrementalAcyclicQuery:
             out = (ids, vals)
         else:
             # wide probe set: still bucket-prune (distinct ids are bounded by
-            # r.buckets however large the probe side is), skip key pushdown
+            # the bucket count however large the probe side is), skip key
+            # pushdown
             ids = [
                 row[0]
                 for row in probe_df.select(
-                    self._bucket_expr(probe_cols, r.buckets).alias("b")
+                    self._bucket_expr(canon, n_buckets).alias("b")
                 )
                 .distinct()
                 .collect()
@@ -841,12 +964,22 @@ class IncrementalAcyclicQuery:
                 owns = tuple(o for o, _ in pairs)
                 probe = tuple(e for _, e in pairs) if add_cols == owns else owns
                 if via == delta_name:
+                    # memo key includes the probing (delta) relation: two
+                    # delta relations probing the same bucketed state with
+                    # identically-named probe columns must not reuse each
+                    # other's pruning sets
                     pruning = self._probe_pruning(
-                        versions[via], r, probe, bucket_memo, (r.name, probe)
+                        versions[via], r, probe, bucket_memo, (via, r.name, probe)
                     )
                 else:
                     # transitive: the accumulated join is delta-bounded, so
-                    # its probe-key set prunes deeper state scans too
+                    # its probe-key set prunes deeper state scans too. The
+                    # probe collect is an eager action over acc's lineage, and
+                    # the same lineage re-executes inside the final term plan —
+                    # localCheckpoint materializes the partial join ONCE so
+                    # both the probe and the term reuse it instead of
+                    # computing the delta-bounded join twice per term
+                    acc = acc.localCheckpoint()
                     pruning = self._probe_pruning(acc, r, probe)
             side = prep(r, pruning)
             if r.broadcast_state:
@@ -875,6 +1008,30 @@ class IncrementalAcyclicQuery:
         w = reduce(Column.__mul__, [F.col(f"_w_{r.name}") for r in rels])
         return acc.withColumn("_w", w)
 
+    def _snapshot(self) -> dict:
+        """Deep copy of every in-memory field the manifest persists — taken at
+        batch start, when memory and the committed manifest agree."""
+        return {
+            "version": dict(self._version),
+            "segments": {k: list(v) for k, v in self._segments.items()},
+            "appends": dict(self._appends),
+            "seg_ts": {k: dict(v) for k, v in self._seg_ts.items()},
+            "watermarks": dict(self._watermarks),
+            "emitted": self._emitted,
+            "last_batch": self._last_batch,
+            "buckets": dict(self._buckets),
+        }
+
+    def _restore(self, snap: dict) -> None:
+        self._version = snap["version"]
+        self._segments = snap["segments"]
+        self._appends = snap["appends"]
+        self._seg_ts = snap["seg_ts"]
+        self._watermarks = snap["watermarks"]
+        self._emitted = snap["emitted"]
+        self._last_batch = snap["last_batch"]
+        self._buckets = snap["buckets"]
+
     def process_batch(
         self,
         deltas: Mapping[str, DataFrame],
@@ -893,6 +1050,16 @@ class IncrementalAcyclicQuery:
         downstream continuous query, e.g. Q17's correlated per-part average).
         Cost: the delta-join output is localCheckpoint'ed once and the view
         is evaluated restricted to touched groups — O(touched), not O(view).
+
+        The manifest is the single atomicity point for IN-PROCESS retry as
+        well as crash-restart: every manifest-persisted field (watermarks,
+        segment maps, versions, last_batch, emitted pointer) is rolled back
+        to its batch-start snapshot if the batch fails at ANY point, so a
+        retry on the same engine instance re-runs against exactly the
+        committed state — a failed attempt's watermark advance cannot skip
+        the retry's eviction band, and its appended-but-uncommitted segments
+        cannot double-count (versioned paths make the retry's writes plain
+        overwrites of the orphans).
         """
         # idempotent replay skip: after checkpoint recovery, foreachBatch
         # redelivers the last uncommitted batch — if our manifest already
@@ -912,6 +1079,19 @@ class IncrementalAcyclicQuery:
             ):
                 return self.spark.read.parquet(self._emitted["path"])
             return None
+        snap = self._snapshot()
+        try:
+            return self._process_batch_inner(deltas, batch_id, emit_delta)
+        except BaseException:
+            self._restore(snap)
+            raise
+
+    def _process_batch_inner(
+        self,
+        deltas: Mapping[str, DataFrame],
+        batch_id: int | None,
+        emit_delta: bool,
+    ) -> DataFrame | None:
         rels = self.spec.relations
         known = {r.name for r in rels}
         unknown = set(deltas) - known
@@ -939,7 +1119,7 @@ class IncrementalAcyclicQuery:
         for r in rels:
             if r.ttl is None or r.name not in filt:
                 continue
-            ts_col, horizon = r.ttl
+            ts_col, horizon = _ttl_parts(r)
             if ts_col not in filt[r.name].columns:
                 raise ValueError(
                     f"relation {r.name!r}: ttl column {ts_col!r} missing from "
@@ -978,7 +1158,7 @@ class IncrementalAcyclicQuery:
         for r in rels:
             if r.ttl is None or r.name not in advanced:
                 continue
-            ts_col, horizon = r.ttl
+            ts_col, horizon = _ttl_parts(r)
             old_wm, new_wm = advanced[r.name]
             if old_wm == new_wm and old_wm is not None:
                 continue  # horizon unchanged: nothing can have crossed it
@@ -1207,7 +1387,7 @@ class IncrementalAcyclicQuery:
         if self.compact_every == 1:
             nxt = self._version[rel] + 1
             p = self._path(rel, nxt)
-            self._write_state(rel, self._conform(rel, merged), p)
+            self._write_state(rel, self._maybe_rebucket(rel, self._conform(rel, merged)), p)
             self._version[rel] = nxt
             cleanup.extend(self._segments.get(rel, []))
             self._segments[rel] = [p]
@@ -1227,7 +1407,11 @@ class IncrementalAcyclicQuery:
             cp = self._path(rel, nxt)
             net = net_fn or self._net
             self._write_state(
-                rel, self._conform(rel, net(self._read_paths(rel, self._segments[rel]))), cp
+                rel,
+                self._maybe_rebucket(
+                    rel, self._conform(rel, net(self._read_paths(rel, self._segments[rel])))
+                ),
+                cp,
             )
             self._version[rel] = nxt
             cleanup.extend(self._segments[rel])
@@ -1236,6 +1420,39 @@ class IncrementalAcyclicQuery:
                 self._seg_ts[rel] = {
                     cp: _range_union(self._seg_ts.get(rel, {}).values())
                 }
+
+    def _zone_col(self, r: RelSpec) -> Column:
+        """Coarse event-time zone of a row — floor(ts / ttl_zone width), with
+        date/timestamp columns taken through epoch seconds."""
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        w = _zone_width(r.ttl_zone)
+        ts = F.col(r.ttl[0])
+        dt = self._schemas[r.name][r.ttl[0]].dataType
+        if isinstance(dt, (DateType, TimestampType, TimestampNTZType)):
+            ts = ts.cast("timestamp").cast("long")
+        return F.floor(ts / F.lit(w))
+
+    def _maybe_rebucket(self, rel: str, df: DataFrame) -> DataFrame:
+        """Adaptive bucket-count growth, applied ONLY where state is already
+        being fully rewritten (merge-mode write / log-structured compaction),
+        so every live segment always shares one layout. Grows in powers of
+        two over the spec floor until mean rows/bucket is at most
+        ``bucket_target_rows``; never shrinks (shrinking buys nothing —
+        pruning selectivity only degrades when buckets are too COARSE). The
+        count job is the (bounded, per-compaction) price of adaptivity."""
+        r = self._by_name.get(rel)
+        if r is None or r.bucket_target_rows <= 0 or r.buckets == 0:
+            return df
+        n = df.count()
+        want = r.buckets
+        while n / want > r.bucket_target_rows:
+            want *= 2
+        want = max(want, self._buckets[rel])  # monotone under compaction churn
+        if want != self._buckets[rel]:
+            self._buckets[rel] = want
+            df = df.withColumn(BUCKET, self._bucket_expr(r.bucket_key, want))
+        return df
 
     def _write_state(self, rel: str, df: DataFrame, path: str) -> None:
         """Write one state file set. A bucketed relation is hash-partitioned
@@ -1253,14 +1470,23 @@ class IncrementalAcyclicQuery:
         eviction negations of a log-structured segment land in separate
         rowgroups instead of widening every rowgroup's min-max. A relation
         that is BOTH bucketed and ttl keeps the key sort (the probe-key In
-        pushdown runs on every delta-join term, eviction once per batch;
-        band reads there prune at segment granularity only — documented
-        trade-off)."""
+        pushdown runs on every delta-join term, eviction once per batch) —
+        declaring ``ttl_zone`` inserts a coarse event-time zone AHEAD of the
+        key sort, so rowgroups cluster by zone (narrow ts min/max: the band
+        read prunes by rowgroup even in a post-compaction segment spanning
+        the whole window) while keys stay sorted within each zone (the In
+        filter reads at most one rowgroup run per zone). Without ttl_zone,
+        band reads on bucketed state prune at segment granularity only —
+        documented trade-off."""
         r = self._by_name.get(rel)
         if r is not None and r.buckets > 0:
+            sort_cols: list = [F.col(BUCKET)]
+            if r.ttl is not None and r.ttl_zone is not None:
+                sort_cols.append(self._zone_col(r))
+            sort_cols += [F.col(c) for c in r.bucket_key]
             (
-                df.repartition(r.buckets, F.col(BUCKET))
-                .sortWithinPartitions(BUCKET, *r.bucket_key)
+                df.repartition(self._buckets[rel], F.col(BUCKET))
+                .sortWithinPartitions(*sort_cols)
                 .write.mode("overwrite")
                 .partitionBy(BUCKET)
                 .parquet(path)

@@ -1029,3 +1029,97 @@ def test_spec_validation():
             measures={"m": lambda: F.col("v")},
             hist_measures={"m": ("min", lambda: F.col("v"))},
         )
+
+
+# --- round 6: manifest-field rollback on failure (in-process retry) ----------
+def _fail_nth(obj, attr, n):
+    """Monkeypatch obj.attr to raise on its n-th call (0-based), then behave
+    normally — injects a failure at a chosen point inside process_batch."""
+    real = getattr(obj, attr)
+    calls = {"i": 0}
+
+    def wrapper(*a, **k):
+        i = calls["i"]
+        calls["i"] += 1
+        if i == n:
+            raise RuntimeError("injected failure")
+        return real(*a, **k)
+
+    setattr(obj, attr, wrapper)
+    return calls
+
+
+def test_failed_batch_restores_manifest_fields_and_retry_is_exact(spark, tmp_path):
+    """A batch that fails mid-flight (here: during a state write, after some
+    segment maps were already mutated) must roll every manifest-persisted
+    field back to its committed value, so a retry on the SAME engine instance
+    re-runs against exactly the committed state — no double-counted segments,
+    no skipped work. The manifest stays the single atomicity point for
+    in-process retry, not just crash-restart."""
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame([(0, 0, 10, 1)], FACT_SCHEMA),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+        },
+        batch_id=0,
+    )
+    committed = eng._snapshot()
+    delta = [(1, 1, 7, 1), (0, 0, 10, 1)]
+    # second _write_state call of the batch = the agg write — the fact
+    # relation's segment map has already been mutated by then
+    _fail_nth(eng, "_write_state", 1)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.process_batch(
+            {"fact": spark.createDataFrame(delta, FACT_SCHEMA)}, batch_id=1
+        )
+    assert eng._snapshot() == committed  # full rollback, field for field
+    # retry of the same batch on the same instance: exact result
+    eng.process_batch(
+        {"fact": spark.createDataFrame(delta, FACT_SCHEMA)}, batch_id=1
+    )
+    assert _result_map(eng.result()) == {("a0", "b0"): 20, ("a1", "b1"): 7}
+
+
+def test_bucket_pruning_exact_across_numeric_type_families(spark, tmp_path):
+    """An FK edge whose two sides pin DIFFERENT numeric families (int delta
+    key probing a DECIMAL-keyed bucketed state) joins equal under Spark's
+    coercion, but the width-stabilizing string cast of the bucket hash is
+    only stable within a family (int 5 -> "5", DECIMAL(12,2) 5 -> "5.00") —
+    the probe side must canonicalize to the state side's declared type or
+    bucket pruning silently drops matching state rows."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("fact"),
+            RelSpec("dim", join_on=("sk", "fk"), buckets=4, bucket_key=("sk",)),
+        ),
+        group_by=("dname",),
+        measures={"total": lambda: F.col("fv")},
+    )
+    eng = _engine(spark, tmp_path, spec)
+    dim_rows = spark.sql(
+        "SELECT CAST(id AS DECIMAL(12,2)) AS sk, concat('d', id) AS dname, "
+        "1 AS weight FROM range(4)"
+    )
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame([], "fk int, fv int, weight int"),
+            "dim": dim_rows,
+        },
+        batch_id=0,
+    )
+    # fact delta probes the bucketed dim STATE: int fk 2 must reach the
+    # DECIMAL(12,2) sk 2.00 bucket
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(
+                [(2, 100, 1), (3, 7, 1)], "fk int, fv int, weight int"
+            )
+        },
+        batch_id=1,
+    )
+    got = {r["dname"]: r["total"] for r in eng.result().collect()}
+    assert got == {"d2": 100, "d3": 7}

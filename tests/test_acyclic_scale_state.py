@@ -538,3 +538,100 @@ def test_multicolumn_probe_key_pushdown(spark, tmp_path):
     assert feed(_engine(spark, tmp_path, spec(bucketed))) == feed(
         _engine(spark, tmp_path, spec())
     )
+
+
+# --- round 6: adaptive bucket count ------------------------------------------
+def test_adaptive_rebucket_grows_on_compaction(spark, tmp_path):
+    """bucket_target_rows re-derives the bucket count where state is being
+    fully rewritten anyway: 40 lineitem state rows over a spec floor of 2
+    buckets with target 10 rows/bucket must grow to 4, the _bucket column is
+    recomputed so probe pruning still reaches the scan, the count survives
+    resume, and results stay oracle-equal with the static twin."""
+    spec = _spec(
+        li_extra={"buckets": 2, "bucket_key": ("l_key",), "bucket_target_rows": 12}
+    )
+    state_dir = str(tmp_path / "rebucket")
+    eng = IncrementalAcyclicQuery(spark, state_dir, spec)
+    got = _feed(spark, eng, BATCHES)
+    want = _feed(spark, _engine(spark, tmp_path, _spec()), BATCHES)
+    assert got == want and got
+    assert eng._buckets["lineitem"] == 4  # 40 rows / target 12 -> doubled once
+    # on-disk layout matches the grown count: ids dense in [0, 4)
+    state = eng._read_state("lineitem")
+    ids = {r[0] for r in state.select("_bucket").distinct().collect()}
+    assert ids <= set(range(4)) and len(ids) > 2  # actually spread past floor
+    # probe pruning agrees with the new layout: a 1-order delta still prunes
+    delta = eng._conform(
+        "orders", spark.createDataFrame([(7, 3, 1)], ORD_SCHEMA)
+    ).localCheckpoint()
+    bids, key_vals = eng._probe_pruning(delta, spec.relations[2], ("o_key",))
+    assert len(bids) == 1 and key_vals == ([7],)
+    full = _files_read(state)
+    pruned = _files_read(state.filter(F.col("_bucket").isin(bids)))
+    assert 0 < pruned < full
+    # the grown count is part of the atomic manifest: resume keeps it and
+    # keeps answering correctly
+    resumed = IncrementalAcyclicQuery(spark, state_dir, spec, resume=True)
+    assert resumed._buckets["lineitem"] == 4
+    resumed.process_batch(
+        {
+            "orders": spark.createDataFrame([(41, 0, 1)], ORD_SCHEMA),
+            "lineitem": spark.createDataFrame([(41, 5, 1)], LI_SCHEMA),
+        },
+        batch_id=2,
+    )
+    after = sorted(tuple(r) for r in resumed.result().collect())
+    twin = _engine(spark, tmp_path, _spec())
+    _feed(spark, twin, BATCHES)
+    twin.process_batch(
+        {
+            "orders": spark.createDataFrame([(41, 0, 1)], ORD_SCHEMA),
+            "lineitem": spark.createDataFrame([(41, 5, 1)], LI_SCHEMA),
+        },
+        batch_id=2,
+    )
+    assert after == sorted(tuple(r) for r in twin.result().collect())
+
+
+def test_adaptive_rebucket_log_structured_only_at_compaction(spark, tmp_path):
+    """In the log-structured regime the count may only change at a FULL
+    compaction (all live segments collapse to one), so every live segment
+    always shares a single layout — between compactions appended segments
+    keep the committed count."""
+    spec = _spec(
+        li_extra={"buckets": 2, "bucket_key": ("l_key",), "bucket_target_rows": 12}
+    )
+    eng = _engine(spark, tmp_path, spec, compact_every=3)
+    b0 = BATCHES[0]
+    eng.process_batch(
+        {
+            "orders": spark.createDataFrame(b0[0], ORD_SCHEMA),
+            "lineitem": spark.createDataFrame(b0[1], LI_SCHEMA),
+            "customer": spark.createDataFrame(CUST, CUST_SCHEMA),
+        },
+        batch_id=0,
+    )
+    assert eng._buckets["lineitem"] == 2  # appended segment, no compaction yet
+    for i in range(1, 4):  # drive past compact_every to trigger compaction
+        eng.process_batch(
+            {"lineitem": spark.createDataFrame([(i, 1, 1)], LI_SCHEMA)},
+            batch_id=i,
+        )
+    assert eng._buckets["lineitem"] == 4  # compaction rebucketed 43 rows (43/4 <= 12)
+    assert len(eng._segments["lineitem"]) == 1  # single post-compaction layout
+    got = sorted(tuple(r) for r in eng.result().collect())
+    twin = _engine(spark, tmp_path, _spec())
+    twin.process_batch(
+        {
+            "orders": spark.createDataFrame(b0[0], ORD_SCHEMA),
+            "lineitem": spark.createDataFrame(b0[1], LI_SCHEMA),
+            "customer": spark.createDataFrame(CUST, CUST_SCHEMA),
+        },
+        batch_id=0,
+    )
+    for i in range(1, 4):
+        twin.process_batch(
+            {"lineitem": spark.createDataFrame([(i, 1, 1)], LI_SCHEMA)},
+            batch_id=i,
+        )
+    assert got == sorted(tuple(r) for r in twin.result().collect())

@@ -382,3 +382,172 @@ def test_ttl_segment_ranges_prune_eviction_reads(spark, tmp_path):
         spark, state_dir, spec, compact_every=10, resume=True
     )
     assert resumed._seg_ts["events"] == ranges
+
+
+# --- round 6: retry, Decimal event time, allowed-lateness delay --------------
+def test_ttl_retry_after_midbatch_failure_still_evicts(spark, tmp_path):
+    """The advisor's scenario: the watermark used to be advanced in-memory at
+    the start of process_batch, so a batch failing AFTER that point and
+    retried on the same instance saw old_wm == new_wm and skipped the
+    eviction band — expired rows stayed in the result forever. With the
+    snapshot/rollback wrapper, the retry re-advances the watermark from the
+    committed value and the band is evicted exactly once."""
+    eng = _engine(spark, tmp_path, _events_spec())
+    b0 = [(i, i, f"c{i % 3}", i + 1, 1) for i in range(11)]  # days 0..10
+    eng.process_batch(
+        {"events": spark.createDataFrame(b0, EV_SCHEMA)}, batch_id=0
+    )
+    assert eng._watermarks["events"] == 10
+    b1 = [(100, 30, "c0", 1000, 1)]  # day 30: horizon jumps to 20
+    calls = {"i": 0}
+    real = eng._commit_manifest
+
+    def failing():
+        if calls["i"] == 0:
+            calls["i"] += 1
+            raise RuntimeError("injected failure")
+        return real()
+
+    eng._commit_manifest = failing
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.process_batch(
+            {"events": spark.createDataFrame(b1, EV_SCHEMA)}, batch_id=1
+        )
+    # rollback: the failed attempt's watermark advance must not stick
+    assert eng._watermarks["events"] == 10
+    eng.process_batch(
+        {"events": spark.createDataFrame(b1, EV_SCHEMA)}, batch_id=1
+    )
+    got = sorted(tuple(r) for r in eng.result().collect())
+    assert got == _recompute(b0 + b1)  # only day-30 row survives horizon 20
+
+
+def test_ttl_decimal_event_time_round_trips_manifest(spark, tmp_path):
+    """A DECIMAL event-time column yields a Decimal watermark; the manifest
+    must serialize it (tagged str round-trip) instead of failing every batch,
+    and a resumed engine must see the exact Decimal back."""
+    from decimal import Decimal
+
+    schema = "e_key int, e_day decimal(10,2), e_cat string, e_val int, weight int"
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("events", ttl=("e_day", lambda wm: wm - F.lit(WINDOW))),
+        ),
+        group_by=("e_cat",),
+        measures={"val": lambda: F.col("e_val")},
+    )
+    state_dir = str(tmp_path / "decwm")
+    eng = IncrementalAcyclicQuery(spark, state_dir, spec)
+    d = Decimal
+    b0 = [(1, d("1.50"), "c0", 5, 1), (2, d("9.25"), "c1", 3, 1)]
+    b1 = [(3, d("20.75"), "c0", 7, 1)]  # horizon 10.75: evicts day 1.50, 9.25
+    eng.process_batch({"events": spark.createDataFrame(b0, schema)}, batch_id=0)
+    eng.process_batch({"events": spark.createDataFrame(b1, schema)}, batch_id=1)
+    assert eng._watermarks["events"] == d("20.75")
+    got = {r["e_cat"]: r["val"] for r in eng.result().collect()}
+    assert got == {"c0": 7}
+    resumed = IncrementalAcyclicQuery(spark, state_dir, spec, resume=True)
+    assert resumed._watermarks["events"] == d("20.75")
+    assert isinstance(resumed._watermarks["events"], d)
+
+
+def test_ttl_delay_keeps_rows_within_allowed_lateness(spark, tmp_path):
+    """ttl=(ts, horizon, delay): a bounded-out-of-order source wants the
+    effective watermark max_ts - allowed_lateness, so a row lagging the max
+    by at most the delay is admitted where the raw watermark would have
+    dropped it; the retained window widens by the delay."""
+    delay = lambda wm: wm - F.lit(5)  # noqa: E731
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("events", ttl=("e_day", lambda wm: wm - F.lit(WINDOW), delay)),
+        ),
+        group_by=("e_cat",),
+        measures={"val": lambda: F.col("e_val")},
+    )
+    eng = _engine(spark, tmp_path, spec)
+    b0 = [(1, 100, "c0", 10, 1)]  # raw wm 100 -> eff wm 95 -> horizon 85
+    # day 89 lags the max by 11 but sits above horizon 85: admitted (the raw
+    # watermark's horizon 90 would have dropped it); day 80 is below: dropped
+    b1 = [(2, 89, "c1", 7, 1), (3, 80, "c2", 3, 1)]
+    eng.process_batch({"events": spark.createDataFrame(b0, EV_SCHEMA)}, batch_id=0)
+    eng.process_batch({"events": spark.createDataFrame(b1, EV_SCHEMA)}, batch_id=1)
+    got = {r["e_cat"]: r["val"] for r in eng.result().collect()}
+    assert got == {"c0": 10, "c1": 7}
+
+
+_DELAY = 4
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=_BATCHES)
+def test_ttl_delay_property_bounded_disorder_matches_widened_recompute(
+    spark, tmp_path, batches
+):
+    """With allowed lateness D, the effective horizon is max - D - W, so the
+    drained engine must equal the recompute over day >= max - (W + D) for ANY
+    interleaving — in particular no row within D of the running max is ever
+    dropped (it sits above every effective horizon by monotonicity)."""
+    rows = [
+        [(k, d, f"c{c}", v, w) for (k, d, c, v, w) in b] for b in batches
+    ]
+    flat = [r for b in rows for r in b]
+    if not flat:
+        return
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec(
+                "events",
+                ttl=("e_day", lambda wm: wm - F.lit(WINDOW), lambda wm: wm - F.lit(_DELAY)),
+            ),
+        ),
+        group_by=("e_cat",),
+        measures={"val": lambda: F.col("e_val")},
+    )
+    got = _feed(spark, _engine(spark, tmp_path, spec), rows)
+    assert got == _recompute(flat, window=WINDOW + _DELAY)
+
+
+def test_ttl_zone_bucketed_state_stays_exact_across_compactions(spark, tmp_path):
+    """ttl_zone inserts a coarse event-time zone ahead of the key sort in
+    bucketed+ttl state writes — a pure LAYOUT refinement (rowgroup-level band
+    pruning post-compaction, measured at sf1 by tools/ivm_ttl_scaling.py).
+    Semantics must be untouched: the zoned engine tracks the plain ttl twin
+    and the windowed recompute through appends, compactions, and eviction."""
+    def spec(zone):
+        return AcyclicQuerySpec(
+            relations=(
+                RelSpec(
+                    "events",
+                    ttl=("e_day", lambda wm: wm - F.lit(WINDOW)),
+                    buckets=4,
+                    bucket_key=("e_key",),
+                    ttl_zone=zone,
+                ),
+            ),
+            group_by=("e_cat",),
+            measures={"val": lambda: F.col("e_val")},
+        )
+
+    got_zoned = _feed(
+        spark, _engine(spark, tmp_path, spec("4"), compact_every=2), BATCHES
+    )
+    got_plain = _feed(
+        spark, _engine(spark, tmp_path, spec(None), compact_every=2), BATCHES
+    )
+    want = _recompute([r for b in BATCHES for r in b])
+    assert got_zoned == got_plain == want
+
+
+def test_ttl_zone_spec_validation():
+    with pytest.raises(ValueError, match="ttl_zone needs ttl"):
+        RelSpec("events", ttl_zone="4")
+    with pytest.raises(ValueError, match="not in second"):
+        RelSpec(
+            "events",
+            ttl=("e_day", lambda wm: wm - F.lit(4)),
+            ttl_zone="3 FORTNIGHTS",
+        )
+    with pytest.raises(ValueError, match="positive"):
+        RelSpec(
+            "events", ttl=("e_day", lambda wm: wm - F.lit(4)), ttl_zone="0"
+        )

@@ -59,10 +59,14 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def _spec(ttl: bool) -> AcyclicQuerySpec:
-    extra = (
+def _spec(ttl: bool, buckets: int = 0, zone: str | None = None) -> AcyclicQuerySpec:
+    extra: dict = (
         {"ttl": ("e_day", lambda wm: wm - F.lit(WINDOW))} if ttl else {}
     )
+    if buckets:
+        extra.update(buckets=buckets, bucket_key=("e_key",))
+    if zone is not None:
+        extra.update(ttl_zone=zone)
     return AcyclicQuerySpec(
         relations=(RelSpec("events", **extra),),
         group_by=("e_cat",),
@@ -74,10 +78,28 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     spark = get_spark(app_name="ivm_ttl_scaling", shuffle_partitions=16)
+    # make parquet pages fine-grained so page-level (column-index) pruning is
+    # measurable at tool scale — at production state sizes pages are
+    # naturally numerous and the default 20k-row page limit gives the same
+    # granularity relative to file size
+    spark.sparkContext._jsc.hadoopConfiguration().setInt(
+        "parquet.page.row.count.limit", 2000
+    )
     work = tempfile.mkdtemp(prefix="ivm_ttl_")
     engines = {
         "ttl": IncrementalAcyclicQuery(spark, f"{work}/ttl", _spec(True)),
         "no_ttl": IncrementalAcyclicQuery(spark, f"{work}/no_ttl", _spec(False)),
+        # the bucketed+ttl pair: key-sorted bucket files have full ts spread
+        # per rowgroup/page (band reads degrade to the retained state), and
+        # ttl_zone restores band pruning by zone-clustering within buckets —
+        # measured on the POST-COMPACTION (merged, window-spanning) layout,
+        # the exact case the round-5 verdict called out
+        "bttl_plain": IncrementalAcyclicQuery(
+            spark, f"{work}/bttl_plain", _spec(True, buckets=4)
+        ),
+        "bttl_zoned": IncrementalAcyclicQuery(
+            spark, f"{work}/bttl_zoned", _spec(True, buckets=4, zone=str(DAYS_PER_BATCH))
+        ),
     }
     series: dict[str, list[dict]] = {k: [] for k in engines}
     for b in range(n_batches):
@@ -85,7 +107,14 @@ def main() -> None:
         delta = (
             spark.range(rows)
             .select(
-                (F.col("id") + b * rows).alias("e_key"),
+                # scramble the key so it does NOT correlate with event time —
+                # a monotone surrogate key would make the plain key sort an
+                # accidental time sort and fake band pruning for the
+                # unzoned bucketed variant
+                F.pmod(
+                    (F.col("id") + b * rows) * F.lit(2654435761),
+                    F.lit(2**31),
+                ).alias("e_key"),
                 (F.lit(base_day) + F.col("id") % DAYS_PER_BATCH)
                 .cast("int")
                 .alias("e_day"),
@@ -155,6 +184,12 @@ def main() -> None:
     state = engines["ttl"]._read_state("events")
     band_scan = _scan_metrics(state.filter(band))
     window_rows = int(state.count())
+    # bucketed band reads on the merged (post-compaction) window-spanning
+    # layout: plain key-sorted buckets vs zone-clustered buckets
+    bucketed_band = {}
+    for name in ("bttl_plain", "bttl_zoned"):
+        bstate = engines[name]._read_state("events").drop("_bucket")
+        bucketed_band[name] = _scan_metrics(bstate.filter(band))
 
     # equality: ttl result == no-ttl state restricted to the final window
     final_wm = (n_batches - 1) * DAYS_PER_BATCH + DAYS_PER_BATCH - 1
@@ -167,6 +202,10 @@ def main() -> None:
     )
     got = sorted(tuple(r) for r in engines["ttl"].result().collect())
     want = sorted(tuple(r) for r in windowed.collect())
+    bucketed_equal = all(
+        sorted(tuple(r) for r in engines[n].result().collect()) == want
+        for n in ("bttl_plain", "bttl_zoned")
+    )
 
     # plateau: once the window is full (after WINDOW/DAYS_PER_BATCH batches),
     # ttl state rows should be flat; no-ttl grows linearly
@@ -185,6 +224,15 @@ def main() -> None:
         "state_window_rows": window_rows,
         "band_read_fraction": round(band_scan["rows"] / max(window_rows, 1), 3),
         "results_equal": got == want,
+        # post-compaction bucketed band reads (rows surviving page/rowgroup
+        # pruning): zone-clustered buckets must read a small fraction of the
+        # window where plain key-sorted buckets read ~all of it
+        "bucketed_band": bucketed_band,
+        "bucketed_band_fraction": {
+            n: round(bucketed_band[n]["rows"] / max(window_rows, 1), 3)
+            for n in bucketed_band
+        },
+        "bucketed_results_equal": bucketed_equal,
     }
     print(json.dumps(out))
     spark.stop()
