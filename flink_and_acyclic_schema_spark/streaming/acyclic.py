@@ -1112,10 +1112,14 @@ class IncrementalAcyclicQuery:
 
         # watermark advance + late-data drop (RelSpec.ttl): the watermark is
         # the running max event time over ingested deltas — ONE bounded 1-row
-        # driver read per ttl relation per batch. Rows below the new horizon
-        # are dropped NOW: the eviction band below only ever sweeps forward,
-        # so a late row that slipped into state would never be revisited.
-        advanced: dict[str, tuple[object, object]] = {}  # rel -> (old_wm, new_wm)
+        # driver read per ttl relation per batch, which also constant-folds
+        # BOTH horizon values (old and new) in the same job so the eviction
+        # step below needs no extra driver round-trip. Rows below the new
+        # horizon are dropped NOW: the eviction band below only ever sweeps
+        # forward, so a late row that slipped into state would never be
+        # revisited.
+        # rel -> (old_wm, new_wm, old horizon value | None, new horizon value)
+        advanced: dict[str, tuple] = {}
         for r in rels:
             if r.ttl is None or r.name not in filt:
                 continue
@@ -1125,8 +1129,25 @@ class IncrementalAcyclicQuery:
                     f"relation {r.name!r}: ttl column {ts_col!r} missing from "
                     f"its delta columns {filt[r.name].columns}"
                 )
-            batch_max = filt[r.name].agg(F.max(ts_col)).first()[0]
             old_wm = self._watermarks.get(r.name)
+            dtype = self._schemas[r.name][ts_col].dataType
+            old_lit = F.lit(str(old_wm) if old_wm is not None else None).cast(dtype)
+            # greatest(NULL, old) = old, so an empty/regressing batch folds
+            # the horizon of the UNCHANGED watermark; F.max over a constant
+            # keeps the non-delta expressions legal inside the global agg
+            eff = (
+                F.greatest(F.max(ts_col), old_lit)
+                if old_wm is not None
+                else F.max(ts_col)
+            )
+            row = filt[r.name].agg(
+                F.max(ts_col).alias("_bm"),
+                horizon(eff).alias("_hi"),  # expression OVER the aggregate
+                F.max(
+                    horizon(old_lit) if old_wm is not None else F.lit(None).cast(dtype)
+                ).alias("_lo"),
+            ).first()
+            batch_max, h_new_v, h_old_v = row["_bm"], row["_hi"], row["_lo"]
             new_wm = (
                 old_wm
                 if batch_max is None or (old_wm is not None and batch_max <= old_wm)
@@ -1135,8 +1156,7 @@ class IncrementalAcyclicQuery:
             if new_wm is None:
                 continue
             self._watermarks[r.name] = new_wm
-            advanced[r.name] = (old_wm, new_wm)
-            dtype = self._schemas[r.name][ts_col].dataType
+            advanced[r.name] = (old_wm, new_wm, h_old_v, h_new_v)
             cutoff = horizon(F.lit(str(new_wm)).cast(dtype))
             filt[r.name] = filt[r.name].filter(
                 F.col(ts_col).isNull() | (F.col(ts_col) >= cutoff)
@@ -1159,16 +1179,13 @@ class IncrementalAcyclicQuery:
             if r.ttl is None or r.name not in advanced:
                 continue
             ts_col, horizon = _ttl_parts(r)
-            old_wm, new_wm = advanced[r.name]
+            old_wm, new_wm, h_old_v, h_new_v = advanced[r.name]
             if old_wm == new_wm and old_wm is not None:
                 continue  # horizon unchanged: nothing can have crossed it
             dtype = self._schemas[r.name][ts_col].dataType
             lit = lambda v: F.lit(str(v)).cast(dtype)  # noqa: E731
-            hrow = self.spark.range(1).select(
-                (horizon(lit(old_wm)) if old_wm is not None else F.lit(None)).alias("lo"),
-                horizon(lit(new_wm)).alias("hi"),
-            ).first()
-            h_old_v, h_new_v = hrow["lo"], hrow["hi"]
+            # horizon VALUES were constant-folded inside the watermark
+            # advance's single agg job — no extra driver round-trip here
             band = F.col(ts_col) < horizon(lit(new_wm))
             if old_wm is not None:
                 band = band & (F.col(ts_col) >= horizon(lit(old_wm)))

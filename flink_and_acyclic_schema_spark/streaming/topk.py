@@ -101,6 +101,11 @@ class TopKView:
         # None = the buffer holds EVERY live row (complete)
         self._boundary: tuple | None = None
         self.refills = 0  # observability: tests/tools assert amortization
+        # rows the last/all apply() collected AFTER the boundary restriction —
+        # the actual per-batch driver transfer (tools/topk_churn_scaling.py
+        # measures this ≪ touched groups)
+        self.applied_rows = 0
+        self.applied_rows_total = 0
         if prime:
             self.refill()
 
@@ -175,6 +180,8 @@ class TopKView:
         if changelog is None:
             return
         rows = [r.asDict() for r in self._touching(changelog).collect()]
+        self.applied_rows = len(rows)
+        self.applied_rows_total += len(rows)
         for r in rows:
             if r[WEIGHT] < 0:
                 self._buffer.pop(tuple(r[c] for c in self.key_cols), None)
