@@ -168,3 +168,97 @@ register(
        HAVING sum(li.m * o.m * c.m) > 0
        ORDER BY revenue DESC, c_custkey LIMIT 20""",
 )
+
+
+def incremental_topk_per_group_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous PER-GROUP top-k — each nation's top-3 customers by order
+    revenue, maintained under inserts AND deletes: the continuous twin of the
+    batch ``topk_per_group`` (``row_number() OVER (PARTITION BY …) <= k``).
+    Groups can number in the millions, so unlike the global ``TopKView`` the
+    candidate/boundary state is ALL Spark-side, sharded by group
+    (streaming/topk.py GroupedTopKView): retractions and admissions are keyed
+    equi-joins against the changelog, drained groups refill through the
+    engine's RESTRICTED emission (``result(touched)`` pushes the group set
+    into every state read as a semi-join), and emission ranks candidates —
+    a (k+slack)-fold reduction of the view — never the view itself."""
+    from ..functions.numeric import dec
+    from ..streaming.topk import GroupedTopKView
+
+    scratch = _scratch("ivm_gtopk", sf_dir)
+    gens = (
+        # orders churn drives per-nation rankings; del_mod retires whole
+        # orders so leaders keep losing revenue -> within-group promotion
+        DeltaGen(
+            "orders",
+            "o_orderkey",
+            ("o_orderkey", "o_custkey", "o_totalprice"),
+            dup_mod=4,
+            del_mod=7,
+        ),
+        DeltaGen(
+            "customer", "c_custkey", ("c_custkey", "c_nationkey"), del_mod=13
+        ),
+        DeltaGen("nation", "n_nationkey", ("n_nationkey", "n_name")),
+    )
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("orders"),
+            RelSpec(
+                "customer",
+                join_on=("c_custkey", "o_custkey"),
+                buckets=16,
+                bucket_key=("c_custkey",),
+            ),
+            RelSpec(
+                "nation",
+                join_on=("n_nationkey", "c_nationkey"),
+                broadcast_state=True,
+            ),
+        ),
+        group_by=("n_name", "c_custkey"),
+        measures={"revenue": lambda: dec("o_totalprice")},
+        finalize=lambda df: df.select(
+            "n_name", "c_custkey", F.col("revenue").cast("double").alias("revenue")
+        ),
+    )
+    eng = IncrementalAcyclicQuery(spark, f"{scratch}/state", spec)
+    topk = GroupedTopKView(
+        3, "revenue", ("n_name",), ("c_custkey",), refill=lambda t: eng.result(t), slack=3
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        topk.apply(
+            eng.process_batch(
+                split_deltas(batch, rel_columns), batch_id, emit_delta=True
+            )
+        )
+
+    run_delta_stream(spark, delta_dir, schema, scratch, handle)
+    return topk.result()
+
+
+register(
+    "incremental_topk_per_group_stream",
+    incremental_topk_per_group_stream,
+    """WITH o AS (
+         SELECT *, 1 + (o_orderkey % 4 = 0)::INT - (o_orderkey % 7 = 0)::INT AS m
+         FROM orders),
+       c AS (
+         SELECT *, 1 - (c_custkey % 13 = 0)::INT AS m FROM customer),
+       v AS (
+         SELECT n_name, c_custkey,
+                sum(o.m * c.m * o_totalprice::DECIMAL(12,4))::DOUBLE AS revenue
+         FROM o JOIN c ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, c_custkey HAVING sum(o.m * c.m) > 0),
+       r AS (
+         SELECT *, row_number() OVER (
+                     PARTITION BY n_name ORDER BY revenue DESC, c_custkey
+                   ) AS rn
+         FROM v)
+       SELECT n_name, c_custkey, revenue FROM r WHERE rn <= 3""",
+)

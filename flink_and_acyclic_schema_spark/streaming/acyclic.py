@@ -1516,8 +1516,13 @@ class IncrementalAcyclicQuery:
             df.write.mode("overwrite").parquet(path)
 
     # --- result -------------------------------------------------------------
-    def result(self) -> DataFrame:
-        return self._emit()
+    def result(self, touched: DataFrame | None = None) -> DataFrame:
+        """Maintained view, optionally RESTRICTED to the groups in ``touched``
+        (group-key rows): the restriction pushes into every state read as a
+        semi-join (see ``_emit``), so reading a subset of groups costs
+        O(subset ⋈ state) — the hook downstream consumers (chained engines,
+        GroupedTopKView refills) use to avoid full-view scans."""
+        return self._emit(touched)
 
     def _emit(self, touched: DataFrame | None = None) -> DataFrame:
         """Build the emitted view; ``touched`` (group-key rows) restricts the
@@ -1535,8 +1540,15 @@ class IncrementalAcyclicQuery:
         gb = list(self.spec.group_by)
 
         def restrict(df: DataFrame) -> DataFrame:
+            # the restriction may name any SUBSET of the group columns (e.g.
+            # GroupedTopKView refills by partition columns only) — a subset
+            # semi-join restricts to a superset of the named groups, which
+            # commutes with the per-group reductions exactly like the full
+            # key does; emit_delta always passes the full key
             if touched is not None and gb:
-                return df.join(touched, on=gb, how="left_semi")
+                on = [c for c in gb if c in touched.columns]
+                if on:
+                    return df.join(touched.select(*on), on=on, how="left_semi")
             return df
 
         agg = restrict(self._read_paths("agg", self._segments.get("agg", [])))

@@ -199,3 +199,191 @@ class TopKView:
     def result_rows(self) -> list[dict]:
         """The exact top-k under (order value, ascending key tiebreak)."""
         return self._ranked()[: self.k]
+
+
+class GroupedTopKView:
+    """Exact top-k WITHIN EVERY GROUP of a continuously-maintained view —
+    the continuous twin of `row_number() OVER (PARTITION BY g ORDER BY v
+    DESC) <= k` — fed by the view's emit_delta changelog.
+
+    Where ``TopKView`` keeps one bounded driver-side buffer, groups can
+    number in the millions, so here ALL state is Spark-side, sharded by
+    group: a CANDIDATE table (each group's true top-(k+slack) rows under
+    the total order value-then-keys) and a BOUNDARY table (the exact sort
+    key of the worst candidate, present only for groups trimmed at
+    capacity — absent boundary = the candidates are that group's complete
+    live row set). Per batch, entirely as keyed equi-joins/windows:
+
+    - retractions anti-join candidates on (group, key);
+    - insertions admit iff ranked strictly before the group's boundary
+      (exact: keys make the order total — a value-only threshold splits
+      boundary ties and surfaces a wrong row after deletions);
+    - groups whose candidates drained below k while trimmed REFILL from the
+      view RESTRICTED to those groups (``engine.result(touched)`` pushes
+      the restriction into every state read as a semi-join) through one
+      per-group window rank — O(drained groups ⋈ state), amortized ≥ slack
+      deletions per group per refill;
+    - groups past k+2·slack re-trim to k+slack and refresh their boundary.
+
+    The whole batch is ONE declarative plan (no driver round-trips, no
+    collect): candidate/boundary state is localCheckpoint'ed per batch to
+    truncate lineage. Per-batch cost is O(Δ ⋈ candidates + candidates
+    count), with candidates a (k+slack)-fold reduction of the view; at
+    100 TB both state tables shard by group like any keyed state.
+    Emission ranks candidates per group — O(candidates), not O(view).
+
+    NULL order values never enter candidates (SQL NULLS LAST for a LIMIT
+    the non-NULL rows satisfy). Restart recovery = ``prime()`` (full
+    refill): like TopKView, the structure is a pure function of the live
+    view, so it needs no manifest of its own.
+    """
+
+    def __init__(
+        self,
+        k: int,
+        order_col: str,
+        group_cols: tuple[str, ...],
+        key_cols: tuple[str, ...],
+        refill,
+        descending: bool = True,
+        slack: int | None = None,
+    ):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if not group_cols or not key_cols:
+            raise ValueError("group_cols and key_cols must be non-empty")
+        if set(group_cols) & set(key_cols):
+            raise ValueError("group_cols and key_cols must be disjoint")
+        self.k = k
+        self.order_col = order_col
+        self.group_cols = tuple(group_cols)
+        self.key_cols = tuple(key_cols)
+        self.descending = descending
+        self.slack = k if slack is None else slack
+        # refill: Callable[[DataFrame | None], DataFrame] — the full view,
+        # optionally restricted to the given group-key rows
+        # (IncrementalAcyclicQuery.result's touched semantics)
+        self._refill_fn = refill
+        self._cand: DataFrame | None = None  # candidates (view columns)
+        self._bound: DataFrame | None = None  # group_cols + _bv + _bk0..n
+
+    # --- internals -----------------------------------------------------------
+    def _order(self):
+        v = F.col(self.order_col)
+        return [v.desc() if self.descending else v.asc()] + [
+            F.col(c).asc() for c in self.key_cols
+        ]
+
+    def _rank(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*self.group_cols).orderBy(*self._order())
+        return df.withColumn("_rn", F.row_number().over(w))
+
+    def _bound_of(self, ranked: DataFrame) -> DataFrame:
+        """Boundary rows for groups trimmed AT capacity (row k+slack exists)."""
+        return ranked.filter(F.col("_rn") == self.k + self.slack).select(
+            *self.group_cols,
+            F.col(self.order_col).alias("_bv"),
+            *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(self.key_cols)],
+        )
+
+    def _beats_bound(self):
+        """Row strictly before the boundary under the TOTAL order (boundary
+        absent — _bv NULL after the left join — admits unconditionally)."""
+        v, bv = F.col(self.order_col), F.col("_bv")
+        cond = (v > bv) if self.descending else (v < bv)
+        eq = v == bv
+        for i, c in enumerate(self.key_cols):
+            cond = cond | (eq & (F.col(c) < F.col(f"_bk{i}")))
+            eq = eq & (F.col(c) == F.col(f"_bk{i}"))
+        return bv.isNull() | cond
+
+    def _ckpt(self, cand: DataFrame, bound: DataFrame) -> None:
+        self._cand = cand.localCheckpoint()
+        self._bound = bound.localCheckpoint()
+
+    def prime(self) -> None:
+        """(Re)build candidates from the full view — initial attach to an
+        existing view, or restart recovery."""
+        view = self._refill_fn(None).filter(F.col(self.order_col).isNotNull())
+        ranked = self._rank(view)
+        self._ckpt(
+            ranked.filter(F.col("_rn") <= self.k + self.slack).drop("_rn"),
+            self._bound_of(ranked),
+        )
+
+    # --- maintenance ---------------------------------------------------------
+    def apply(self, changelog: DataFrame | None) -> None:
+        if changelog is None:
+            return
+        gk = [*self.group_cols, *self.key_cols]
+        if self._cand is None:
+            # fresh stream: empty candidates are complete-for-every-group
+            empty = changelog.drop(WEIGHT).filter(F.lit(False))
+            self._ckpt(empty, self._bound_of(self._rank(empty)))
+        neg = changelog.filter(F.col(WEIGHT) < 0).select(*gk)
+        pos = (
+            changelog.filter(
+                (F.col(WEIGHT) > 0) & F.col(self.order_col).isNotNull()
+            )
+            .drop(WEIGHT)
+        )
+        cand = self._cand.join(neg, on=gk, how="left_anti")
+        admitted = (
+            pos.join(self._bound, on=list(self.group_cols), how="left")
+            .filter(self._beats_bound())
+            .select(*self._cand.columns)
+        )
+        cand = cand.unionByName(admitted)
+
+        counts = cand.groupBy(*self.group_cols).agg(F.count("*").alias("_n"))
+        # drained: trimmed groups (have a boundary) no longer holding k
+        # candidates — including groups whose candidates vanished entirely
+        # (no counts row at all)
+        drained = self._bound.select(*self.group_cols).join(
+            counts.filter(F.col("_n") >= self.k),
+            on=list(self.group_cols),
+            how="left_anti",
+        )
+        fresh = self._refill_fn(drained).filter(
+            F.col(self.order_col).isNotNull()
+        )
+        ranked_fresh = self._rank(fresh)
+        cand = (
+            cand.join(drained, on=list(self.group_cols), how="left_anti")
+            .unionByName(
+                ranked_fresh.filter(F.col("_rn") <= self.k + self.slack)
+                .drop("_rn")
+                .select(*self._cand.columns)
+            )
+        )
+        bound = self._bound.join(
+            drained, on=list(self.group_cols), how="left_anti"
+        ).unionByName(self._bound_of(ranked_fresh))
+
+        # trim groups past k+2*slack back to k+slack (disjoint from drained:
+        # these hold > k rows under the same pre-refill counts)
+        over = counts.filter(F.col("_n") > self.k + 2 * self.slack).select(
+            *self.group_cols
+        )
+        ranked_over = self._rank(
+            cand.join(over, on=list(self.group_cols), how="left_semi")
+        )
+        cand = (
+            cand.join(over, on=list(self.group_cols), how="left_anti")
+            .unionByName(
+                ranked_over.filter(F.col("_rn") <= self.k + self.slack).drop("_rn")
+            )
+        )
+        bound = bound.join(
+            over, on=list(self.group_cols), how="left_anti"
+        ).unionByName(self._bound_of(ranked_over))
+        self._ckpt(cand, bound)
+
+    # --- emission ------------------------------------------------------------
+    def result(self) -> DataFrame:
+        """Exact per-group top-k: rank candidates only — never the view."""
+        if self._cand is None:
+            raise ValueError("no batch applied and not primed — call prime()")
+        return self._rank(self._cand).filter(F.col("_rn") <= self.k).drop("_rn")

@@ -179,3 +179,166 @@ def test_topk_property_prefix_closure(spark, tmp_path_factory, batched):
         _apply(spark, eng, topk, rows, i)
         seen.extend(rows)
         assert _got(topk) == _model_topk(seen)
+
+
+# --- GroupedTopKView: per-group top-k under retraction -----------------------
+from flink_and_acyclic_schema_spark.streaming.topk import GroupedTopKView
+
+G_SCHEMA = "g int, kid int, val int, weight int"
+
+G_SPEC = AcyclicQuerySpec(
+    relations=(RelSpec("items"),),
+    group_by=("g", "kid"),
+    measures={"total": lambda: F.col("val")},
+)
+
+GK, GSLACK = 2, 1
+
+
+def _gpair(spark, tmp_path):
+    eng = IncrementalAcyclicQuery(
+        spark, str(tmp_path / f"g{uuid.uuid4().hex[:8]}"), G_SPEC
+    )
+    topk = GroupedTopKView(
+        GK, "total", ("g",), ("kid",), refill=lambda t: eng.result(t), slack=GSLACK
+    )
+    return eng, topk
+
+
+def _gapply(spark, eng, topk, rows, batch_id):
+    topk.apply(
+        eng.process_batch(
+            {"items": spark.createDataFrame(rows or [], G_SCHEMA)},
+            batch_id=batch_id,
+            emit_delta=True,
+        )
+    )
+
+
+def _gmodel(ops, k=GK):
+    """Per-(g,kid) totals with support > 0 -> per-group top-k by
+    (total desc, kid asc)."""
+    net: dict[tuple, int] = {}
+    for g, kid, val, w in ops:
+        net[(g, kid, val)] = net.get((g, kid, val), 0) + w
+    tot: dict[tuple, int] = {}
+    sup: dict[tuple, int] = {}
+    for (g, kid, val), m in net.items():
+        tot[(g, kid)] = tot.get((g, kid), 0) + m * val
+        sup[(g, kid)] = sup.get((g, kid), 0) + m
+    per_g: dict[int, list] = {}
+    for (g, kid), t in tot.items():
+        if sup[(g, kid)] > 0:
+            per_g.setdefault(g, []).append((kid, t))
+    out = set()
+    for g, rows in per_g.items():
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        out |= {(g, kid, t) for kid, t in rows[:k]}
+    return out
+
+
+def _ggot(topk):
+    return {(r["g"], r["kid"], r["total"]) for r in topk.result().collect()}
+
+
+def test_grouped_topk_delete_promotes_within_group_only(spark, tmp_path):
+    """Deleting a group's top member promotes that group's runner-up from
+    slack; other groups' rankings are untouched. Group 0 holds 5 members
+    (trimmed past k+slack=3, boundary set); group 1 is complete."""
+    eng, topk = _gpair(spark, tmp_path)
+    ops = [(0, i, 10 * (5 - i), 1) for i in range(5)] + [
+        (1, i, 7 * (i + 1), 1) for i in range(2)
+    ]
+    _gapply(spark, eng, topk, ops, 0)
+    assert _ggot(topk) == _gmodel(ops)
+    dels = [(0, 0, 50, -1)]  # group 0's top member vanishes
+    _gapply(spark, eng, topk, dels, 1)
+    assert _ggot(topk) == _gmodel(ops + dels) == {
+        (0, 1, 40),
+        (0, 2, 30),
+        (1, 0, 7),
+        (1, 1, 14),
+    }
+
+
+def test_grouped_topk_refill_only_drained_group(spark, tmp_path):
+    """Draining one trimmed group below k refills THAT group from the view
+    (restricted emission) while the other group's candidates survive; a
+    group deleted entirely disappears from the result."""
+    eng, topk = _gpair(spark, tmp_path)
+    ops = [(0, i, 100 - i, 1) for i in range(6)] + [
+        (1, i, 50 - i, 1) for i in range(6)
+    ]
+    _gapply(spark, eng, topk, ops, 0)
+    # delete group 0's top THREE (k+slack buffer drains below k)
+    dels = [(0, i, 100 - i, -1) for i in range(3)]
+    _gapply(spark, eng, topk, dels, 1)
+    assert _ggot(topk) == _gmodel(ops + dels)
+    # wipe group 1 entirely (vanished group: no counts row, bound present)
+    dels2 = [(1, i, 50 - i, -1) for i in range(6)]
+    _gapply(spark, eng, topk, dels2, 2)
+    assert _ggot(topk) == _gmodel(ops + dels + dels2)
+    assert not any(g == 1 for g, _, _ in _ggot(topk))
+
+
+def test_grouped_topk_boundary_ties_stay_exact(spark, tmp_path):
+    """Within-group ties at the trim boundary: an equal-valued insert ranked
+    after the boundary key must not displace the dropped tie's claim — after
+    deletions the refill surfaces the model's exact ranking."""
+    eng, topk = _gpair(spark, tmp_path)
+    # group 0: kid0=100, kids 1..4 all 50 -> trim keeps k+slack=3 by
+    # (total desc, kid asc): kids 0,1,2; boundary (50,(2,))
+    ops = [(0, 0, 100, 1)] + [(0, i, 50, 1) for i in range(1, 5)]
+    _gapply(spark, eng, topk, ops, 0)
+    ins = [(0, 9, 50, 1)]  # ties boundary value, ranks after kid 2 AND kid 3
+    _gapply(spark, eng, topk, ins, 1)
+    assert _ggot(topk) == _gmodel(ops + ins) == {(0, 0, 100), (0, 1, 50)}
+    dels = [(0, 1, 50, -1), (0, 2, 50, -1)]  # drain below k -> refill
+    _gapply(spark, eng, topk, dels, 2)
+    assert _ggot(topk) == _gmodel(ops + ins + dels) == {(0, 0, 100), (0, 3, 50)}
+
+
+def test_grouped_topk_prime_attaches_to_existing_view(spark, tmp_path):
+    eng = IncrementalAcyclicQuery(
+        spark, str(tmp_path / f"g{uuid.uuid4().hex[:8]}"), G_SPEC
+    )
+    ops = [(g, i, (g + 1) * (10 - i), 1) for g in range(3) for i in range(5)]
+    eng.process_batch(
+        {"items": spark.createDataFrame(ops, G_SCHEMA)}, batch_id=0
+    )
+    topk = GroupedTopKView(
+        GK, "total", ("g",), ("kid",), refill=lambda t: eng.result(t), slack=GSLACK
+    )
+    topk.prime()
+    assert _ggot(topk) == _gmodel(ops)
+    more = [(1, 0, 20, -1), (2, 9, 99, 1)]
+    _gapply(spark, eng, topk, more, 1)
+    assert _ggot(topk) == _gmodel(ops + more)
+
+
+_GOPS = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # group
+        st.integers(0, 5),  # kid
+        st.integers(1, 4),  # val
+        st.sampled_from([1, 1, -1]),
+    ),
+    max_size=12,
+)
+_GSPLITS = st.lists(_GOPS, min_size=1, max_size=3)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batched=_GSPLITS)
+def test_grouped_topk_property_prefix_closure(spark, tmp_path_factory, batched):
+    """After EVERY batch of arbitrary interleavings, the maintained per-group
+    top-k equals the from-scratch per-group rank — colliding totals exercise
+    within-group ties, deletes exercise refill and vanished groups."""
+    tmp = tmp_path_factory.mktemp("gtopk")
+    eng, topk = _gpair(spark, tmp)
+    seen: list[tuple] = []
+    for i, ops in enumerate(batched):
+        rows = [tuple(op) for op in ops]
+        _gapply(spark, eng, topk, rows, i)
+        seen.extend(rows)
+        assert _ggot(topk) == _gmodel(seen)
