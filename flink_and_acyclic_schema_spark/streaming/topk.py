@@ -1,7 +1,8 @@
 """Continuously-maintained exact TOP-K over a maintained view's changelog —
 the ORDER BY … LIMIT k clause of the reference's intended Q10 (SURVEY.md §0;
-the reference DROPPED it — its framework has no ordered emission at all),
-kept correct under inserts AND deletes.
+the reference DROPPED it — its dataflow emits unordered per-group updates,
+ref Q10AggregateProcessFunction.java:58-76, and DataFlow.java:26-61 wires no
+ordering/limit operator anywhere), kept correct under inserts AND deletes.
 
 Why this needs machinery: a deletion can retire a top-k member, and no
 buffer of exactly k rows can recover #k+1 — the classic IVM top-k problem
