@@ -129,5 +129,105 @@ def main() -> None:
     spark.stop()
 
 
+def grouped() -> None:
+    """GroupedTopKView cost model, measured: candidates are a (k+slack)/members
+    reduction of the view, and a drained group's refill reads ONLY that
+    group's rows through the engine's restricted emission — all row counts,
+    so the numbers are host-load independent.
+
+    Usage:  python tools/topk_churn_scaling.py grouped [n_groups] [members] [batches]
+    """
+    from flink_and_acyclic_schema_spark.streaming.topk import GroupedTopKView
+
+    n_groups = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    members = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    batches = int(sys.argv[4]) if len(sys.argv) > 4 else 12
+    k = slack = 3
+    spark = get_spark(app_name="grouped_topk_scaling", shuffle_partitions=16)
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("g", "kid"),
+        measures={"total": lambda: F.col("v")},
+    )
+    work = tempfile.mkdtemp(prefix="gtopk_churn_")
+    eng = IncrementalAcyclicQuery(spark, work, spec)
+    refill_reads = {"rows": 0, "calls": 0}
+
+    def refill(touched):
+        df = eng.result(touched).localCheckpoint()
+        refill_reads["rows"] += df.count()
+        refill_reads["calls"] += 1
+        return df
+
+    topk = GroupedTopKView(k, "total", ("g",), ("kid",), refill=refill, slack=slack)
+
+    # view: group g member m has total m+1 (top member = highest m)
+    seed = spark.range(n_groups * members).select(
+        (F.col("id") % n_groups).alias("g"),
+        (F.col("id") / n_groups).cast("long").alias("kid"),
+        ((F.col("id") / n_groups).cast("long") + 1).alias("v"),
+        F.lit(1).alias("weight"),
+    )
+    topk.apply(eng.process_batch({"items": seed}, 0, emit_delta=True))
+    view_rows = n_groups * members
+    cand_rows = int(topk._cand.count())
+
+    # per batch: fully drain k+slack+1 victim groups' TOP members (forces a
+    # refill for exactly those groups) + 2k bulk low-member updates elsewhere
+    drain_per_batch = 5
+    bulk = 2_000
+    for b in range(1, batches + 1):
+        victims = [(b * drain_per_batch + i) % n_groups for i in range(drain_per_batch)]
+        ops = [
+            (g, members - 1 - j, members - j, -1)
+            for g in victims
+            for j in range(k + slack + 1)  # delete past the whole buffer
+        ]
+        base = (b * 104729) % n_groups
+        ops += [
+            ((base + i) % n_groups, i % 3, 1 if (b + i) % 2 else -1, 1)
+            for i in range(bulk)
+        ]
+        delta = spark.createDataFrame(ops, "g long, kid long, v long, weight int")
+        topk.apply(eng.process_batch({"items": delta.localCheckpoint()}, b, emit_delta=True))
+
+    # exactness vs from-scratch per-group rank
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("total").desc(), F.col("kid").asc())
+    want = (
+        eng.result()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    got = topk.result()
+    exact = (
+        got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    )
+    out = {
+        "metric": "grouped_topk_cost_model",
+        "groups": n_groups,
+        "members_per_group": members,
+        "view_rows": view_rows,
+        "candidate_rows": cand_rows,
+        "candidate_fraction": round(cand_rows / view_rows, 4),
+        "batches": batches,
+        "drained_groups_per_batch": drain_per_batch,
+        "bulk_churn_per_batch": bulk,
+        "refill_calls": refill_reads["calls"],
+        "refill_rows_total": refill_reads["rows"],
+        "refill_rows_per_drained_group": round(
+            refill_reads["rows"] / max(batches * drain_per_batch, 1), 1
+        ),
+        "result_exact": bool(exact),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "grouped":
+        grouped()
+    else:
+        main()
