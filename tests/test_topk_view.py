@@ -342,3 +342,52 @@ def test_grouped_topk_property_prefix_closure(spark, tmp_path_factory, batched):
         _gapply(spark, eng, topk, rows, i)
         seen.extend(rows)
         assert _ggot(topk) == _gmodel(seen)
+
+
+def test_topk_over_sliding_window_view_composes_with_ttl(spark, tmp_path):
+    """Composition: TopKView over a WINDOWED view (RelSpec.ttl) — 'top-k
+    categories over the trailing W days'. The leader must be DEMOTED when its
+    contributing rows age out of the window: eviction re-enters the batch as
+    retraction deltas, the emit_delta changelog carries the view updates, and
+    the buffer steps to the new leader — no special wiring, the mechanisms
+    compose."""
+    W = 10
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("events", ttl=("e_day", lambda wm: wm - F.lit(W))),
+        ),
+        group_by=("e_cat",),
+        measures={"val": lambda: F.col("e_val")},
+    )
+    eng = IncrementalAcyclicQuery(
+        spark, str(tmp_path / f"w{uuid.uuid4().hex[:8]}"), spec
+    )
+    topk = TopKView(2, "val", ("e_cat",), refill=eng.result, slack=1, prime=False)
+    schema = "e_key int, e_day int, e_cat string, e_val int, weight int"
+
+    def step(rows, bid):
+        topk.apply(
+            eng.process_batch(
+                {"events": spark.createDataFrame(rows, schema)},
+                batch_id=bid,
+                emit_delta=True,
+            )
+        )
+        return [(r["e_cat"], r["val"]) for r in topk.result_rows()]
+
+    # day 0-1: category a leads on old rows; b and c trail
+    assert step(
+        [(1, 0, "a", 100, 1), (2, 1, "b", 60, 1), (3, 1, "c", 30, 1)], 0
+    ) == [("a", 100), ("b", 60)]
+    # day 8: fresh activity for b and c; a's lead is entirely day-0 rows
+    assert step([(4, 8, "b", 5, 1), (5, 8, "c", 50, 1)], 1) == [
+        ("a", 100),
+        ("c", 80),
+    ]
+    # day 12: horizon 2 — EVERY day-0/1 row ages out (a's 100, b's 60,
+    # c's 30); the window now holds only c=50 (day 8), b=5 (day 8), d=1:
+    # the old leader a VANISHES and c is demoted 80→50, both purely from
+    # eviction retractions flowing through the changelog
+    assert step([(6, 12, "d", 1, 1)], 2) == [("c", 50), ("b", 5)]
+    got = {(r["e_cat"], r["val"]) for r in eng.result().collect()}
+    assert got == {("c", 50), ("b", 5), ("d", 1)}
