@@ -173,13 +173,22 @@ class TopKView:
         # collected rows and are discarded driver-side, never correctness.
         return ch.filter(better | (ov == F.lit(bv)))
 
-    def apply(self, changelog: DataFrame | None) -> None:
+    def apply(self, changelog: DataFrame | None) -> list[dict] | None:
         """Fold one batch's emit_delta changelog into the buffer: retractions
         first (a group's update arrives as −pre/+post on the same key), then
         admissions better than the boundary; refill only if the buffer
-        drained below k while incomplete."""
+        drained below k while incomplete.
+
+        Returns the CHANGELOG OF THE TOP-K VIEW ITSELF for this batch — the
+        pre-batch top-k rows that left with weight −1 and the post-batch rows
+        that entered with weight +1 (a rank-only move of a surviving row is
+        not a change; a value update is −old/+new). O(k) driver work, and a
+        valid weighted delta for a downstream engine or an exactly-once sink:
+        the same composition hook the engine's emit_delta provides, so a
+        maintained top-k TABLE can sit at the end of a chain."""
         if changelog is None:
-            return
+            return None
+        pre = {self._skey(r): r for r in self.result_rows()}
         rows = [r.asDict() for r in self._touching(changelog).collect()]
         self.applied_rows = len(rows)
         self.applied_rows_total += len(rows)
@@ -195,6 +204,10 @@ class TopKView:
         self._trim()
         if self._boundary is not None and len(self._buffer) < self.k:
             self.refill()
+        post = {self._skey(r): r for r in self.result_rows()}
+        out = [{**pre[s], WEIGHT: -1} for s in pre if s not in post]
+        out += [{**post[s], WEIGHT: 1} for s in post if s not in pre]
+        return out
 
     # --- emission ------------------------------------------------------------
     def result_rows(self) -> list[dict]:

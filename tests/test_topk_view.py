@@ -391,3 +391,39 @@ def test_topk_over_sliding_window_view_composes_with_ttl(spark, tmp_path):
     assert step([(6, 12, "d", 1, 1)], 2) == [("c", 50), ("b", 5)]
     got = {(r["e_cat"], r["val"]) for r in eng.result().collect()}
     assert got == {("c", 50), ("b", 5), ("d", 1)}
+
+
+def test_topk_emits_its_own_changelog(spark, tmp_path):
+    """apply() returns the top-k VIEW's ±changelog — the composition hook
+    that lets a maintained top-k table feed a downstream engine or sink.
+    Per batch it must equal the model's top-k diff (entries/exits as ±1,
+    value updates as −old/+new, rank-only moves silent), and the telescoped
+    sum of all emitted deltas must equal the final top-k."""
+    eng, topk = _pair(spark, tmp_path)
+    batches = [
+        [(i, 10 * (8 - i), 1) for i in range(8)],  # build: top3 = 0,1,2
+        [(1, 70, -1), (9, 65, 1)],  # kid1 exits, kid9 enters at rank 2
+        [(0, 5, 1)],  # kid0's value 80->85: -old/+new, still rank 1
+        [(2, 60, -1), (3, 50, -1)],  # drain into slack + refill territory
+    ]
+    net: dict[tuple, int] = {}
+    seen: list[tuple] = []
+    prev_model: set = set()
+    for i, ops in enumerate(batches):
+        delta = eng.process_batch(
+            {"items": spark.createDataFrame(ops, ITEM_SCHEMA)},
+            batch_id=i,
+            emit_delta=True,
+        )
+        ch = topk.apply(delta)
+        seen.extend(ops)
+        model = set(_model_topk(seen))
+        emitted = {(r["kid"], r["total"]): r["weight"] for r in ch}
+        assert emitted == (
+            {t: -1 for t in prev_model - model} | {t: 1 for t in model - prev_model}
+        )
+        for t, w in emitted.items():
+            net[t] = net.get(t, 0) + w
+        prev_model = model
+    telescoped = {t for t, w in net.items() if w != 0}
+    assert telescoped == set(_model_topk(seen)) == set(_got(topk))
