@@ -47,12 +47,16 @@ default NULLS LAST semantics for a LIMIT that the non-NULL rows satisfy).
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 WEIGHT = "weight"
+BUCKET = "_bucket"  # reserved shard column, engine streaming/acyclic.py
 
 
 class TopKView:
@@ -76,6 +80,15 @@ class TopKView:
                      empty buffer with no boundary is exactly "complete over
                      the empty view", so the first batches build the buffer
                      from the changelog alone without ever scanning state.
+    ``state_dir``  — optional DURABILITY root: after every batch the buffer,
+                     boundary, and the batch's emitted top-k changelog are
+                     persisted as tiny parquet files behind an atomic
+                     manifest (the engine's os.replace discipline), so
+                     ``resume=True`` reattaches with no refill and a
+                     crash-REPLAYED batch (``batch_id`` ≤ last committed)
+                     is skipped, returning the PERSISTED changelog — the
+                     exactly-once contract an emission sink composes with.
+                     O(k) rows per write. Requires ``spark``.
     """
 
     def __init__(
@@ -87,6 +100,9 @@ class TopKView:
         descending: bool = True,
         slack: int | None = None,
         prime: bool = True,
+        state_dir: str | None = None,
+        spark=None,
+        resume: bool = False,
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
@@ -107,8 +123,26 @@ class TopKView:
         # measures this ≪ touched groups)
         self.applied_rows = 0
         self.applied_rows_total = 0
+        self.state_dir = state_dir
+        self.durable = state_dir is not None
+        self._spark = spark
+        self._schema = None  # StructType of buffer rows, pinned at first use
+        self._version = 0
+        self._last_batch: int | None = None
+        self._emitted_batch: int | None = None
+        if self.durable:
+            if spark is None:
+                raise ValueError("durable mode (state_dir) needs spark")
+            if resume and os.path.exists(self._manifest_path()):
+                self._load_manifest()
+                return  # committed buffer restored — no refill, no re-prime
+            if os.path.exists(state_dir):
+                shutil.rmtree(state_dir)
+            os.makedirs(state_dir)
         if prime:
             self.refill()
+            if self.durable:
+                self._persist(None, None)
 
     # --- total order ---------------------------------------------------------
     def _skey(self, row: dict) -> tuple:
@@ -121,12 +155,122 @@ class TopKView:
             return a[0] > b[0] if self.descending else a[0] < b[0]
         return a[1] < b[1]
 
+    def _admissible(self, s: tuple) -> bool:
+        """AT-OR-BEFORE the boundary: equality readmits the boundary row
+        itself after its own −pre/+post pop (a strictly-better test would
+        shrink the buffer on every touched-but-unchanged boundary row,
+        forcing refills earlier than the ≥slack-deletions amortization)."""
+        return (
+            self._boundary is None
+            or s == self._boundary
+            or self._better(s, self._boundary)
+        )
+
     def _ranked(self) -> list[dict]:
         rows = sorted(self._buffer.values(), key=lambda r: tuple(r[c] for c in self.key_cols))
         rows.sort(
             key=lambda r: r[self.order_col], reverse=self.descending
         )  # stable: ties stay tiebreak-ascending
         return rows
+
+    # --- durability (optional): tiny parquet behind an atomic manifest -------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.state_dir, "MANIFEST.json")
+
+    def _pin_schema(self, template: DataFrame) -> None:
+        if self._schema is None:
+            self._schema = template.schema
+
+    def _persist(self, out: list[dict] | None, batch_id: int | None) -> None:
+        """Commit the post-batch buffer/boundary (and the batch's emitted
+        top-k changelog) under a versioned dir + atomic manifest replace.
+        Everything written is O(k) rows — the buffer IS bounded driver
+        state, so its durable twin is bounded too."""
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        v = self._version + 1
+        vdir = os.path.join(self.state_dir, f"v{v}")
+        fields = self._schema.fields
+        rows = [tuple(r[f.name] for f in fields) for r in self._buffer.values()]
+        self._spark.createDataFrame(rows, self._schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(vdir, "buf"))
+        if self._boundary is not None:
+            by_name = {f.name: f for f in fields}
+            bschema = StructType(
+                [by_name[self.order_col]] + [by_name[c] for c in self.key_cols]
+            )
+            brow = [(self._boundary[0], *self._boundary[1])]
+            self._spark.createDataFrame(brow, bschema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(vdir, "bnd"))
+        if out is not None and batch_id is not None:
+            eschema = StructType(list(fields) + [StructField(WEIGHT, IntegerType())])
+            erows = [tuple(r[f.name] for f in fields) + (r[WEIGHT],) for r in out]
+            self._spark.createDataFrame(erows, eschema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(vdir, "emitted"))
+            self._emitted_batch = batch_id
+        else:
+            # each version dir is self-contained; a commit without an emitted
+            # changelog supersedes any previously persisted one
+            self._emitted_batch = None
+        if batch_id is not None:
+            self._last_batch = batch_id
+        self._version = v
+        data = {
+            "version": v,
+            "last_batch": self._last_batch,
+            "emitted_batch": self._emitted_batch,
+            "has_boundary": self._boundary is not None,
+            "schema": json.loads(self._schema.json()),
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, self._manifest_path())
+        for entry in os.listdir(self.state_dir):
+            if entry.startswith("v") and entry != f"v{v}":
+                shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
+
+    def _load_manifest(self) -> None:
+        from pyspark.sql.types import StructType
+
+        with open(self._manifest_path()) as fh:
+            data = json.load(fh)
+        self._version = data["version"]
+        self._last_batch = data["last_batch"]
+        self._emitted_batch = data["emitted_batch"]
+        self._schema = StructType.fromJson(data["schema"])
+        vdir = os.path.join(self.state_dir, f"v{self._version}")
+        rows = [
+            r.asDict()
+            for r in self._spark.read.schema(self._schema)
+            .parquet(os.path.join(vdir, "buf"))
+            .collect()
+        ]
+        self._buffer = {tuple(r[c] for c in self.key_cols): r for r in rows}
+        self._boundary = None
+        if data["has_boundary"]:
+            b = self._spark.read.parquet(os.path.join(vdir, "bnd")).collect()[0]
+            self._boundary = (
+                b[self.order_col],
+                tuple(b[c] for c in self.key_cols),
+            )
+        # GC partial writes of a crashed batch
+        for entry in os.listdir(self.state_dir):
+            if entry.startswith("v") and entry != f"v{self._version}":
+                shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
+
+    def emitted_df(self) -> DataFrame | None:
+        """The last committed batch's emitted top-k changelog as a DataFrame
+        (durable mode) — the exactly-once feed for a downstream sink: a
+        crash-replayed batch reads back the SAME rows."""
+        if not self.durable or self._emitted_batch is None:
+            return None
+        return self._spark.read.parquet(
+            os.path.join(self.state_dir, f"v{self._version}", "emitted")
+        )
 
     # --- maintenance ---------------------------------------------------------
     def refill(self) -> None:
@@ -136,7 +280,11 @@ class TopKView:
         order = (
             F.col(self.order_col).desc() if self.descending else F.col(self.order_col).asc()
         )
-        df = self._refill_fn().filter(F.col(self.order_col).isNotNull())
+        view = self._refill_fn()
+        if self._spark is None:
+            self._spark = view.sparkSession
+        self._pin_schema(view)
+        df = view.filter(F.col(self.order_col).isNotNull())
         rows = [
             r.asDict()
             for r in df.orderBy(order, *[F.col(c).asc() for c in self.key_cols])
@@ -158,25 +306,82 @@ class TopKView:
         """Spark-side restriction of the changelog to rows that can affect
         the buffer — what bounds the per-batch driver transfer to top-region
         churn. Retractions matter only for buffered keys; insertions only
-        when ranked better than (or equal to a vacated spot at) the boundary."""
+        when ranked at-or-before the boundary. The FULL lexicographic
+        tiebreak (value, then every key column) is pushed into the filter,
+        so a low-cardinality measure (integer counts, Zipf ties) whose
+        thousands of boundary-VALUE ties would otherwise all reach the
+        driver stays O(buffer): only rows at-or-before B under the TOTAL
+        order pass — exact, because every buffered row ranks at-or-before B
+        (retractions of buffered keys always pass) and admission itself is
+        at-or-before B."""
         ch = changelog.filter(F.col(self.order_col).isNotNull())
         if self._boundary is None:
             return ch
-        bv, _bkeys = self._boundary
+        bv, bkeys = self._boundary
         ov = F.col(self.order_col)
-        better = ov > F.lit(bv) if self.descending else ov < F.lit(bv)
-        # value-better-or-tied covers BOTH sides: every buffered row ranks
-        # at-or-before B, so its order value is better than or equal to B's —
-        # retractions of buffered keys always pass — and any admissible
-        # insertion is ranked better than B, so its value passes too. Ties on
-        # the boundary value that turn out worse by tiebreak cost a few
-        # collected rows and are discarded driver-side, never correctness.
-        return ch.filter(better | (ov == F.lit(bv)))
+        cond = ov > F.lit(bv) if self.descending else ov < F.lit(bv)
+        eq = ov == F.lit(bv)
+        for c, bk in zip(self.key_cols, bkeys):
+            cond = cond | (eq & (F.col(c) < F.lit(bk)))
+            eq = eq & F.col(c).eqNullSafe(F.lit(bk))
+        # trailing `eq` = the boundary row itself (keys are unique), which
+        # at-or-before admission readmits after a −pre/+post pop
+        return ch.filter(cond | eq)
 
-    def apply(self, changelog: DataFrame | None) -> list[dict] | None:
+    def _collect_touching(self, changelog: DataFrame) -> list[dict]:
+        """Bounded driver transfer in BOTH boundary regimes. With a boundary,
+        collect the lexicographically-restricted changelog (``_touching``).
+        WITHOUT one (fresh prime=False stream, or a view small enough that
+        the buffer is complete), a naive collect of the whole changelog is
+        unbounded on a large first batch — instead:
+
+        - retractions can only matter for buffered keys (boundary None ⇒
+          the buffer holds EVERY live row, so any −pre row's key is
+          buffered): filter to those ≤ k+2·slack keys Spark-side;
+        - insertions: collect only the top-(k+2·slack+1) under the total
+          order. If the cap comes back full, some insertions were left
+          behind — but each collected row is a distinct key admitted
+          unconditionally, so the folded buffer exceeds k+2·slack, the trim
+          fires, and the new boundary (worst of the kept k+slack, all drawn
+          from buffer ∪ collected) ranks before every uncollected row —
+          the completeness claim is withdrawn exactly when it stops holding.
+          A non-full return means every insertion was collected and the
+          buffer stays complete."""
+        if self._boundary is not None:
+            return [r.asDict() for r in self._touching(changelog).collect()]
+        ch = changelog.filter(F.col(self.order_col).isNotNull())
+        rows: list[dict] = []
+        if self._buffer:
+            member = F.lit(False)
+            for kt in self._buffer:
+                hit = F.lit(True)
+                for c, v in zip(self.key_cols, kt):
+                    hit = hit & F.col(c).eqNullSafe(F.lit(v))
+                member = member | hit
+            rows += [
+                r.asDict()
+                for r in ch.filter((F.col(WEIGHT) < 0) & member).collect()
+            ]
+        order = (
+            F.col(self.order_col).desc()
+            if self.descending
+            else F.col(self.order_col).asc()
+        )
+        rows += [
+            r.asDict()
+            for r in ch.filter(F.col(WEIGHT) > 0)
+            .orderBy(order, *[F.col(c).asc() for c in self.key_cols])
+            .limit(self.k + 2 * self.slack + 1)
+            .collect()
+        ]
+        return rows
+
+    def apply(
+        self, changelog: DataFrame | None, batch_id: int | None = None
+    ) -> list[dict] | None:
         """Fold one batch's emit_delta changelog into the buffer: retractions
         first (a group's update arrives as −pre/+post on the same key), then
-        admissions better than the boundary; refill only if the buffer
+        admissions at-or-before the boundary; refill only if the buffer
         drained below k while incomplete.
 
         Returns the CHANGELOG OF THE TOP-K VIEW ITSELF for this batch — the
@@ -185,11 +390,26 @@ class TopKView:
         not a change; a value update is −old/+new). O(k) driver work, and a
         valid weighted delta for a downstream engine or an exactly-once sink:
         the same composition hook the engine's emit_delta provides, so a
-        maintained top-k TABLE can sit at the end of a chain."""
+        maintained top-k TABLE can sit at the end of a chain.
+
+        Durable mode + ``batch_id``: a replayed batch (≤ last committed) is
+        not re-applied — the PERSISTED changelog of that batch is returned
+        instead, so a downstream sink's overwrite lands the same rows."""
         if changelog is None:
             return None
+        if (
+            batch_id is not None
+            and self._last_batch is not None
+            and batch_id <= self._last_batch
+        ):
+            if self.durable and self._emitted_batch == batch_id:
+                return [r.asDict() for r in self.emitted_df().collect()]
+            return None
+        if self._spark is None:
+            self._spark = changelog.sparkSession
+        self._pin_schema(changelog.drop(WEIGHT))
         pre = {self._skey(r): r for r in self.result_rows()}
-        rows = [r.asDict() for r in self._touching(changelog).collect()]
+        rows = self._collect_touching(changelog)
         self.applied_rows = len(rows)
         self.applied_rows_total += len(rows)
         for r in rows:
@@ -199,7 +419,7 @@ class TopKView:
             if r[WEIGHT] <= 0:
                 continue
             r = {c: v for c, v in r.items() if c != WEIGHT}
-            if self._boundary is None or self._better(self._skey(r), self._boundary):
+            if self._admissible(self._skey(r)):
                 self._buffer[tuple(r[c] for c in self.key_cols)] = r
         self._trim()
         if self._boundary is not None and len(self._buffer) < self.k:
@@ -207,6 +427,8 @@ class TopKView:
         post = {self._skey(r): r for r in self.result_rows()}
         out = [{**pre[s], WEIGHT: -1} for s in pre if s not in post]
         out += [{**post[s], WEIGHT: 1} for s in post if s not in pre]
+        if self.durable:
+            self._persist(out, batch_id)
         return out
 
     # --- emission ------------------------------------------------------------
@@ -239,17 +461,34 @@ class GroupedTopKView:
       deletions per group per refill;
     - groups past k+2·slack re-trim to k+slack and refresh their boundary.
 
-    The whole batch is ONE declarative plan (no driver round-trips, no
-    collect): candidate/boundary state is localCheckpoint'ed per batch to
-    truncate lineage. Per-batch cost is O(Δ ⋈ candidates + candidates
-    count), with candidates a (k+slack)-fold reduction of the view; at
-    100 TB both state tables shard by group like any keyed state.
-    Emission ranks candidates per group — O(candidates), not O(view).
+    The whole batch is ONE declarative plan (no driver round-trips beyond a
+    ≤``buckets``-int touched-bucket collect). Per batch only the TOUCHED
+    part of the state is read and rewritten: candidate/boundary rows are
+    hash-sharded by group into ``buckets`` partitions (the engine's
+    ``_bucket`` discipline), the changelog's bucket ids restrict every state
+    read to those shards, and untouched shards' files carry forward in the
+    manifest as-is — per-batch cost is O(Δ ⋈ touched-bucket candidates),
+    not O(all candidates), and candidates are themselves a (k+slack)/members
+    reduction of the view. ``bucket_target_rows`` grows the shard count
+    (powers of two, full rewrite) as the view grows, keeping per-shard rows
+    — hence per-batch touched IO — flat under group-count growth.
+    Emission ranks candidates per group — O(candidates), never O(view).
+
+    DURABILITY (``state_dir``): candidate/boundary shards are versioned
+    parquet directories published by an atomic manifest (os.replace), the
+    same discipline as the engine's state — a crash or executor loss at ANY
+    point leaves the last committed state readable, and ``resume=True``
+    reattaches WITHOUT the O(view) ``prime()`` re-rank that the previous
+    localCheckpoint (non-replicated storage) design forced. Replayed
+    batches (``batch_id`` ≤ last committed) are skipped — idempotent under
+    foreachBatch crash-replay redelivery. With ``state_dir=None`` state
+    lives in localCheckpoint blocks instead: cheap for short-lived/test
+    pipelines, explicitly NOT fault-tolerant mid-run.
 
     NULL order values never enter candidates (SQL NULLS LAST for a LIMIT
-    the non-NULL rows satisfy). Restart recovery = ``prime()`` (full
-    refill): like TopKView, the structure is a pure function of the live
-    view, so it needs no manifest of its own.
+    the non-NULL rows satisfy). The structure is a pure function of the
+    live view, so even a lost ephemeral instance can always be rebuilt with
+    ``prime()``.
     """
 
     def __init__(
@@ -261,6 +500,11 @@ class GroupedTopKView:
         refill,
         descending: bool = True,
         slack: int | None = None,
+        state_dir: str | None = None,
+        spark=None,
+        buckets: int = 8,
+        bucket_target_rows: int = 0,
+        resume: bool = False,
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
@@ -268,6 +512,8 @@ class GroupedTopKView:
             raise ValueError("group_cols and key_cols must be non-empty")
         if set(group_cols) & set(key_cols):
             raise ValueError("group_cols and key_cols must be disjoint")
+        if buckets < 1:
+            raise ValueError("buckets must be >= 1")
         self.k = k
         self.order_col = order_col
         self.group_cols = tuple(group_cols)
@@ -278,8 +524,33 @@ class GroupedTopKView:
         # optionally restricted to the given group-key rows
         # (IncrementalAcyclicQuery.result's touched semantics)
         self._refill_fn = refill
-        self._cand: DataFrame | None = None  # candidates (view columns)
+        self.state_dir = state_dir
+        self.durable = state_dir is not None
+        self.buckets = buckets
+        self.bucket_target_rows = bucket_target_rows
+        self._spark = spark
+        self._cand: DataFrame | None = None  # ephemeral candidates (view cols)
         self._bound: DataFrame | None = None  # group_cols + _bv + _bk0..n
+        self._schema = None  # StructType of candidate rows, pinned at first use
+        self._bschema = None  # StructType of boundary rows
+        self._version = 0
+        self._last_batch: int | None = None
+        self._cand_map: dict[str, str] = {}  # bucket id -> live leaf dir
+        self._bound_map: dict[str, str] = {}
+        self._bucket_rows: dict[str, int] = {}  # maintained iff adaptive
+        # observability: tools assert the touched-restriction cost model
+        self.instrument = False
+        self.last_touched_buckets = 0
+        self.last_read_rows = 0
+        if self.durable:
+            if spark is None:
+                raise ValueError("durable mode (state_dir) needs spark")
+            if resume and os.path.exists(self._manifest_path()):
+                self._load_manifest()
+            else:
+                if os.path.exists(state_dir):
+                    shutil.rmtree(state_dir)
+                os.makedirs(state_dir)
 
     # --- internals -----------------------------------------------------------
     def _order(self):
@@ -303,39 +574,259 @@ class GroupedTopKView:
         )
 
     def _beats_bound(self):
-        """Row strictly before the boundary under the TOTAL order (boundary
-        absent — _bv NULL after the left join — admits unconditionally)."""
+        """Row AT-OR-BEFORE the boundary under the TOTAL order (boundary
+        absent — _bv NULL after the left join — admits unconditionally).
+        The trailing full-tie term is the boundary row itself: admitting it
+        back after its own −pre/+post pop keeps the candidate set from
+        shrinking on touched-but-unchanged boundary rows (the strictly-
+        better form forced refills earlier than the ≥slack-deletions
+        amortization); the k+2·slack capacity bound is unaffected because
+        the pop freed the slot in the same batch."""
         v, bv = F.col(self.order_col), F.col("_bv")
         cond = (v > bv) if self.descending else (v < bv)
         eq = v == bv
         for i, c in enumerate(self.key_cols):
             cond = cond | (eq & (F.col(c) < F.col(f"_bk{i}")))
-            eq = eq & (F.col(c) == F.col(f"_bk{i}"))
-        return bv.isNull() | cond
+            eq = eq & F.col(c).eqNullSafe(F.col(f"_bk{i}"))
+        return bv.isNull() | cond | eq
 
-    def _ckpt(self, cand: DataFrame, bound: DataFrame) -> None:
-        self._cand = cand.localCheckpoint()
-        self._bound = bound.localCheckpoint()
+    # --- sharded state I/O ---------------------------------------------------
+    def _bexpr(self):
+        """Shard id of a group — the engine's width-stable string-cast hash
+        (streaming/acyclic.py `_bucket_expr`), so equal group values land in
+        equal shards whatever numeric type the changelog pins."""
+        return F.pmod(
+            F.hash(*[F.col(c).cast("string") for c in self.group_cols]),
+            F.lit(self.buckets),
+        )
+
+    def _pin_schemas(self, template: DataFrame) -> None:
+        if self._schema is not None:
+            return
+        from pyspark.sql.types import StructField, StructType
+
+        self._schema = template.schema
+        by_name = {f.name: f for f in self._schema.fields}
+        self._bschema = StructType(
+            [by_name[c] for c in self.group_cols]
+            + [StructField("_bv", by_name[self.order_col].dataType)]
+            + [
+                StructField(f"_bk{i}", by_name[c].dataType)
+                for i, c in enumerate(self.key_cols)
+            ]
+        )
+
+    def _empty(self, schema) -> DataFrame:
+        return self._spark.createDataFrame([], schema)
+
+    def _read(self, mp: dict[str, str], schema, ephemeral, buckets) -> DataFrame:
+        if not self.durable:
+            df = ephemeral if ephemeral is not None else self._empty(schema)
+            if buckets is not None:
+                df = df.filter(self._bexpr().isin([int(b) for b in buckets]))
+            return df
+        want = None if buckets is None else {str(b) for b in buckets}
+        paths = [p for b, p in mp.items() if want is None or b in want]
+        if not paths:
+            return self._empty(schema)
+        return self._spark.read.schema(schema).parquet(*paths)
+
+    def _read_cand(self, buckets=None) -> DataFrame:
+        return self._read(self._cand_map, self._schema, self._cand, buckets)
+
+    def _read_bound(self, buckets=None) -> DataFrame:
+        return self._read(self._bound_map, self._bschema, self._bound, buckets)
+
+    # --- manifest (atomic commit point, durable mode) ------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.state_dir, "MANIFEST.json")
+
+    def _write_manifest(self) -> None:
+        data = {
+            "version": self._version,
+            "last_batch": self._last_batch,
+            "buckets": self.buckets,
+            "cand": self._cand_map,
+            "bound": self._bound_map,
+            "rows": self._bucket_rows,
+            "schema": json.loads(self._schema.json()) if self._schema else None,
+            "bschema": json.loads(self._bschema.json()) if self._bschema else None,
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, self._manifest_path())
+
+    def _load_manifest(self) -> None:
+        from pyspark.sql.types import StructType
+
+        with open(self._manifest_path()) as fh:
+            data = json.load(fh)
+        self._version = data["version"]
+        self._last_batch = data["last_batch"]
+        self.buckets = data["buckets"]
+        self._cand_map = data["cand"]
+        self._bound_map = data["bound"]
+        self._bucket_rows = data.get("rows", {})
+        if data["schema"] is not None:
+            self._schema = StructType.fromJson(data["schema"])
+            self._bschema = StructType.fromJson(data["bschema"])
+        self._gc()  # partial writes of a crashed batch
+
+    def _gc(self) -> None:
+        live = {
+            os.path.dirname(p)
+            for p in (*self._cand_map.values(), *self._bound_map.values())
+        }
+        for entry in os.listdir(self.state_dir):
+            if not entry.startswith(("cand_v", "bound_v")):
+                continue
+            full = os.path.join(self.state_dir, entry)
+            if full not in live:
+                shutil.rmtree(full, ignore_errors=True)
+
+    def _commit(
+        self, cand: DataFrame, bound: DataFrame, touched: list[int], batch_id
+    ) -> None:
+        """Publish the post-batch state of the TOUCHED shards; untouched
+        shards carry forward untouched (their files in durable mode, their
+        rows in ephemeral mode). Durable commit = versioned parquet writes,
+        then ONE atomic manifest replace — every referenced path is fully
+        written first, superseded dirs are GC'd after (two-phase, the
+        engine's discipline)."""
+        fields = [f.name for f in self._schema.fields]
+        cand = cand.select(*fields)
+        if not self.durable:
+            keep = ~self._bexpr().isin([int(b) for b in touched])
+            self._cand = (
+                self._read_cand().filter(keep).unionByName(cand).localCheckpoint()
+            )
+            self._bound = (
+                self._read_bound().filter(keep).unionByName(bound).localCheckpoint()
+            )
+            if batch_id is not None:
+                self._last_batch = batch_id
+            return
+        v = self._version + 1
+        n = max(len(touched), 1)
+        written = []
+        for df, name, mp in (
+            (cand, f"cand_v{v}", self._cand_map),
+            (bound, f"bound_v{v}", self._bound_map),
+        ):
+            path = os.path.join(self.state_dir, name)
+            (
+                df.withColumn(BUCKET, self._bexpr())
+                .repartition(n, F.col(BUCKET))
+                .sortWithinPartitions(*self.group_cols)
+                .write.mode("overwrite")
+                .partitionBy(BUCKET)
+                .parquet(path)
+            )
+            present = {
+                d.split("=", 1)[1]
+                for d in os.listdir(path)
+                if d.startswith(f"{BUCKET}=")
+            }
+            for b in touched:
+                sb = str(b)
+                if sb in present:
+                    mp[sb] = os.path.join(path, f"{BUCKET}={sb}")
+                else:
+                    mp.pop(sb, None)
+            written.append((path, present))
+        if self.bucket_target_rows > 0:
+            # per-shard row tracking feeds adaptive growth: ONE read of the
+            # freshly written touched shards (partition column rides along)
+            cpath, present = written[0]
+            got = (
+                {
+                    str(r[BUCKET]): r["_n"]
+                    for r in self._spark.read.parquet(cpath)
+                    .groupBy(BUCKET)
+                    .agg(F.count("*").alias("_n"))
+                    .collect()
+                }
+                if present
+                else {}
+            )
+            for b in touched:
+                sb = str(b)
+                if sb in got:
+                    self._bucket_rows[sb] = got[sb]
+                else:
+                    self._bucket_rows.pop(sb, None)
+        if batch_id is not None:
+            self._last_batch = batch_id
+        self._version = v
+        self._write_manifest()
+        self._gc()
+
+    def _maybe_grow(self) -> None:
+        """Adaptive shard growth (durable + ``bucket_target_rows`` only):
+        when mean rows/shard exceeds the target, double the shard count and
+        rewrite ALL shards — rare and amortized, exactly the engine's
+        ``bucket_target_rows`` compaction discipline. Keeps the touched-
+        shard read O(target) as groups grow 1000×."""
+        if not self.durable or self.bucket_target_rows <= 0:
+            return
+        total = sum(self._bucket_rows.values())
+        want = self.buckets
+        while total / want > self.bucket_target_rows:
+            want *= 2
+        if want == self.buckets:
+            return
+        cand, bound = self._read_cand(), self._read_bound()  # old layout paths
+        self.buckets = want
+        self._commit(cand, bound, list(range(want)), None)
 
     def prime(self) -> None:
         """(Re)build candidates from the full view — initial attach to an
-        existing view, or restart recovery."""
-        view = self._refill_fn(None).filter(F.col(self.order_col).isNotNull())
+        existing view, or recovery of an EPHEMERAL instance. A durable
+        instance restarts via ``resume=True`` instead (no view scan)."""
+        view = self._refill_fn(None)
+        self._spark = self._spark or view.sparkSession
+        self._pin_schemas(view)
+        view = view.filter(F.col(self.order_col).isNotNull())
         ranked = self._rank(view)
-        self._ckpt(
+        self._commit(
             ranked.filter(F.col("_rn") <= self.k + self.slack).drop("_rn"),
             self._bound_of(ranked),
+            list(range(self.buckets)),
+            None,
         )
 
     # --- maintenance ---------------------------------------------------------
-    def apply(self, changelog: DataFrame | None) -> None:
+    def apply(self, changelog: DataFrame | None, batch_id: int | None = None) -> None:
+        """Fold one batch's emit_delta changelog into the sharded candidate
+        state. Only the shards the changelog's groups hash into are read and
+        rewritten. ``batch_id`` (optional) makes crash-replay redelivery a
+        no-op once the manifest committed that batch."""
         if changelog is None:
             return
+        if (
+            batch_id is not None
+            and self._last_batch is not None
+            and batch_id <= self._last_batch
+        ):
+            return
+        self._spark = self._spark or changelog.sparkSession
+        self._pin_schemas(changelog.drop(WEIGHT))
         gk = [*self.group_cols, *self.key_cols]
-        if self._cand is None:
-            # fresh stream: empty candidates are complete-for-every-group
-            empty = changelog.drop(WEIGHT).filter(F.lit(False))
-            self._ckpt(empty, self._bound_of(self._rank(empty)))
+        # the batch's shard footprint: ≤ ``buckets`` ints to the driver
+        tb = sorted(
+            r["_b"]
+            for r in changelog.select(self._bexpr().alias("_b")).distinct().collect()
+        )
+        self.last_touched_buckets = len(tb)
+        if not tb:
+            self._commit(self._empty(self._schema), self._empty(self._bschema), [], batch_id)
+            return
+        cand0 = self._read_cand(tb)
+        bound0 = self._read_bound(tb)
+        if self.instrument and self.durable:
+            # metadata-only counts of the shards this batch will read
+            self.last_read_rows = cand0.count()
         neg = changelog.filter(F.col(WEIGHT) < 0).select(*gk)
         pos = (
             changelog.filter(
@@ -343,19 +834,26 @@ class GroupedTopKView:
             )
             .drop(WEIGHT)
         )
-        cand = self._cand.join(neg, on=gk, how="left_anti")
+        cand = cand0.join(neg, on=gk, how="left_anti")
         admitted = (
-            pos.join(self._bound, on=list(self.group_cols), how="left")
+            pos.join(bound0, on=list(self.group_cols), how="left")
             .filter(self._beats_bound())
-            .select(*self._cand.columns)
+            .select(*cand0.columns)
         )
-        cand = cand.unionByName(admitted)
+        # UPSERT, not multiset union: under the engine's crash-replay
+        # changelog redelivery a +post row with no matching −pre (new group)
+        # can be re-applied to the same instance — anti-joining admitted
+        # keys out first makes re-admission replace, never duplicate
+        # (mirrors TopKView's dict-keyed buffer semantics)
+        cand = cand.join(admitted.select(*gk), on=gk, how="left_anti").unionByName(
+            admitted
+        )
 
         counts = cand.groupBy(*self.group_cols).agg(F.count("*").alias("_n"))
         # drained: trimmed groups (have a boundary) no longer holding k
         # candidates — including groups whose candidates vanished entirely
-        # (no counts row at all)
-        drained = self._bound.select(*self.group_cols).join(
+        # (no counts row at all). Only touched shards can drain.
+        drained = bound0.select(*self.group_cols).join(
             counts.filter(F.col("_n") >= self.k),
             on=list(self.group_cols),
             how="left_anti",
@@ -369,10 +867,10 @@ class GroupedTopKView:
             .unionByName(
                 ranked_fresh.filter(F.col("_rn") <= self.k + self.slack)
                 .drop("_rn")
-                .select(*self._cand.columns)
+                .select(*cand0.columns)
             )
         )
-        bound = self._bound.join(
+        bound = bound0.join(
             drained, on=list(self.group_cols), how="left_anti"
         ).unionByName(self._bound_of(ranked_fresh))
 
@@ -393,11 +891,12 @@ class GroupedTopKView:
         bound = bound.join(
             over, on=list(self.group_cols), how="left_anti"
         ).unionByName(self._bound_of(ranked_over))
-        self._ckpt(cand, bound)
+        self._commit(cand, bound, tb, batch_id)
+        self._maybe_grow()
 
     # --- emission ------------------------------------------------------------
     def result(self) -> DataFrame:
         """Exact per-group top-k: rank candidates only — never the view."""
-        if self._cand is None:
+        if self._schema is None:
             raise ValueError("no batch applied and not primed — call prime()")
-        return self._rank(self._cand).filter(F.col("_rn") <= self.k).drop("_rn")
+        return self._rank(self._read_cand()).filter(F.col("_rn") <= self.k).drop("_rn")

@@ -25,7 +25,7 @@ from flink_and_acyclic_schema_spark.streaming.acyclic import (
     IncrementalAcyclicQuery,
     RelSpec,
 )
-from flink_and_acyclic_schema_spark.streaming.topk import TopKView
+from flink_and_acyclic_schema_spark.streaming.topk import WEIGHT, TopKView
 
 ITEM_SCHEMA = "kid int, val int, weight int"
 
@@ -342,6 +342,237 @@ def test_grouped_topk_property_prefix_closure(spark, tmp_path_factory, batched):
         _gapply(spark, eng, topk, rows, i)
         seen.extend(rows)
         assert _ggot(topk) == _gmodel(seen)
+
+
+def test_topk_tie_heavy_measure_bounds_driver_transfer(spark, tmp_path):
+    """Degenerate boundary-VALUE ties (a low-cardinality integer measure where
+    dozens of rows tie the boundary total): the FULL lexicographic tiebreak is
+    pushed into the Spark-side filter, so the per-batch collect stays O(k) —
+    rows tying the boundary value but ranked after it by key never reach the
+    driver — and the result stays exact."""
+    eng, topk = _pair(spark, tmp_path)  # k=3, slack=2 -> boundary at rank 5
+    # kids 0..2 lead; kids 3..59 ALL total 50 -> the buffer trims at
+    # (50, (4,)); 55 live rows tie the boundary value
+    ops = [(i, 100 - i, 1) for i in range(3)] + [(i, 50, 1) for i in range(3, 60)]
+    _apply(spark, eng, topk, ops, 0)
+    assert _got(topk) == _model_topk(ops)
+    # touch EVERY tied kid (value unchanged: -pre/+post at the same total
+    # via a net-zero pair is invisible; use +1/-1 on a side row so each
+    # group is touched but its total moves by 0 overall across two rows)
+    churn = [(i, 1, 1) for i in range(5, 60)] + [(i, 1, -1) for i in range(5, 60)]
+    _apply(spark, eng, topk, churn, 1)
+    # 110 changelog rows tie-adjacent to the boundary value; the lexicographic
+    # pushdown must keep the collect within the buffer budget, not O(ties)
+    assert topk.applied_rows <= topk.k + 2 * topk.slack
+    assert _got(topk) == _model_topk(ops + churn)
+    assert topk.refills == 0
+
+
+def test_topk_boundary_row_touched_but_unchanged_is_readmitted(spark, tmp_path):
+    """A −pre/+post pair on the boundary row with an unchanged sort key must
+    readmit the row (at-or-equal admission): the strictly-better form dropped
+    it, spuriously shrinking the buffer and forcing early refills."""
+    eng, topk = _pair(spark, tmp_path)  # k=3, slack=2
+    ops = [(i, 10 * (10 - i), 1) for i in range(8)]  # totals 100..30
+    _apply(spark, eng, topk, ops, 0)
+    assert len(topk._buffer) == K + SLACK  # trimmed; boundary = kid 4
+    before = dict(topk._buffer)
+    # touch the boundary row's group with a net-zero value change
+    _apply(spark, eng, topk, [(4, 7, 1), (4, 7, -1)], 1)
+    assert topk._buffer == before  # readmitted, not dropped
+    assert topk.refills == 0
+
+
+def test_topk_first_batch_collect_is_capped(spark, tmp_path):
+    """prime=False + a LARGE first batch: with no boundary yet the old code
+    collected the entire changelog; now insertions are seeded via a Spark-side
+    orderBy/limit so the driver transfer is capped at k+2·slack+1 rows, and
+    the trimmed buffer + boundary make the result exact anyway."""
+    eng, topk = _pair(spark, tmp_path)  # k=3, slack=2 -> cap 8
+    ops = [(i, i + 1, 1) for i in range(5_000)]
+    _apply(spark, eng, topk, ops, 0)
+    assert topk.applied_rows <= K + 2 * SLACK + 1  # not 5000
+    assert topk._boundary is not None  # completeness claim withdrawn
+    assert _got(topk) == _model_topk(ops)
+    # follow-up churn still exact (boundary regime)
+    more = [(4_999, 5_000, -1), (4_998, 4_999, -1)]
+    _apply(spark, eng, topk, more, 1)
+    assert _got(topk) == _model_topk(ops + more)
+
+
+def test_grouped_topk_replayed_changelog_is_idempotent(spark, tmp_path):
+    """Crash-replay redelivery: re-applying the SAME changelog (including
+    +post rows with no matching −pre — brand-new groups) must not duplicate
+    candidate rows or displace legitimate ones — admission is an upsert."""
+    eng, topk = _gpair(spark, tmp_path)
+    ops = [(0, i, 10 * (5 - i), 1) for i in range(5)] + [(1, 0, 7, 1)]
+    delta = eng.process_batch(
+        {"items": spark.createDataFrame(ops, G_SCHEMA)}, batch_id=0, emit_delta=True
+    ).localCheckpoint()
+    topk.apply(delta)
+    want = _gmodel(ops)
+    assert _ggot(topk) == want
+    topk.apply(delta)  # redelivered verbatim
+    assert _ggot(topk) == want
+    # candidate multiset holds no duplicates: (g, kid) unique
+    cand = topk._cand
+    assert cand.count() == cand.select("g", "kid").distinct().count()
+
+
+def test_topk_durable_resume_and_replay(spark, tmp_path):
+    """Durable TopKView: buffer/boundary persist behind an atomic manifest,
+    so a new instance with resume=True reattaches WITHOUT a refill (no view
+    scan) and keeps exact; a crash-REPLAYED batch is skipped and returns the
+    PERSISTED emitted changelog — the exactly-once sink contract."""
+    sdir = str(tmp_path / "tkstate")
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), SPEC)
+
+    def mk(resume):
+        return TopKView(
+            K, "total", ("kid",), refill=eng.result, slack=SLACK,
+            prime=False, state_dir=sdir, spark=spark, resume=resume,
+        )
+
+    topk = mk(False)
+    ops0 = [(i, 10 * (10 - i), 1) for i in range(10)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, ITEM_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    out0 = topk.apply(d0, batch_id=0)
+    ops1 = [(0, 100, -1), (9, 95, 1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, ITEM_SCHEMA)}, batch_id=1, emit_delta=True
+    ).localCheckpoint()
+    out1 = topk.apply(d1, batch_id=1)
+    assert _got(topk) == _model_topk(ops0 + ops1)
+
+    # "crash": a fresh instance resumes from the manifest — no refill
+    re = mk(True)
+    assert re.refills == 0
+    assert re._buffer == topk._buffer and re._boundary == topk._boundary
+    # foreachBatch redelivers batch 1: skipped, persisted changelog returned
+    replay = re.apply(d1, batch_id=1)
+    assert sorted(
+        ((r["kid"], r["total"], r[WEIGHT]) for r in replay)
+    ) == sorted((r["kid"], r["total"], r[WEIGHT]) for r in out1)
+    assert re._buffer == topk._buffer  # untouched by the replay
+    # stream continues exactly
+    ops2 = [(1, 90, -1), (2, 80, -1)]
+    _d2 = eng.process_batch(
+        {"items": spark.createDataFrame(ops2, ITEM_SCHEMA)}, batch_id=2, emit_delta=True
+    )
+    re.apply(_d2, batch_id=2)
+    assert _got(re) == _model_topk(ops0 + ops1 + ops2)
+    assert out0 is not None  # first batch emitted its build-up changelog
+
+
+def _gdurable(spark, tmp_path, eng, resume, **kw):
+    return GroupedTopKView(
+        GK, "total", ("g",), ("kid",),
+        refill=lambda t: eng.result(t), slack=GSLACK,
+        state_dir=str(tmp_path / "gtk"), spark=spark, resume=resume, **kw,
+    )
+
+
+def test_grouped_topk_kill_and_recover_without_reprime(spark, tmp_path):
+    """The round-6 gap, closed: candidate/boundary shards are manifest-
+    committed parquet, so after a process kill a resume=True instance
+    continues from committed state WITHOUT prime() (no O(view) re-rank —
+    refill calls stay zero on the resume path), replayed batches are
+    no-ops, and the stream stays exact."""
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), G_SPEC)
+    refill_calls = {"n": 0}
+
+    def refill(t):
+        refill_calls["n"] += 1
+        return eng.result(t)
+
+    topk = GroupedTopKView(
+        GK, "total", ("g",), ("kid",), refill=refill, slack=GSLACK,
+        state_dir=str(tmp_path / "gtk"), spark=spark,
+    )
+    ops0 = [(g, i, 10 * (5 - i) + g, 1) for g in range(3) for i in range(5)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, G_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    topk.apply(d0, batch_id=0)
+    ops1 = [(0, 0, 50, -1), (1, 9, 99, 1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, G_SCHEMA)}, batch_id=1, emit_delta=True
+    ).localCheckpoint()
+    topk.apply(d1, batch_id=1)
+    assert _ggot(topk) == _gmodel(ops0 + ops1)
+
+    # "kill" the process: a brand-new instance resumes from the manifest
+    refill_calls["n"] = 0
+    re = _gdurable(spark, tmp_path, eng, resume=True)
+    re._refill_fn = refill
+    assert _ggot(re) == _gmodel(ops0 + ops1)
+    assert refill_calls["n"] == 0  # recovery scanned NO view state
+    # replayed batch 1 (foreachBatch redelivery): a committed no-op
+    re.apply(d1, batch_id=1)
+    assert _ggot(re) == _gmodel(ops0 + ops1)
+    # stream continues exactly (deletes drain group 0 into refill territory)
+    ops2 = [(0, 1, 41, -1), (0, 2, 32, -1), (0, 3, 23, -1)]
+    d2 = eng.process_batch(
+        {"items": spark.createDataFrame(ops2, G_SCHEMA)}, batch_id=2, emit_delta=True
+    )
+    re.apply(d2, batch_id=2)
+    assert _ggot(re) == _gmodel(ops0 + ops1 + ops2)
+
+
+def test_grouped_topk_reads_only_touched_shards(spark, tmp_path):
+    """The per-batch rebuild is restricted to the shards the changelog's
+    groups hash into: a batch touching ONE group must read only that shard's
+    candidate rows, not the full candidate table — the O(Δ ⋈ touched)
+    cost model at 100 TB."""
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), G_SPEC)
+    topk = _gdurable(spark, tmp_path, eng, resume=False, buckets=8)
+    topk.instrument = True
+    # 64 groups x 4 members spread over 8 shards
+    ops0 = [(g, i, 10 * (4 - i) + g, 1) for g in range(64) for i in range(4)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, G_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    topk.apply(d0, batch_id=0)
+    total_cand = topk._read_cand().count()
+    assert total_cand >= 64 * (GK + GSLACK) - 64  # ~3 candidates per group
+    # one-group churn: only its shard is read
+    ops1 = [(7, 0, 47, -1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, G_SCHEMA)}, batch_id=1, emit_delta=True
+    )
+    topk.apply(d1, batch_id=1)
+    assert topk.last_touched_buckets == 1
+    assert topk.last_read_rows <= total_cand // 4  # one shard, not the table
+    assert _ggot(topk) == _gmodel(ops0 + ops1)
+
+
+def test_grouped_topk_adaptive_shard_growth(spark, tmp_path):
+    """bucket_target_rows grows the shard count (powers of two, full
+    rewrite) when mean rows/shard exceeds the target — per-shard reads stay
+    flat as groups multiply — and the result stays exact through a growth
+    event and a subsequent resume."""
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), G_SPEC)
+    topk = _gdurable(
+        spark, tmp_path, eng, resume=False, buckets=2, bucket_target_rows=20
+    )
+    ops0 = [(g, i, 10 * (4 - i) + g, 1) for g in range(40) for i in range(4)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, G_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    topk.apply(d0, batch_id=0)  # ~120 candidates / 2 shards >> 20/shard
+    assert topk.buckets > 2  # grew
+    assert _ggot(topk) == _gmodel(ops0)
+    # resumed instance sees the grown layout from the manifest
+    re = _gdurable(spark, tmp_path, eng, resume=True, bucket_target_rows=20)
+    assert re.buckets == topk.buckets
+    ops1 = [(3, 0, 43, -1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, G_SCHEMA)}, batch_id=1, emit_delta=True
+    )
+    re.apply(d1, batch_id=1)
+    assert _ggot(re) == _gmodel(ops0 + ops1)
 
 
 def test_topk_over_sliding_window_view_composes_with_ttl(spark, tmp_path):

@@ -129,6 +129,94 @@ def main() -> None:
     spark.stop()
 
 
+def ties() -> None:
+    """Tie-heavy cost model: EVERY group total is drawn from 10 distinct
+    values, so thousands of live rows tie the buffer's boundary VALUE — the
+    degenerate case where a value-only changelog restriction would collect
+    O(ties) rows per batch. The full lexicographic pushdown must keep the
+    per-batch driver transfer within the buffer budget (k+2·slack), while
+    the result stays exact vs a from-scratch rank.
+
+    Usage:  python tools/topk_churn_scaling.py ties [groups] [batches] [bulk]
+    """
+    groups = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    batches = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    bulk = int(sys.argv[4]) if len(sys.argv) > 4 else 2_000
+    spark = get_spark(app_name="topk_ties_scaling", shuffle_partitions=16)
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("kid",),
+        measures={"total": lambda: F.col("v")},
+    )
+    work = tempfile.mkdtemp(prefix="topk_ties_")
+    eng = IncrementalAcyclicQuery(spark, work, spec)
+    topk = TopKView(K, "total", ("kid",), refill=eng.result, slack=SLACK, prime=False)
+
+    # group g totals (g%10 + 1) * 10 — ten distinct totals; the top value
+    # (100) is shared by groups//10 groups, so the boundary sits INSIDE a
+    # ~10k-deep value tie broken only by kid
+    seed = spark.range(groups).select(
+        F.col("id").alias("kid"),
+        ((F.col("id") % 10 + 1) * 10).alias("v"),
+        F.lit(1).alias("weight"),
+    )
+    topk.apply(eng.process_batch({"items": seed}, 0, emit_delta=True))
+
+    per_batch = []
+    for b in range(1, batches + 1):
+        # churn `bulk` groups INSIDE the boundary-tie cohort (kid ≡ 9 mod 10,
+        # total 100) with net-zero pairs: every one is a touched group whose
+        # −pre/+post rows tie the boundary value exactly
+        base = (b * 7919) % (groups // 10)
+        kids = [((base + i) % (groups // 10)) * 10 + 9 for i in range(bulk)]
+        ops = [(kid, 1, 1) for kid in kids] + [(kid, 1, -1) for kid in kids]
+        delta = spark.createDataFrame(ops, SCHEMA).localCheckpoint()
+        ch = eng.process_batch({"items": delta}, b, emit_delta=True)
+        n_changelog = ch.count()
+        topk.apply(ch)
+        per_batch.append(
+            {
+                "batch": b,
+                "changelog_rows": int(n_changelog),
+                "collected_rows": topk.applied_rows,
+            }
+        )
+
+    want = [
+        (r["kid"], r["total"])
+        for r in eng.result()
+        .orderBy(F.col("total").desc(), F.col("kid").asc())
+        .limit(K)
+        .collect()
+    ]
+    got = [(r["kid"], r["total"]) for r in topk.result_rows()]
+    collected = [p["collected_rows"] for p in per_batch]
+    out = {
+        "metric": "topk_tie_heavy_transfer",
+        "groups": groups,
+        "distinct_totals": 10,
+        "rows_tying_top_value": groups // 10,
+        "batches": batches,
+        "tie_churn_groups_per_batch": bulk,
+        "k": K,
+        "slack": SLACK,
+        # a touched buffered group contributes BOTH a −pre and a +post row,
+        # so the exact per-batch ceiling is 2×(buffer capacity)
+        "collect_ceiling": 2 * (K + 2 * SLACK),
+        "mean_changelog_rows_per_batch": round(
+            sum(p["changelog_rows"] for p in per_batch) / len(per_batch), 1
+        ),
+        "mean_collected_rows_per_batch": round(sum(collected) / len(collected), 1),
+        "max_collected_rows_per_batch": max(collected),
+        "collect_bounded_by_buffer": max(collected) <= 2 * (K + 2 * SLACK),
+        "refills": topk.refills,
+        "result_exact": got == want,
+        "per_batch": per_batch,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
 def grouped() -> None:
     """GroupedTopKView cost model, measured: candidates are a (k+slack)/members
     reduction of the view, and a drained group's refill reads ONLY that
@@ -229,5 +317,7 @@ def grouped() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "grouped":
         grouped()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ties":
+        ties()
     else:
         main()
