@@ -36,24 +36,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..streaming.acyclic import AcyclicQuerySpec, IncrementalAcyclicQuery, RelSpec
+from ..streaming.acyclic import (
+    AcyclicQuerySpec,
+    IncrementalAcyclicQuery,
+    RelSpec,
+    TopKSpec,
+)
 from ..streaming.delta_transport import (
     DeltaGen,
     generate_delta_chunks,
     run_delta_stream,
     split_deltas,
 )
-from ..streaming.topk import TopKView
 from .ivm_ext import _revenue
 from .q10 import Q10_DATE_HI, Q10_DATE_LO
 from .streaming_plans import _scratch
 
 
-def incremental_q10_topk_buffer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous Q10 top-20 via the maintained candidate buffer — the exact
-    ``ORDER BY revenue DESC LIMIT 20`` under retraction (module docstring)."""
-    scratch = _scratch("ivm_topk_buf", sf_dir)
-    gens = (
+def _q10_gens() -> tuple[DeltaGen, ...]:
+    return (
         # orders del_mod=7 retires whole orders (several lineitems at once),
         # so top customers' revenues keep dropping — the retraction-promotes-
         # runner-up path runs for real, not just in unit tests
@@ -78,11 +79,12 @@ def incremental_q10_topk_buffer_stream(spark: SparkSession, sf_dir: str) -> Data
         ),
         DeltaGen("nation", "n_nationkey", ("n_nationkey", "n_name")),
     )
-    delta_dir, schema = generate_delta_chunks(
-        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
-    )
-    rel_columns = {g.table: g.columns for g in gens}
-    spec = AcyclicQuerySpec(
+
+
+def _q10_topk_spec() -> AcyclicQuerySpec:
+    """The full Q10 tree + the spec-level continuous ORDER BY/LIMIT knob —
+    shared by the buffer-maintained query and the ordered-emission sink."""
+    return AcyclicQuerySpec(
         relations=(
             RelSpec(
                 "lineitem",
@@ -123,30 +125,94 @@ def incremental_q10_topk_buffer_stream(spark: SparkSession, sf_dir: str) -> Data
             "c_acctbal",
             "n_name",
         ),
+        # the spec-level knob (round 7): the engine wires the maintained
+        # candidate buffer itself — durable under <state>/topk, fed from its
+        # own changelog, replay-skipped on redelivery
+        top_k=TopKSpec(k=20, order_by="revenue", key=("c_custkey",), slack=10),
     )
-    eng = IncrementalAcyclicQuery(spark, f"{scratch}/state", spec)
-    topk = TopKView(
-        20, "revenue", ("c_custkey",), refill=eng.result, slack=10, prime=False
+
+
+def incremental_q10_topk_buffer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous Q10 top-20 via the maintained candidate buffer — the exact
+    ``ORDER BY revenue DESC LIMIT 20`` under retraction (module docstring)."""
+    scratch = _scratch("ivm_topk_buf", sf_dir)
+    gens = _q10_gens()
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
     )
+    rel_columns = {g.table: g.columns for g in gens}
+    eng = IncrementalAcyclicQuery(spark, f"{scratch}/state", _q10_topk_spec())
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        topk.apply(
-            eng.process_batch(
-                split_deltas(batch, rel_columns), batch_id, emit_delta=True
-            )
-        )
+        eng.process_batch(split_deltas(batch, rel_columns), batch_id)
 
     run_delta_stream(spark, delta_dir, schema, scratch, handle)
-    out_schema = eng.result().schema
-    rows = [
-        tuple(r[f.name] for f in out_schema.fields) for r in topk.result_rows()
-    ]
-    return spark.createDataFrame(rows, out_schema)
+    return eng.topk_result()
 
 
 register(
     "incremental_q10_topk_buffer_stream",
     incremental_q10_topk_buffer_stream,
+    f"""WITH li AS (
+         SELECT *, 1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
+         FROM lineitem WHERE l_returnflag = 'R'),
+       o AS (
+         SELECT *, 1 - (o_orderkey % 7 = 0)::INT AS m
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+           AND o_orderdate <  TIMESTAMP '{Q10_DATE_HI}'),
+       c AS (
+         SELECT *, 1 - (c_custkey % 13 = 0)::INT AS m FROM customer)
+       SELECT c_custkey, c_name,
+              sum(li.m * o.m * c.m * l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS revenue,
+              c_acctbal, n_name
+       FROM li JOIN o ON l_orderkey = o_orderkey
+       JOIN c ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       HAVING sum(li.m * o.m * c.m) > 0
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+
+
+def incremental_topk_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sink leg in its FULL intended form (ref
+    DataFlow.java:58 emits unordered per-update rows; the intended query
+    ends ``ORDER BY revenue DESC LIMIT 20``): the continuously-maintained
+    top-20's OWN ±changelog, appended per batch to a parquet sink under the
+    exactly-once discipline — the top-k structure persists each batch's
+    emitted delta inside its atomic manifest commit (streaming/topk.py
+    ``_persist``), so a crash-replayed batch hands the sink the SAME rows
+    and the fixed-path overwrite never double-emits
+    (tests/test_topk_view.py::test_topk_sink_crash_replay_no_double_emission).
+
+    The oracle hash-checks the TELESCOPED NET of the whole emitted stream —
+    Σ batches (−exits +entries) per row — against a from-scratch
+    ``ORDER BY revenue DESC LIMIT 20``: a dropped, doubled, or mis-signed
+    emission anywhere in the stream cannot cancel out."""
+    from .ivm_sink_ext import compact_sink, write_changelog
+
+    scratch = _scratch("ivm_topk_sink", sf_dir)
+    gens = _q10_gens()
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+    eng = IncrementalAcyclicQuery(spark, f"{scratch}/state", _q10_topk_spec())
+    sink_dir = f"{scratch}/sink"
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        eng.process_batch(split_deltas(batch, rel_columns), batch_id)
+        write_changelog(eng.topk_delta(), sink_dir, batch_id)
+
+    run_delta_stream(spark, delta_dir, schema, scratch, handle)
+    return compact_sink(spark, sink_dir)
+
+
+register(
+    "incremental_topk_sink_stream",
+    incremental_topk_sink_stream,
     f"""WITH li AS (
          SELECT *, 1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
          FROM lineitem WHERE l_returnflag = 'R'),
@@ -180,9 +246,11 @@ def incremental_topk_per_group_stream(spark: SparkSession, sf_dir: str) -> DataF
     equi-joins against the changelog, drained groups refill through the
     engine's RESTRICTED emission (``result(touched)`` pushes the group set
     into every state read as a semi-join), and emission ranks candidates —
-    a (k+slack)-fold reduction of the view — never the view itself."""
+    a (k+slack)-fold reduction of the view — never the view itself. Round 7:
+    candidate/boundary state is manifest-committed sharded parquet (only the
+    shards a batch's changelog touches are read/rewritten), declared through
+    the spec-level ``top_k`` knob."""
     from ..functions.numeric import dec
-    from ..streaming.topk import GroupedTopKView
 
     scratch = _scratch("ivm_gtopk", sf_dir)
     gens = (
@@ -224,21 +292,21 @@ def incremental_topk_per_group_stream(spark: SparkSession, sf_dir: str) -> DataF
         finalize=lambda df: df.select(
             "n_name", "c_custkey", F.col("revenue").cast("double").alias("revenue")
         ),
+        top_k=TopKSpec(
+            k=3,
+            order_by="revenue",
+            partition_by=("n_name",),
+            key=("c_custkey",),
+            slack=3,
+        ),
     )
     eng = IncrementalAcyclicQuery(spark, f"{scratch}/state", spec)
-    topk = GroupedTopKView(
-        3, "revenue", ("n_name",), ("c_custkey",), refill=lambda t: eng.result(t), slack=3
-    )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        topk.apply(
-            eng.process_batch(
-                split_deltas(batch, rel_columns), batch_id, emit_delta=True
-            )
-        )
+        eng.process_batch(split_deltas(batch, rel_columns), batch_id)
 
     run_delta_stream(spark, delta_dir, schema, scratch, handle)
-    return topk.result()
+    return eng.topk_result()
 
 
 register(

@@ -356,11 +356,47 @@ class RelSpec:
 
 
 @dataclass(frozen=True)
+class TopKSpec:
+    """Continuous ``ORDER BY order_by [DESC] LIMIT k`` over the maintained
+    view — the clause the reference DROPPED from its intended query (its
+    dataflow has no ordered-emission operator anywhere, ref
+    DataFlow.java:26-61). Declared on ``AcyclicQuerySpec.top_k``, the engine
+    wires the right maintained structure itself: a bounded driver-side
+    candidate buffer for the GLOBAL form (streaming/topk.py TopKView), or
+    group-sharded Spark-side candidate state when ``partition_by`` names
+    grouping columns (GroupedTopKView — the continuous
+    ``row_number() OVER (PARTITION BY …) <= k``). Both persist under
+    ``<state_dir>/topk`` with the engine's manifest discipline, resume with
+    the engine, and skip crash-replayed batches.
+
+    ``key`` is the unique key of EMITTED rows used as the deterministic
+    ascending tiebreak (``ORDER BY v DESC, key``); default: the spec's
+    group_by minus ``partition_by``. ``slack`` extra buffered rows amortize
+    refills over ≥slack top-region deletions (default k). ``buckets`` /
+    ``bucket_target_rows`` shard the per-group candidate state."""
+
+    k: int
+    order_by: str
+    partition_by: tuple[str, ...] = ()
+    key: tuple[str, ...] | None = None
+    slack: int | None = None
+    descending: bool = True
+    buckets: int = 8
+    bucket_target_rows: int = 0
+
+    def __post_init__(self):
+        if self.k < 1:
+            raise ValueError("top_k: k must be >= 1")
+        if self.buckets < 1:
+            raise ValueError("top_k: buckets must be >= 1")
+
+
+@dataclass(frozen=True)
 class AcyclicQuerySpec:
     """Declarative spec of a continuously-maintained acyclic-tree aggregate:
     roughly ``SELECT group_by, SUM(measure)… FROM ⋈tree WHERE filters
-    GROUP BY … [HAVING …]`` kept incrementally correct under inserts AND
-    deletes on every base relation."""
+    GROUP BY … [HAVING …] [ORDER BY … LIMIT k]`` kept incrementally correct
+    under inserts AND deletes on every base relation."""
 
     relations: tuple[RelSpec, ...]
     group_by: tuple[str, ...]
@@ -406,6 +442,11 @@ class AcyclicQuerySpec:
     having: Callable[[], Column] | None = None
     # optional final projection/cast applied to the emitted DataFrame
     finalize: Callable[[DataFrame], DataFrame] | None = None
+    # optional continuous ORDER BY/LIMIT over the emitted view (TopKSpec):
+    # the engine feeds its own emit_delta changelog into a maintained top-k
+    # structure each batch; read it with ``topk_result()``. order_by / key /
+    # partition_by name EMITTED columns (post-finalize).
+    top_k: TopKSpec | None = None
 
     def __post_init__(self):
         if not self.relations:
@@ -442,6 +483,17 @@ class AcyclicQuerySpec:
             (p,) = [r for r in self.relations if r.name == self.preserve]
             if p.semi or p.anti:
                 raise ValueError("preserve relation cannot be a semi/anti gate")
+        if self.top_k is not None:
+            key = self.top_k.key or tuple(
+                c for c in self.group_by if c not in self.top_k.partition_by
+            )
+            if not key:
+                raise ValueError(
+                    "top_k needs a unique row key: group_by minus "
+                    "partition_by is empty — set TopKSpec.key"
+                )
+            if set(self.top_k.partition_by) & set(key):
+                raise ValueError("top_k: partition_by and key must be disjoint")
         n_anti = sum(1 for r in self.relations if r.anti)
         if n_anti > 3:
             raise ValueError(
@@ -554,6 +606,58 @@ class IncrementalAcyclicQuery:
             if os.path.exists(state_dir):
                 shutil.rmtree(state_dir)
             os.makedirs(state_dir)
+        # spec-level continuous ORDER BY/LIMIT (TopKSpec): the maintained
+        # top-k structure lives under <state_dir>/topk with its own atomic
+        # manifest, created AFTER the state-dir reset/resume above so fresh
+        # engines start it fresh and resumed engines reattach to it
+        self._topk = None
+        if spec.top_k is not None:
+            from .topk import GroupedTopKView, TopKView
+
+            t = spec.top_k
+            key = t.key or tuple(
+                c for c in spec.group_by if c not in t.partition_by
+            )
+            tdir = os.path.join(state_dir, "topk")
+            # resumed engine without a committed top-k manifest (e.g. the
+            # knob was added to an existing state dir): the structure must
+            # PRIME from the live view instead of claiming completeness
+            # over an empty one
+            need_prime = (
+                resume
+                and not os.path.exists(os.path.join(tdir, "MANIFEST.json"))
+                and bool(self._segments.get("agg"))
+            )
+            if t.partition_by:
+                self._topk = GroupedTopKView(
+                    t.k,
+                    t.order_by,
+                    t.partition_by,
+                    key,
+                    refill=self.result,
+                    descending=t.descending,
+                    slack=t.slack,
+                    state_dir=tdir,
+                    spark=spark,
+                    buckets=t.buckets,
+                    bucket_target_rows=t.bucket_target_rows,
+                    resume=resume,
+                )
+                if need_prime:
+                    self._topk.prime()
+            else:
+                self._topk = TopKView(
+                    t.k,
+                    t.order_by,
+                    key,
+                    refill=self.result,
+                    descending=t.descending,
+                    slack=t.slack,
+                    prime=need_prime,
+                    state_dir=tdir,
+                    spark=spark,
+                    resume=resume,
+                )
 
     # --- manifest (atomic commit point) -------------------------------------
     def _manifest_path(self) -> str:
@@ -610,7 +714,9 @@ class IncrementalAcyclicQuery:
         if self._emitted is not None:
             live.add(os.path.basename(self._emitted["path"]))
         for entry in os.listdir(self.state_dir):
-            if entry.startswith("MANIFEST"):
+            # "topk" is the spec-level top-k structure's own manifest-managed
+            # subtree (TopKSpec) — not this manifest's to garbage-collect
+            if entry.startswith("MANIFEST") or entry == "topk":
                 continue
             if entry not in live:
                 shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
@@ -1067,24 +1173,39 @@ class IncrementalAcyclicQuery:
         # emit_delta batch returns the PERSISTED changelog of that batch
         # (written inside the batch's atomic commit), so downstream engines
         # and sinks can catch up — exactly-once extends across chains
+        want_delta = emit_delta or self._topk is not None
         if (
             batch_id is not None
             and self._last_batch is not None
             and batch_id <= self._last_batch
         ):
+            ch = None
             if (
-                emit_delta
+                want_delta
                 and self._emitted is not None
                 and self._emitted["batch"] == batch_id
             ):
-                return self.spark.read.parquet(self._emitted["path"])
-            return None
+                ch = self.spark.read.parquet(self._emitted["path"])
+            # the spec-level top-k may still be BEHIND the engine commit (a
+            # crash landed between the two manifests): feeding the persisted
+            # changelog catches it up; its own replay skip makes this a no-op
+            # when it already committed the batch
+            if self._topk is not None and ch is not None:
+                self._topk.apply(ch, batch_id)
+            return ch if emit_delta else None
         snap = self._snapshot()
         try:
-            return self._process_batch_inner(deltas, batch_id, emit_delta)
+            changelog = self._process_batch_inner(deltas, batch_id, want_delta)
         except BaseException:
             self._restore(snap)
             raise
+        # OUTSIDE the rollback scope: the engine manifest is committed by
+        # now, so a top-k failure must NOT restore in-memory fields to the
+        # pre-batch snapshot (disk would then be ahead of memory) — a retry
+        # re-enters through the replay-skip branch above instead
+        if self._topk is not None and changelog is not None:
+            self._topk.apply(changelog, batch_id)
+        return changelog if emit_delta else None
 
     def _process_batch_inner(
         self,
@@ -1523,6 +1644,41 @@ class IncrementalAcyclicQuery:
         O(subset ⋈ state) — the hook downstream consumers (chained engines,
         GroupedTopKView refills) use to avoid full-view scans."""
         return self._emit(touched)
+
+    def topk_result(self) -> DataFrame:
+        """The maintained ``ORDER BY … LIMIT k`` (spec.top_k) as a DataFrame
+        — the view's schema, restricted and ranked. Global form: the bounded
+        driver buffer's exact top-k (O(k) rows). Grouped form: the sharded
+        candidate state ranked per group."""
+        if self._topk is None:
+            raise ValueError("spec has no top_k")
+        from .topk import GroupedTopKView
+
+        if isinstance(self._topk, GroupedTopKView):
+            return self._topk.result()
+        schema = self._topk._schema
+        if schema is None:
+            schema = self._emit().schema
+        rows = [
+            tuple(r[f.name] for f in schema.fields)
+            for r in self._topk.result_rows()
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def topk_delta(self) -> DataFrame | None:
+        """The last committed batch's changelog OF THE TOP-K VIEW itself
+        (global top_k): ±1 weighted entries/exits, read back from the top-k
+        structure's own manifest — the exactly-once feed for an ordered
+        continuous sink (a crash-replayed batch reads the SAME rows)."""
+        if self._topk is None:
+            raise ValueError("spec has no top_k")
+        if not hasattr(self._topk, "emitted_df"):
+            raise ValueError(
+                "grouped top_k maintains state Spark-side and does not emit "
+                "its own changelog; chain a downstream engine on emit_delta "
+                "instead"
+            )
+        return self._topk.emitted_df()
 
     def _emit(self, touched: DataFrame | None = None) -> DataFrame:
         """Build the emitted view; ``touched`` (group-key rows) restricts the

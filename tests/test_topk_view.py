@@ -575,6 +575,168 @@ def test_grouped_topk_adaptive_shard_growth(spark, tmp_path):
     assert _ggot(re) == _gmodel(ops0 + ops1)
 
 
+# --- spec-level top_k knob (AcyclicQuerySpec.top_k -> engine-wired views) ----
+import pytest
+
+from flink_and_acyclic_schema_spark.streaming.acyclic import TopKSpec
+
+TK_SPEC = AcyclicQuerySpec(
+    relations=(RelSpec("items"),),
+    group_by=("kid",),
+    measures={"total": lambda: F.col("val")},
+    top_k=TopKSpec(k=K, order_by="total", slack=SLACK),
+)
+
+
+def _knob_got(eng):
+    rows = [(r["kid"], r["total"]) for r in eng.topk_result().collect()]
+    return sorted(rows, key=lambda t: (-t[1], t[0]))
+
+
+def test_spec_level_topk_knob_global_with_resume(spark, tmp_path):
+    """AcyclicQuerySpec.top_k wires the maintained ORDER BY/LIMIT inside the
+    engine: process_batch feeds it automatically (no emit_delta plumbing at
+    the call site), topk_result() reads it, the structure persists under
+    <state>/topk, a resumed engine reattaches to it, and a replayed batch is
+    a no-op through BOTH manifests."""
+    sdir = str(tmp_path / "es")
+    eng = IncrementalAcyclicQuery(spark, sdir, TK_SPEC)
+    ops0 = [(i, 10 * (10 - i), 1) for i in range(10)]
+    eng.process_batch(
+        {"items": spark.createDataFrame(ops0, ITEM_SCHEMA)}, batch_id=0
+    )
+    assert _knob_got(eng) == _model_topk(ops0)
+    ops1 = [(0, 100, -1), (1, 90, -1)]  # delete the top two
+    d1 = spark.createDataFrame(ops1, ITEM_SCHEMA).localCheckpoint()
+    eng.process_batch({"items": d1}, batch_id=1)
+    assert _knob_got(eng) == _model_topk(ops0 + ops1)
+
+    # process restart: resume reattaches engine AND top-k from manifests
+    re = IncrementalAcyclicQuery(spark, sdir, TK_SPEC, resume=True)
+    assert re._topk.refills == 0  # loaded, not re-primed
+    assert _knob_got(re) == _model_topk(ops0 + ops1)
+    re.process_batch({"items": d1}, batch_id=1)  # foreachBatch redelivery
+    assert _knob_got(re) == _model_topk(ops0 + ops1)
+    ops2 = [(9, 65, 1), (2, 80, -1)]
+    re.process_batch(
+        {"items": spark.createDataFrame(ops2, ITEM_SCHEMA)}, batch_id=2
+    )
+    assert _knob_got(re) == _model_topk(ops0 + ops1 + ops2)
+
+
+def test_spec_level_topk_knob_grouped_with_resume(spark, tmp_path):
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("g", "kid"),
+        measures={"total": lambda: F.col("val")},
+        top_k=TopKSpec(
+            k=GK, order_by="total", partition_by=("g",), key=("kid",), slack=GSLACK
+        ),
+    )
+    sdir = str(tmp_path / "es")
+    eng = IncrementalAcyclicQuery(spark, sdir, spec)
+    ops0 = [(g, i, 10 * (5 - i) + g, 1) for g in range(3) for i in range(5)]
+    eng.process_batch(
+        {"items": spark.createDataFrame(ops0, G_SCHEMA)}, batch_id=0
+    )
+    got = {(r["g"], r["kid"], r["total"]) for r in eng.topk_result().collect()}
+    assert got == _gmodel(ops0)
+    re = IncrementalAcyclicQuery(spark, sdir, spec, resume=True)
+    ops1 = [(0, 0, 50, -1), (2, 9, 99, 1)]
+    re.process_batch(
+        {"items": spark.createDataFrame(ops1, G_SCHEMA)}, batch_id=1
+    )
+    got = {(r["g"], r["kid"], r["total"]) for r in re.topk_result().collect()}
+    assert got == _gmodel(ops0 + ops1)
+
+
+def test_spec_level_topk_catches_up_after_crash_between_commits(spark, tmp_path):
+    """Crash BETWEEN the engine's manifest commit and the top-k commit: the
+    engine replay-skip branch re-feeds the PERSISTED changelog into the
+    top-k on retry, so the two manifests re-converge — no double-apply, no
+    lost batch."""
+    sdir = str(tmp_path / "es")
+    eng = IncrementalAcyclicQuery(spark, sdir, TK_SPEC)
+    ops0 = [(i, 10 * (8 - i), 1) for i in range(8)]
+    eng.process_batch(
+        {"items": spark.createDataFrame(ops0, ITEM_SCHEMA)}, batch_id=0
+    )
+    orig = eng._topk.apply
+    state = {"fail": True}
+
+    def flaky(ch, batch_id=None):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("injected: top-k died after engine commit")
+        return orig(ch, batch_id)
+
+    eng._topk.apply = flaky
+    ops1 = [(0, 80, -1), (9, 65, 1)]
+    d1 = spark.createDataFrame(ops1, ITEM_SCHEMA).localCheckpoint()
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.process_batch({"items": d1}, batch_id=1)
+    # the engine committed batch 1; the retry replays it into the top-k
+    eng.process_batch({"items": d1}, batch_id=1)
+    assert _knob_got(eng) == _model_topk(ops0 + ops1)
+    # and the engine state was NOT double-applied
+    eng2 = IncrementalAcyclicQuery(spark, sdir, TK_SPEC, resume=True)
+    assert _knob_got(eng2) == _model_topk(ops0 + ops1)
+
+
+def test_topk_sink_crash_replay_no_double_emission(spark, tmp_path):
+    """Ordered continuous emission, exactly-once: per batch the maintained
+    top-k's ±changelog is appended to a parquet sink. Two crash windows are
+    replayed — (a) after the sink write (redelivery overwrites the SAME
+    fixed path with the SAME persisted rows), (b) BETWEEN the top-k commit
+    and the sink write (the replayed batch reads the persisted changelog
+    and lands the missing emission) — and the telescoped net of the whole
+    stream still equals the from-scratch top-k."""
+    from flink_and_acyclic_schema_spark.plans.ivm_sink_ext import (
+        compact_sink,
+        write_changelog,
+    )
+
+    sdir = str(tmp_path / "es")
+    sink = str(tmp_path / "sink")
+    eng = IncrementalAcyclicQuery(spark, sdir, TK_SPEC)
+    ops0 = [(i, 10 * (10 - i), 1) for i in range(10)]
+    eng.process_batch(
+        {"items": spark.createDataFrame(ops0, ITEM_SCHEMA)}, batch_id=0
+    )
+    write_changelog(eng.topk_delta(), sink, 0)
+    ops1 = [(0, 100, -1), (9, 65, 1)]  # top exits, new entry
+    d1 = spark.createDataFrame(ops1, ITEM_SCHEMA).localCheckpoint()
+    eng.process_batch({"items": d1}, batch_id=1)
+    write_changelog(eng.topk_delta(), sink, 1)
+
+    # (a) crash after sink write: redelivery of batch 1 on a resumed engine
+    re = IncrementalAcyclicQuery(spark, sdir, TK_SPEC, resume=True)
+    re.process_batch({"items": d1}, batch_id=1)
+    write_changelog(re.topk_delta(), sink, 1)  # same path, same rows
+    import os
+
+    assert sorted(os.listdir(sink)) == ["batch_0", "batch_1"]
+    got = {
+        (r["kid"], r["total"]) for r in compact_sink(spark, sink).collect()
+    }
+    assert got == set(_model_topk(ops0 + ops1))
+
+    # (b) crash BETWEEN top-k commit and sink write: batch 2 commits but its
+    # emission is lost; the replay lands it
+    ops2 = [(1, 90, -1), (2, 80, -1)]
+    d2 = spark.createDataFrame(ops2, ITEM_SCHEMA).localCheckpoint()
+    re.process_batch({"items": d2}, batch_id=2)
+    # (no sink write -> crash) ... restart:
+    re2 = IncrementalAcyclicQuery(spark, sdir, TK_SPEC, resume=True)
+    re2.process_batch({"items": d2}, batch_id=2)  # replayed, both skips
+    write_changelog(re2.topk_delta(), sink, 2)
+    assert sorted(os.listdir(sink)) == ["batch_0", "batch_1", "batch_2"]
+    got = {
+        (r["kid"], r["total"]) for r in compact_sink(spark, sink).collect()
+    }
+    assert got == set(_model_topk(ops0 + ops1 + ops2))
+
+
 def test_topk_over_sliding_window_view_composes_with_ttl(spark, tmp_path):
     """Composition: TopKView over a WINDOWED view (RelSpec.ttl) — 'top-k
     categories over the trailing W days'. The leader must be DEMOTED when its
