@@ -1525,13 +1525,14 @@ class IncrementalAcyclicQuery:
         if self.compact_every == 1:
             nxt = self._version[rel] + 1
             p = self._path(rel, nxt)
-            self._write_state(rel, self._maybe_rebucket(rel, self._conform(rel, merged)), p)
+            self._write_state(rel, self._conform(rel, merged), p)
             self._version[rel] = nxt
             cleanup.extend(self._segments.get(rel, []))
             self._segments[rel] = [p]
             if is_ttl:
                 prior = self._seg_ts.get(rel, {}).values()
                 self._seg_ts[rel] = {p: _range_union([*prior, ts_range])}
+            self._rebucket_written(rel, p, cleanup)
             return
         n = self._appends.get(rel, 0)
         seg = self._seg_path(rel, n)
@@ -1546,9 +1547,7 @@ class IncrementalAcyclicQuery:
             net = net_fn or self._net
             self._write_state(
                 rel,
-                self._maybe_rebucket(
-                    rel, self._conform(rel, net(self._read_paths(rel, self._segments[rel])))
-                ),
+                self._conform(rel, net(self._read_paths(rel, self._segments[rel]))),
                 cp,
             )
             self._version[rel] = nxt
@@ -1558,6 +1557,7 @@ class IncrementalAcyclicQuery:
                 self._seg_ts[rel] = {
                     cp: _range_union(self._seg_ts.get(rel, {}).values())
                 }
+            self._rebucket_written(rel, cp, cleanup)
 
     def _zone_col(self, r: RelSpec) -> Column:
         """Coarse event-time zone of a row — floor(ts / ttl_zone width), with
@@ -1571,26 +1571,43 @@ class IncrementalAcyclicQuery:
             ts = ts.cast("timestamp").cast("long")
         return F.floor(ts / F.lit(w))
 
-    def _maybe_rebucket(self, rel: str, df: DataFrame) -> DataFrame:
-        """Adaptive bucket-count growth, applied ONLY where state is already
-        being fully rewritten (merge-mode write / log-structured compaction),
-        so every live segment always shares one layout. Grows in powers of
-        two over the spec floor until mean rows/bucket is at most
+    def _rebucket_written(self, rel: str, path: str, cleanup: list[str]) -> None:
+        """Adaptive bucket-count growth, applied ONLY where state was just
+        fully rewritten (merge-mode write / log-structured compaction), so
+        every live segment always shares one layout. Grows in powers of two
+        over the spec floor until mean rows/bucket is at most
         ``bucket_target_rows``; never shrinks (shrinking buys nothing —
-        pruning selectivity only degrades when buckets are too COARSE). The
-        count job is the (bounded, per-compaction) price of adaptivity."""
+        pruning selectivity only degrades when buckets are too COARSE).
+
+        The row count comes from the FRESHLY WRITTEN files' parquet footers
+        — a metadata-only job — instead of a ``df.count()`` that would
+        re-execute the whole merge/compaction plan a second time (the
+        round-6 form did exactly that, an extra O(state) compute job per
+        merge-mode batch). Growth itself then rewrites the materialized
+        files once — rare, amortized, and reading parquet beats re-running
+        the merge."""
         r = self._by_name.get(rel)
         if r is None or r.bucket_target_rows <= 0 or r.buckets == 0:
-            return df
-        n = df.count()
+            return
+        n = self.spark.read.parquet(path).count()  # footer metadata only
         want = r.buckets
         while n / want > r.bucket_target_rows:
             want *= 2
         want = max(want, self._buckets[rel])  # monotone under compaction churn
-        if want != self._buckets[rel]:
-            self._buckets[rel] = want
-            df = df.withColumn(BUCKET, self._bucket_expr(r.bucket_key, want))
-        return df
+        if want == self._buckets[rel]:
+            return
+        self._buckets[rel] = want
+        nxt = self._version[rel] + 1
+        p2 = self._path(rel, nxt)
+        grown = self.spark.read.parquet(path).withColumn(
+            BUCKET, self._bucket_expr(r.bucket_key, want)
+        )
+        self._write_state(rel, self._conform(rel, grown), p2)
+        self._version[rel] = nxt
+        cleanup.append(path)
+        self._segments[rel] = [p2]
+        if r.ttl is not None and rel in self._seg_ts:
+            self._seg_ts[rel] = {p2: _range_union(self._seg_ts[rel].values())}
 
     def _write_state(self, rel: str, df: DataFrame, path: str) -> None:
         """Write one state file set. A bucketed relation is hash-partitioned

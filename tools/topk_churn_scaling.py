@@ -219,9 +219,13 @@ def ties() -> None:
 
 def grouped() -> None:
     """GroupedTopKView cost model, measured: candidates are a (k+slack)/members
-    reduction of the view, and a drained group's refill reads ONLY that
-    group's rows through the engine's restricted emission — all row counts,
-    so the numbers are host-load independent.
+    reduction of the view, a drained group's refill reads ONLY that group's
+    rows through the engine's restricted emission, and (round 7) the
+    per-batch rebuild READS only the manifest-committed shards the
+    changelog's groups hash into — with ``bucket_target_rows`` growing the
+    shard count as the view grows, per-batch read rows track the TOUCHED
+    groups, not the candidate table (run at n_groups and 10×n_groups with
+    the same Δ to see it flat). All row counts, host-load independent.
 
     Usage:  python tools/topk_churn_scaling.py grouped [n_groups] [members] [batches]
     """
@@ -247,7 +251,19 @@ def grouped() -> None:
         refill_reads["calls"] += 1
         return df
 
-    topk = GroupedTopKView(k, "total", ("g",), ("kid",), refill=refill, slack=slack)
+    topk = GroupedTopKView(
+        k,
+        "total",
+        ("g",),
+        ("kid",),
+        refill=refill,
+        slack=slack,
+        state_dir=f"{work}/topk",
+        spark=spark,
+        buckets=8,
+        bucket_target_rows=500,  # shard count tracks candidate growth
+    )
+    topk.instrument = True
 
     # view: group g member m has total m+1 (top member = highest m)
     seed = spark.range(n_groups * members).select(
@@ -256,14 +272,19 @@ def grouped() -> None:
         ((F.col("id") / n_groups).cast("long") + 1).alias("v"),
         F.lit(1).alias("weight"),
     )
-    topk.apply(eng.process_batch({"items": seed}, 0, emit_delta=True))
+    topk.apply(eng.process_batch({"items": seed}, 0, emit_delta=True), batch_id=0)
     view_rows = n_groups * members
-    cand_rows = int(topk._cand.count())
+    cand_rows = int(topk._read_cand().count())
+    shards = topk.buckets
 
     # per batch: fully drain k+slack+1 victim groups' TOP members (forces a
-    # refill for exactly those groups) + 2k bulk low-member updates elsewhere
+    # refill for exactly those groups) + bulk churn on 50 OTHER groups — a
+    # FIXED Δ footprint, so touched-shard reads should track it, not the
+    # candidate table (candidate growth is absorbed by shard growth)
     drain_per_batch = 5
-    bulk = 2_000
+    bulk_groups = 50
+    bulk_rows_per_group = 40
+    per_batch = []
     for b in range(1, batches + 1):
         victims = [(b * drain_per_batch + i) % n_groups for i in range(drain_per_batch)]
         ops = [
@@ -273,11 +294,21 @@ def grouped() -> None:
         ]
         base = (b * 104729) % n_groups
         ops += [
-            ((base + i) % n_groups, i % 3, 1 if (b + i) % 2 else -1, 1)
-            for i in range(bulk)
+            ((base + i % bulk_groups) % n_groups, i % 3, 1 if (b + i) % 2 else -1, 1)
+            for i in range(bulk_groups * bulk_rows_per_group)
         ]
         delta = spark.createDataFrame(ops, "g long, kid long, v long, weight int")
-        topk.apply(eng.process_batch({"items": delta.localCheckpoint()}, b, emit_delta=True))
+        topk.apply(
+            eng.process_batch({"items": delta.localCheckpoint()}, b, emit_delta=True),
+            batch_id=b,
+        )
+        per_batch.append(
+            {
+                "batch": b,
+                "touched_shards": topk.last_touched_buckets,
+                "read_rows": topk.last_read_rows,
+            }
+        )
 
     # exactness vs from-scratch per-group rank
     from pyspark.sql.window import Window
@@ -293,6 +324,7 @@ def grouped() -> None:
     exact = (
         got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     )
+    mean_read = sum(p["read_rows"] for p in per_batch) / len(per_batch)
     out = {
         "metric": "grouped_topk_cost_model",
         "groups": n_groups,
@@ -300,15 +332,23 @@ def grouped() -> None:
         "view_rows": view_rows,
         "candidate_rows": cand_rows,
         "candidate_fraction": round(cand_rows / view_rows, 4),
+        "shards": shards,
+        "shard_target_rows": 500,
         "batches": batches,
         "drained_groups_per_batch": drain_per_batch,
-        "bulk_churn_per_batch": bulk,
+        "bulk_churn_groups_per_batch": bulk_groups,
+        "mean_touched_shards_per_batch": round(
+            sum(p["touched_shards"] for p in per_batch) / len(per_batch), 1
+        ),
+        "mean_read_rows_per_batch": round(mean_read, 1),
+        "read_fraction_of_candidates": round(mean_read / max(cand_rows, 1), 4),
         "refill_calls": refill_reads["calls"],
         "refill_rows_total": refill_reads["rows"],
         "refill_rows_per_drained_group": round(
             refill_reads["rows"] / max(batches * drain_per_batch, 1), 1
         ),
         "result_exact": bool(exact),
+        "per_batch": per_batch,
     }
     print(json.dumps(out))
     spark.stop()
