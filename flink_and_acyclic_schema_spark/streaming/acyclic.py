@@ -383,6 +383,11 @@ class TopKSpec:
     descending: bool = True
     buckets: int = 8
     bucket_target_rows: int = 0
+    # per-group form only: also maintain the top-k view's OWN ±changelog
+    # per batch (read with topk_delta()) — two extra ranks over the touched
+    # shards per batch, so opt-in. The global form emits for free (O(k)
+    # driver diff) and ignores this flag.
+    emit_changelog: bool = False
 
     def __post_init__(self):
         if self.k < 1:
@@ -642,6 +647,7 @@ class IncrementalAcyclicQuery:
                     buckets=t.buckets,
                     bucket_target_rows=t.bucket_target_rows,
                     resume=resume,
+                    emit=t.emit_changelog,
                 )
                 if need_prime:
                     self._topk.prime()
@@ -1689,11 +1695,11 @@ class IncrementalAcyclicQuery:
         continuous sink (a crash-replayed batch reads the SAME rows)."""
         if self._topk is None:
             raise ValueError("spec has no top_k")
-        if not hasattr(self._topk, "emitted_df"):
+        if getattr(self._topk, "emit", True) is False:
             raise ValueError(
-                "grouped top_k maintains state Spark-side and does not emit "
-                "its own changelog; chain a downstream engine on emit_delta "
-                "instead"
+                "grouped top_k emits its changelog only when "
+                "TopKSpec(emit_changelog=True) — it costs two extra ranks "
+                "over the touched shards per batch, so it is opt-in"
             )
         return self._topk.emitted_df()
 

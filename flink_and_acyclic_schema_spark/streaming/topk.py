@@ -505,6 +505,7 @@ class GroupedTopKView:
         buckets: int = 8,
         bucket_target_rows: int = 0,
         resume: bool = False,
+        emit: bool = False,
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
@@ -538,6 +539,17 @@ class GroupedTopKView:
         self._cand_map: dict[str, str] = {}  # bucket id -> live leaf dir
         self._bound_map: dict[str, str] = {}
         self._bucket_rows: dict[str, int] = {}  # maintained iff adaptive
+        # emit=True: apply() additionally returns the PER-GROUP TOP-K view's
+        # own netted ±changelog (entries/exits across touched groups) — the
+        # same composition hook TopKView provides, Spark-side: two ranks
+        # over the touched shards and an O(touched top-k) net. Persisted in
+        # durable mode, so replay redelivers the same rows (sink contract).
+        self.emit = emit
+        # durable: {"batch": id, "path": parquet dir} of the last emitted
+        # top-k delta — an explicit manifest-held path (survives growth
+        # rewrites, which bump versions without emitting)
+        self._emitted: dict | None = None
+        self._last_emitted: DataFrame | None = None  # ephemeral mode
         # observability: tools assert the touched-restriction cost model
         self.instrument = False
         self.last_touched_buckets = 0
@@ -649,6 +661,7 @@ class GroupedTopKView:
             "cand": self._cand_map,
             "bound": self._bound_map,
             "rows": self._bucket_rows,
+            "emitted": self._emitted,
             "schema": json.loads(self._schema.json()) if self._schema else None,
             "bschema": json.loads(self._bschema.json()) if self._bschema else None,
         }
@@ -668,6 +681,7 @@ class GroupedTopKView:
         self._cand_map = data["cand"]
         self._bound_map = data["bound"]
         self._bucket_rows = data.get("rows", {})
+        self._emitted = data.get("emitted")
         if data["schema"] is not None:
             self._schema = StructType.fromJson(data["schema"])
             self._bschema = StructType.fromJson(data["bschema"])
@@ -678,22 +692,50 @@ class GroupedTopKView:
             os.path.dirname(p)
             for p in (*self._cand_map.values(), *self._bound_map.values())
         }
+        if self._emitted is not None:
+            live.add(self._emitted["path"])
         for entry in os.listdir(self.state_dir):
-            if not entry.startswith(("cand_v", "bound_v")):
+            if not entry.startswith(("cand_v", "bound_v", "emit_v")):
                 continue
             full = os.path.join(self.state_dir, entry)
             if full not in live:
                 shutil.rmtree(full, ignore_errors=True)
 
+    def _net_delta(self, pre: DataFrame, post: DataFrame) -> DataFrame:
+        """±changelog OF THE TOP-K VIEW for one batch: post(+1) ∪ pre(−1),
+        NETTED so rows present in both (the overwhelming majority within a
+        touched shard) cancel — only true entries/exits/value-updates
+        survive, O(changed top-k rows)."""
+        cols = [f.name for f in self._schema.fields]
+        u = post.withColumn(WEIGHT, F.lit(1)).unionByName(
+            pre.withColumn(WEIGHT, F.lit(-1))
+        )
+        return (
+            u.groupBy(*cols)
+            .agg(F.sum(WEIGHT).cast("int").alias(WEIGHT))
+            .filter(F.col(WEIGHT) != 0)
+        )
+
+    def _topk_of(self, df: DataFrame) -> DataFrame:
+        return self._rank(df).filter(F.col("_rn") <= self.k).drop("_rn")
+
     def _commit(
-        self, cand: DataFrame, bound: DataFrame, touched: list[int], batch_id
-    ) -> None:
+        self,
+        cand: DataFrame,
+        bound: DataFrame,
+        touched: list[int],
+        batch_id,
+        pre_topk: DataFrame | None = None,
+    ) -> DataFrame | None:
         """Publish the post-batch state of the TOUCHED shards; untouched
         shards carry forward untouched (their files in durable mode, their
         rows in ephemeral mode). Durable commit = versioned parquet writes,
         then ONE atomic manifest replace — every referenced path is fully
         written first, superseded dirs are GC'd after (two-phase, the
-        engine's discipline)."""
+        engine's discipline). With ``emit`` (pre_topk given), the top-k
+        view's netted ±changelog is computed from the freshly WRITTEN shards
+        (no recompute of the candidate plan), persisted inside the same
+        commit, and returned."""
         fields = [f.name for f in self._schema.fields]
         cand = cand.select(*fields)
         if not self.durable:
@@ -706,7 +748,14 @@ class GroupedTopKView:
             )
             if batch_id is not None:
                 self._last_batch = batch_id
-            return
+            delta = None
+            if pre_topk is not None:
+                delta = self._net_delta(
+                    pre_topk, self._topk_of(self._read_cand(touched))
+                ).localCheckpoint()
+                self._last_emitted = delta
+                self._emitted = {"batch": batch_id}
+            return delta
         v = self._version + 1
         n = max(len(touched), 1)
         written = []
@@ -759,8 +808,19 @@ class GroupedTopKView:
         if batch_id is not None:
             self._last_batch = batch_id
         self._version = v
+        delta = None
+        if pre_topk is not None:
+            # post top-k reads the freshly WRITTEN shards (maps updated
+            # above) — no recompute of the candidate plan; pre reads the
+            # superseded files, still on disk until the post-manifest GC
+            epath = os.path.join(self.state_dir, f"emit_v{v}")
+            delta = self._net_delta(pre_topk, self._topk_of(self._read_cand(touched)))
+            delta.coalesce(1).write.mode("overwrite").parquet(epath)
+            self._emitted = {"batch": batch_id, "path": epath}
+            delta = self._spark.read.parquet(epath)
         self._write_manifest()
         self._gc()
+        return delta
 
     def _maybe_grow(self) -> None:
         """Adaptive shard growth (durable + ``bucket_target_rows`` only):
@@ -801,15 +861,26 @@ class GroupedTopKView:
         """Fold one batch's emit_delta changelog into the sharded candidate
         state. Only the shards the changelog's groups hash into are read and
         rewritten. ``batch_id`` (optional) makes crash-replay redelivery a
-        no-op once the manifest committed that batch."""
+        no-op once the manifest committed that batch.
+
+        With ``emit=True`` returns the PER-GROUP TOP-K view's own netted
+        ±changelog for this batch (entries/exits/value-updates across the
+        touched groups) — persisted in durable mode, so a replayed batch
+        returns the SAME rows (the exactly-once sink contract)."""
         if changelog is None:
-            return
+            return None
         if (
             batch_id is not None
             and self._last_batch is not None
             and batch_id <= self._last_batch
         ):
-            return
+            if (
+                self.emit
+                and self._emitted is not None
+                and self._emitted["batch"] == batch_id
+            ):
+                return self.emitted_df()
+            return None
         self._spark = self._spark or changelog.sparkSession
         self._pin_schemas(changelog.drop(WEIGHT))
         gk = [*self.group_cols, *self.key_cols]
@@ -820,9 +891,15 @@ class GroupedTopKView:
         )
         self.last_touched_buckets = len(tb)
         if not tb:
-            self._commit(self._empty(self._schema), self._empty(self._bschema), [], batch_id)
-            return
+            return self._commit(
+                self._empty(self._schema),
+                self._empty(self._bschema),
+                [],
+                batch_id,
+                pre_topk=self._empty(self._schema) if self.emit else None,
+            )
         cand0 = self._read_cand(tb)
+        pre_topk = self._topk_of(cand0) if self.emit else None
         bound0 = self._read_bound(tb)
         if self.instrument and self.durable:
             # metadata-only counts of the shards this batch will read
@@ -891,10 +968,21 @@ class GroupedTopKView:
         bound = bound.join(
             over, on=list(self.group_cols), how="left_anti"
         ).unionByName(self._bound_of(ranked_over))
-        self._commit(cand, bound, tb, batch_id)
+        delta = self._commit(cand, bound, tb, batch_id, pre_topk=pre_topk)
         self._maybe_grow()
+        return delta
 
     # --- emission ------------------------------------------------------------
+    def emitted_df(self) -> DataFrame | None:
+        """The last committed batch's emitted per-group top-k changelog
+        (``emit=True``) — durable mode reads the manifest-held path, so a
+        crash-replayed batch hands a downstream sink the SAME rows."""
+        if not self.emit or self._emitted is None:
+            return None
+        if not self.durable:
+            return self._last_emitted
+        return self._spark.read.parquet(self._emitted["path"])
+
     def result(self) -> DataFrame:
         """Exact per-group top-k: rank candidates only — never the view."""
         if self._schema is None:

@@ -737,6 +737,62 @@ def test_topk_sink_crash_replay_no_double_emission(spark, tmp_path):
     assert got == set(_model_topk(ops0 + ops1 + ops2))
 
 
+def test_grouped_topk_emits_changelog_and_replay_returns_same_rows(spark, tmp_path):
+    """TopKSpec(emit_changelog=True): the per-group top-k view emits its own
+    NETTED ±changelog per batch (entries/exits as ±1, value updates as
+    −old/+new, untouched-within-shard rows cancel), the telescoped sum
+    equals the final per-group top-k, and a replayed batch returns the SAME
+    persisted rows — the grouped twin of the global ordered-emission sink."""
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("g", "kid"),
+        measures={"total": lambda: F.col("val")},
+        top_k=TopKSpec(
+            k=GK, order_by="total", partition_by=("g",), key=("kid",),
+            slack=GSLACK, emit_changelog=True,
+        ),
+    )
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "es"), spec)
+    batches = [
+        [(g, i, 10 * (5 - i) + g, 1) for g in range(3) for i in range(5)],
+        [(0, 0, 50, -1), (1, 9, 99, 1)],  # group-0 exit, group-1 entry
+        [(2, 0, 7, 1)],  # group-2 leader value update: −old/+new
+        [(1, 0, 51, -1), (1, 1, 41, -1), (1, 2, 31, -1)],  # drain -> refill
+    ]
+    seen: list[tuple] = []
+    prev: set = set()
+    net: dict[tuple, int] = {}
+    for i, ops in enumerate(batches):
+        eng.process_batch(
+            {"items": spark.createDataFrame(ops, G_SCHEMA)}, batch_id=i
+        )
+        delta = eng.topk_delta()
+        emitted = {
+            (r["g"], r["kid"], r["total"]): r["weight"] for r in delta.collect()
+        }
+        seen.extend(ops)
+        model = _gmodel(seen)
+        assert emitted == (
+            {t: -1 for t in prev - model} | {t: 1 for t in model - prev}
+        )
+        for t, w in emitted.items():
+            net[t] = net.get(t, 0) + w
+        prev = model
+    assert {t for t, w in net.items() if w != 0} == _gmodel(seen) == _ggot(eng._topk)
+    # crash-replay: a resumed engine redelivers the last batch; the grouped
+    # view skips it and hands back the PERSISTED delta — same rows
+    re = IncrementalAcyclicQuery(spark, str(tmp_path / "es"), spec, resume=True)
+    re.process_batch(
+        {"items": spark.createDataFrame(batches[-1], G_SCHEMA)},
+        batch_id=len(batches) - 1,
+    )
+    replay = {
+        (r["g"], r["kid"], r["total"]): r["weight"]
+        for r in re.topk_delta().collect()
+    }
+    assert replay == emitted
+
+
 def test_topk_over_sliding_window_view_composes_with_ttl(spark, tmp_path):
     """Composition: TopKView over a WINDOWED view (RelSpec.ttl) — 'top-k
     categories over the trailing W days'. The leader must be DEMOTED when its
