@@ -521,6 +521,40 @@ def test_grouped_topk_kill_and_recover_without_reprime(spark, tmp_path):
     assert _ggot(re) == _gmodel(ops0 + ops1 + ops2)
 
 
+def test_grouped_topk_crash_before_manifest_replace_recovers(spark, tmp_path):
+    """The atomic-commit claim at its sharpest window: a batch's shard files
+    are fully written but the process dies BEFORE the os.replace of the
+    manifest. Recovery must load the PRIOR committed state, garbage-collect
+    the orphaned version dirs, and replay the batch to the exact result."""
+    import os
+
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), G_SPEC)
+    topk = _gdurable(spark, tmp_path, eng, resume=False)
+    ops0 = [(g, i, 10 * (5 - i) + g, 1) for g in range(3) for i in range(5)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, G_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    topk.apply(d0, batch_id=0)
+    manifest = topk._manifest_path()
+    committed = open(manifest).read()  # the batch-0 commit point
+    ops1 = [(0, 0, 50, -1), (1, 9, 99, 1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, G_SCHEMA)}, batch_id=1, emit_delta=True
+    ).localCheckpoint()
+    topk.apply(d1, batch_id=1)
+    # crash simulation: batch 1's version dirs exist, manifest says batch 0
+    with open(manifest, "w") as fh:
+        fh.write(committed)
+    orphans = {e for e in os.listdir(topk.state_dir) if e.startswith(("cand_v", "bound_v"))}
+    re = _gdurable(spark, tmp_path, eng, resume=True)
+    assert re._last_batch == 0  # the committed point, not the torn batch
+    left = {e for e in os.listdir(re.state_dir) if e.startswith(("cand_v", "bound_v"))}
+    assert left < orphans  # the torn batch's dirs were GC'd
+    assert _ggot(re) == _gmodel(ops0)  # pre-crash committed state, exactly
+    re.apply(d1, batch_id=1)  # foreachBatch redelivery
+    assert _ggot(re) == _gmodel(ops0 + ops1)
+
+
 def test_grouped_topk_reads_only_touched_shards(spark, tmp_path):
     """The per-batch rebuild is restricted to the shards the changelog's
     groups hash into: a batch touching ONE group must read only that shard's
