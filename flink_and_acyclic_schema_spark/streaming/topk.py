@@ -554,6 +554,7 @@ class GroupedTopKView:
         self.instrument = False
         self.last_touched_buckets = 0
         self.last_read_rows = 0
+        self.last_plan = ""  # physical plan of the last batch's candidate rebuild
         if self.durable:
             if spark is None:
                 raise ValueError("durable mode (state_dir) needs spark")
@@ -968,6 +969,12 @@ class GroupedTopKView:
         bound = bound.join(
             over, on=list(self.group_cols), how="left_anti"
         ).unionByName(self._bound_of(ranked_over))
+        if self.instrument:
+            self.last_plan = cand._jdf.queryExecution().explainString(
+                self._spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
         delta = self._commit(cand, bound, tb, batch_id, pre_topk=pre_topk)
         self._maybe_grow()
         return delta

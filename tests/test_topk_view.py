@@ -582,6 +582,35 @@ def test_grouped_topk_reads_only_touched_shards(spark, tmp_path):
     assert _ggot(topk) == _gmodel(ops0 + ops1)
 
 
+def test_grouped_topk_batch_plan_has_no_cartesian_or_bnlj(spark, tmp_path):
+    """Shape of the per-batch plan: every maintenance step is a keyed
+    equi-join or window — a cartesian product or nested-loop join anywhere
+    would silently turn O(Δ ⋈ touched) into O(Δ × candidates) at scale."""
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), G_SPEC)
+    topk = _gdurable(spark, tmp_path, eng, resume=False)
+    topk.instrument = True
+    ops0 = [(g, i, 10 * (4 - i), 1) for g in range(8) for i in range(4)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, G_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    topk.apply(d0, batch_id=0)
+    ops1 = [(3, 0, 40, -1), (5, 9, 99, 1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, G_SCHEMA)}, batch_id=1, emit_delta=True
+    )
+    topk.apply(d1, batch_id=1)
+    # the per-batch candidate-rebuild plan (anti-joins, boundary left join,
+    # drained refill, trim — all keyed)
+    assert topk.last_plan  # instrumented
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in topk.last_plan, f"maintenance plan degenerated: {bad}"
+    # and the emission plan (rank over sharded candidate state)
+    plan = topk.result()._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_grouped_topk_adaptive_shard_growth(spark, tmp_path):
     """bucket_target_rows grows the shard count (powers of two, full
     rewrite) when mean rows/shard exceeds the target — per-shard reads stay
