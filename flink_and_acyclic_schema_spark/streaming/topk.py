@@ -926,6 +926,13 @@ class GroupedTopKView:
         cand = cand.join(admitted.select(*gk), on=gk, how="left_anti").unionByName(
             admitted
         )
+        # the post-admission candidate set feeds counts (→ drained, over),
+        # the trim branches, AND the state write — a LAZY localCheckpoint
+        # materializes it once on first use instead of re-executing the
+        # retraction/upsert joins per consumer (the engine's own
+        # acc.localCheckpoint trick, round 6); lazy so an all-empty batch
+        # never pays an extra job
+        cand = cand.localCheckpoint(eager=False)
 
         counts = cand.groupBy(*self.group_cols).agg(F.count("*").alias("_n"))
         # drained: trimmed groups (have a boundary) no longer holding k
@@ -939,7 +946,10 @@ class GroupedTopKView:
         fresh = self._refill_fn(drained).filter(
             F.col(self.order_col).isNotNull()
         )
-        ranked_fresh = self._rank(fresh)
+        # the refill reads ENGINE state (drained-restricted semi-joins) and
+        # feeds both the candidate and the boundary writes — checkpoint it
+        # lazily so the state read runs once per batch, not per consumer
+        ranked_fresh = self._rank(fresh).localCheckpoint(eager=False)
         cand = (
             cand.join(drained, on=list(self.group_cols), how="left_anti")
             .unionByName(
