@@ -37,9 +37,15 @@ plans/streaming_plans.py keeps that form as the documented baseline, the
 At 100 TB: the changelog filters are broadcast-size literals (≤ buffer
 rows), the refill is the only O(groups) touch and is rate-bounded by actual
 top-region churn, and the buffer itself is O(k) driver memory. Restart
-recovery = one ``refill()`` against the engine's committed state (the
-buffer is a pure function of the live view, so it needs no manifest of its
-own).
+recovery: the buffer is a pure function of the live view, so one
+``refill()`` against the engine's committed state always suffices — or,
+with ``state_dir`` (round 7), the buffer/boundary/emitted-changelog persist
+behind an atomic manifest and ``resume=True`` reattaches with no view scan
+and exactly-once replay semantics for downstream sinks.
+
+Declaring ``AcyclicQuerySpec.top_k`` (TopKSpec, streaming/acyclic.py) wires
+either view into the engine itself — construction, feeding, durability,
+and crash-replay catch-up all handled at the spec level.
 
 NULL order values never enter the buffer (SQL ORDER BY with the DuckDB/ANSI
 default NULLS LAST semantics for a LIMIT that the non-NULL rows satisfy).
