@@ -856,6 +856,79 @@ def test_grouped_topk_emits_changelog_and_replay_returns_same_rows(spark, tmp_pa
     assert replay == emitted
 
 
+def test_topk_knob_full_stack_stream_kill_and_recover(spark, tmp_path):
+    """Full-stack kill-and-recover for the spec-level top-k + ordered sink:
+    a REAL Structured Streaming query (readStream → foreachBatch, real
+    checkpointLocation) dies AFTER the engine's and the top-k's manifest
+    commits for a batch but BEFORE the sink write and Spark's offset
+    commit. On restart Spark redelivers the batch: both manifests replay-
+    skip, topk_delta() hands back the PERSISTED top-k changelog, the sink
+    write lands exactly once, and BOTH the maintained top-k and the sink's
+    telescoped net equal the from-scratch model."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flink_and_acyclic_schema_spark.plans.ivm_sink_ext import (
+        compact_sink,
+        write_changelog,
+    )
+
+    src = str(tmp_path / "chunks")
+    os.makedirs(src)
+    chunks = [
+        [(i, 10 * (10 - i), 1) for i in range(10)],  # totals 100..10
+        [(0, 100, -1), (10, 95, 1)],  # top exits, new #2 enters
+        [(1, 90, -1), (2, 80, -1)],  # drain toward refill territory
+    ]
+    for i, rows in enumerate(chunks):
+        tmp_dir = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, ITEM_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_dir)
+        (part,) = glob.glob(f"{tmp_dir}/part-*.parquet")
+        os.rename(part, f"{src}/chunk{i}.parquet")
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    src_schema = spark.createDataFrame([], ITEM_SCHEMA).schema
+
+    def run(resume, kill_at):
+        eng = IncrementalAcyclicQuery(spark, state, TK_SPEC, resume=resume)
+
+        def handle(batch, batch_id):
+            eng.process_batch({"items": batch}, batch_id)  # both manifests commit
+            if batch_id == kill_at:
+                raise RuntimeError("injected kill before sink write")
+            write_changelog(eng.topk_delta(), sink, batch_id)
+
+        q = (
+            spark.readStream.schema(src_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        return eng
+
+    with pytest.raises(StreamingQueryException, match="injected kill"):
+        run(resume=False, kill_at=1)
+    eng = run(resume=True, kill_at=None)
+    want = _model_topk([op for rows in chunks for op in rows])
+    assert _knob_got(eng) == want
+    assert sorted(os.listdir(sink)) == ["batch_0", "batch_1", "batch_2"]
+    got = {(r["kid"], r["total"]) for r in compact_sink(spark, sink).collect()}
+    assert got == set(want)
+
+
 def test_topk_over_sliding_window_view_composes_with_ttl(spark, tmp_path):
     """Composition: TopKView over a WINDOWED view (RelSpec.ttl) — 'top-k
     categories over the trailing W days'. The leader must be DEMOTED when its
