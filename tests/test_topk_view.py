@@ -929,6 +929,77 @@ def test_topk_knob_full_stack_stream_kill_and_recover(spark, tmp_path):
     assert got == set(want)
 
 
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batched=_SPLITS)
+def test_topk_durable_property_resume_every_batch(spark, tmp_path_factory, batched):
+    """Prefix closure THROUGH restarts: after EVERY batch of an arbitrary
+    interleaving the durable TopKView is torn down and a fresh instance
+    resumes from its manifest — the maintained top-k must equal the
+    from-scratch model at every prefix. Pins that persistence is a complete
+    snapshot (buffer AND boundary AND last_batch), not just the happy
+    path."""
+    tmp = tmp_path_factory.mktemp("dtopk")
+    eng = IncrementalAcyclicQuery(spark, str(tmp / "eng"), SPEC)
+    sdir = str(tmp / "tk")
+
+    def mk(resume):
+        return TopKView(
+            K, "total", ("kid",), refill=eng.result, slack=SLACK,
+            prime=False, state_dir=sdir, spark=spark, resume=resume,
+        )
+
+    topk = mk(False)
+    seen: list[tuple] = []
+    for i, ops in enumerate(batched):
+        rows = [(kid, val, w) for kid, val, w in ops]
+        delta = eng.process_batch(
+            {"items": spark.createDataFrame(rows or [], ITEM_SCHEMA)},
+            batch_id=i,
+            emit_delta=True,
+        )
+        topk.apply(delta, batch_id=i)
+        seen.extend(rows)
+        assert _got(topk) == _model_topk(seen)
+        topk = mk(True)  # "crash" + resume from the manifest
+        assert _got(topk) == _model_topk(seen)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batched=_GSPLITS)
+def test_grouped_topk_durable_property_resume_every_batch(
+    spark, tmp_path_factory, batched
+):
+    """The grouped twin: durable sharded state torn down and resumed after
+    EVERY batch of arbitrary interleavings (duplicates, deletes-before-
+    inserts, within-group ties, vanished groups) — per-group top-k equals
+    the from-scratch rank at every prefix, with zero re-priming."""
+    tmp = tmp_path_factory.mktemp("dgtopk")
+    eng = IncrementalAcyclicQuery(spark, str(tmp / "eng"), G_SPEC)
+
+    def mk(resume):
+        return GroupedTopKView(
+            GK, "total", ("g",), ("kid",),
+            refill=lambda t: eng.result(t), slack=GSLACK,
+            state_dir=str(tmp / "tk"), spark=spark, resume=resume,
+        )
+
+    topk = mk(False)
+    seen: list[tuple] = []
+    for i, ops in enumerate(batched):
+        rows = [tuple(op) for op in ops]
+        delta = eng.process_batch(
+            {"items": spark.createDataFrame(rows or [], G_SCHEMA)},
+            batch_id=i,
+            emit_delta=True,
+        )
+        topk.apply(delta, batch_id=i)
+        seen.extend(rows)
+        assert _ggot(topk) == _gmodel(seen)
+        topk = mk(True)  # "crash" + resume from the manifest
+        if topk._schema is not None:
+            assert _ggot(topk) == _gmodel(seen)
+
+
 def test_topk_over_sliding_window_view_composes_with_ttl(spark, tmp_path):
     """Composition: TopKView over a WINDOWED view (RelSpec.ttl) — 'top-k
     categories over the trailing W days'. The leader must be DEMOTED when its
