@@ -10,6 +10,17 @@ check (a) promote-on-delete without refill, (b) refill exactness when slack
 drains, (c) tie handling at the buffer boundary (the case a value-only
 threshold gets wrong), and (d) the prefix-closure property after EVERY batch
 of arbitrary interleavings.
+
+Round 7 adds the durability/cost wall: bounded driver transfer under
+degenerate value ties and on the boundary-less first batch, at-or-equal
+boundary readmission, manifest-committed state for BOTH views (resume
+without re-prime, replay no-ops, the torn-manifest crash window,
+resume-after-every-batch hypothesis properties), touched-shard-restricted
+grouped rebuilds with adaptive shard growth, the spec-level
+``AcyclicQuerySpec.top_k`` knob (including the crash window between the
+engine's and the top-k's commits), the exactly-once ordered-emission sink
+through a REAL Structured Streaming kill/restart, and the grouped view's
+own emitted changelog.
 """
 
 from __future__ import annotations
