@@ -147,8 +147,16 @@ class TopKView:
             os.makedirs(state_dir)
         if prime:
             self.refill()
-            if self.durable:
-                self._persist(None, None)
+        if self.durable:
+            # commit an INITIAL manifest even before the first batch: an
+            # unprimed fresh stream persists "empty buffer, no boundary" =
+            # complete-over-empty, so a restart DURING batch 0 (engine
+            # committed, top-k not yet) resumes here and the replayed
+            # batch-0 changelog rebuilds the buffer AND emits the true
+            # delta — where a manifest-less dir would re-prime from the
+            # already-updated view and persist an EMPTY batch-0 delta, a
+            # permanently lost first emission for an exactly-once sink.
+            self._persist(None, None)
 
     # --- total order ---------------------------------------------------------
     def _skey(self, row: dict) -> tuple:
@@ -196,12 +204,14 @@ class TopKView:
 
         v = self._version + 1
         vdir = os.path.join(self.state_dir, f"v{v}")
-        fields = self._schema.fields
-        rows = [tuple(r[f.name] for f in fields) for r in self._buffer.values()]
-        self._spark.createDataFrame(rows, self._schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(vdir, "buf"))
+        if self._schema is not None:
+            fields = self._schema.fields
+            rows = [tuple(r[f.name] for f in fields) for r in self._buffer.values()]
+            self._spark.createDataFrame(rows, self._schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(vdir, "buf"))
         if self._boundary is not None:
+            fields = self._schema.fields
             by_name = {f.name: f for f in fields}
             bschema = StructType(
                 [by_name[self.order_col]] + [by_name[c] for c in self.key_cols]
@@ -211,6 +221,7 @@ class TopKView:
                 "overwrite"
             ).parquet(os.path.join(vdir, "bnd"))
         if out is not None and batch_id is not None:
+            fields = self._schema.fields
             eschema = StructType(list(fields) + [StructField(WEIGHT, IntegerType())])
             erows = [tuple(r[f.name] for f in fields) + (r[WEIGHT],) for r in out]
             self._spark.createDataFrame(erows, eschema).coalesce(1).write.mode(
@@ -229,7 +240,11 @@ class TopKView:
             "last_batch": self._last_batch,
             "emitted_batch": self._emitted_batch,
             "has_boundary": self._boundary is not None,
-            "schema": json.loads(self._schema.json()),
+            # None until the first refill/apply pins it (the pre-first-batch
+            # initial commit): empty buffer, no boundary, nothing on disk
+            "schema": json.loads(self._schema.json())
+            if self._schema is not None
+            else None,
         }
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -247,6 +262,16 @@ class TopKView:
         self._version = data["version"]
         self._last_batch = data["last_batch"]
         self._emitted_batch = data["emitted_batch"]
+        self._buffer = {}
+        self._boundary = None
+        # GC partial writes of a crashed batch FIRST (also covers the
+        # schema-less initial commit, whose version dir never existed)
+        for entry in os.listdir(self.state_dir):
+            if entry.startswith("v") and entry != f"v{self._version}":
+                shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
+        if data["schema"] is None:
+            # pre-first-batch initial commit: complete over the empty view
+            return
         self._schema = StructType.fromJson(data["schema"])
         vdir = os.path.join(self.state_dir, f"v{self._version}")
         rows = [
@@ -256,17 +281,12 @@ class TopKView:
             .collect()
         ]
         self._buffer = {tuple(r[c] for c in self.key_cols): r for r in rows}
-        self._boundary = None
         if data["has_boundary"]:
             b = self._spark.read.parquet(os.path.join(vdir, "bnd")).collect()[0]
             self._boundary = (
                 b[self.order_col],
                 tuple(b[c] for c in self.key_cols),
             )
-        # GC partial writes of a crashed batch
-        for entry in os.listdir(self.state_dir):
-            if entry.startswith("v") and entry != f"v{self._version}":
-                shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
 
     def emitted_df(self) -> DataFrame | None:
         """The last committed batch's emitted top-k changelog as a DataFrame
@@ -358,16 +378,37 @@ class TopKView:
         ch = changelog.filter(F.col(self.order_col).isNotNull())
         rows: list[dict] = []
         if self._buffer:
-            member = F.lit(False)
-            for kt in self._buffer:
-                hit = F.lit(True)
-                for c, v in zip(self.key_cols, kt):
-                    hit = hit & F.col(c).eqNullSafe(F.lit(v))
-                member = member | hit
-            rows += [
-                r.asDict()
-                for r in ch.filter((F.col(WEIGHT) < 0) & member).collect()
-            ]
+            # buffered-key membership: a per-key OR-chain of literal
+            # conjunctions grows the Catalyst tree with k (TopKSpec caps
+            # nothing) — a single-column key compiles to ONE In/InSet, a
+            # composite key broadcast-semi-joins a tiny literal DataFrame
+            neg = ch.filter(F.col(WEIGHT) < 0)
+            if len(self.key_cols) == 1:
+                (c,) = self.key_cols
+                vals = [kt[0] for kt in self._buffer if kt[0] is not None]
+                cond = F.col(c).isin(vals) if vals else F.lit(False)
+                if len(vals) < len(self._buffer):  # a buffered NULL key
+                    cond = cond | F.col(c).isNull()
+                neg = neg.filter(cond)
+            else:
+                from functools import reduce
+
+                from pyspark.sql.types import StructType
+
+                by_name = {f.name: f for f in self._schema.fields}
+                keys = self._spark.createDataFrame(
+                    list(self._buffer.keys()),
+                    StructType([by_name[c] for c in self.key_cols]),
+                )
+                neg = neg.join(
+                    F.broadcast(keys),
+                    on=reduce(
+                        lambda a, b: a & b,
+                        [neg[c].eqNullSafe(keys[c]) for c in self.key_cols],
+                    ),
+                    how="left_semi",
+                )
+            rows += [r.asDict() for r in neg.collect()]
         order = (
             F.col(self.order_col).desc()
             if self.descending
@@ -570,6 +611,12 @@ class GroupedTopKView:
                 if os.path.exists(state_dir):
                     shutil.rmtree(state_dir)
                 os.makedirs(state_dir)
+                # initial empty commit (see TopKView.__init__): a restart
+                # during batch 0 must resume to "complete over the empty
+                # view" and rebuild from the replayed changelog — not
+                # re-prime from the already-updated view and emit an empty
+                # first delta into an exactly-once sink
+                self._write_manifest()
 
     # --- internals -----------------------------------------------------------
     def _order(self):
@@ -660,7 +707,10 @@ class GroupedTopKView:
     def _manifest_path(self) -> str:
         return os.path.join(self.state_dir, "MANIFEST.json")
 
-    def _write_manifest(self) -> None:
+    def _write_manifest(self, **staged) -> None:
+        """``staged`` overrides let ``_commit`` publish values it has NOT yet
+        swapped into ``self`` — in-memory fields must only move to the new
+        state after the os.replace succeeds (see ``_commit``)."""
         data = {
             "version": self._version,
             "last_batch": self._last_batch,
@@ -672,6 +722,7 @@ class GroupedTopKView:
             "schema": json.loads(self._schema.json()) if self._schema else None,
             "bschema": json.loads(self._bschema.json()) if self._bschema else None,
         }
+        data.update(staged)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(data, fh)
@@ -763,12 +814,21 @@ class GroupedTopKView:
                 self._last_emitted = delta
                 self._emitted = {"batch": batch_id}
             return delta
-        v = self._version + 1
+        # version bumps BEFORE any write: if this commit fails mid-way, a
+        # same-instance retry writes v+1 and can never overwrite a dir the
+        # (still-committed) live maps reference. All map/row-count/emitted/
+        # last_batch updates are STAGED into local copies and swapped into
+        # self only after the manifest os.replace succeeds — until then every
+        # read plan keeps resolving against the last committed state.
+        v = self._version = self._version + 1
         n = max(len(touched), 1)
+        cand_map = dict(self._cand_map)
+        bound_map = dict(self._bound_map)
+        bucket_rows = dict(self._bucket_rows)
         written = []
         for df, name, mp in (
-            (cand, f"cand_v{v}", self._cand_map),
-            (bound, f"bound_v{v}", self._bound_map),
+            (cand, f"cand_v{v}", cand_map),
+            (bound, f"bound_v{v}", bound_map),
         ):
             path = os.path.join(self.state_dir, name)
             (
@@ -809,23 +869,34 @@ class GroupedTopKView:
             for b in touched:
                 sb = str(b)
                 if sb in got:
-                    self._bucket_rows[sb] = got[sb]
+                    bucket_rows[sb] = got[sb]
                 else:
-                    self._bucket_rows.pop(sb, None)
-        if batch_id is not None:
-            self._last_batch = batch_id
-        self._version = v
+                    bucket_rows.pop(sb, None)
+        last_batch = batch_id if batch_id is not None else self._last_batch
+        emitted = self._emitted
         delta = None
         if pre_topk is not None:
-            # post top-k reads the freshly WRITTEN shards (maps updated
-            # above) — no recompute of the candidate plan; pre reads the
-            # superseded files, still on disk until the post-manifest GC
+            # post top-k reads the freshly WRITTEN shards (staged map) — no
+            # recompute of the candidate plan; pre reads the superseded
+            # files, still on disk until the post-manifest GC
             epath = os.path.join(self.state_dir, f"emit_v{v}")
-            delta = self._net_delta(pre_topk, self._topk_of(self._read_cand(touched)))
+            post = self._read(cand_map, self._schema, None, touched)
+            delta = self._net_delta(pre_topk, self._topk_of(post))
             delta.coalesce(1).write.mode("overwrite").parquet(epath)
-            self._emitted = {"batch": batch_id, "path": epath}
+            emitted = {"batch": batch_id, "path": epath}
+        self._write_manifest(
+            last_batch=last_batch,
+            cand=cand_map,
+            bound=bound_map,
+            rows=bucket_rows,
+            emitted=emitted,
+        )
+        # committed: NOW swap the staged state in
+        self._cand_map, self._bound_map = cand_map, bound_map
+        self._bucket_rows = bucket_rows
+        self._last_batch, self._emitted = last_batch, emitted
+        if delta is not None:
             delta = self._spark.read.parquet(epath)
-        self._write_manifest()
         self._gc()
         return delta
 
@@ -844,8 +915,15 @@ class GroupedTopKView:
         if want == self.buckets:
             return
         cand, bound = self._read_cand(), self._read_bound()  # old layout paths
+        old = self.buckets
         self.buckets = want
-        self._commit(cand, bound, list(range(want)), None)
+        try:
+            self._commit(cand, bound, list(range(want)), None)
+        except BaseException:
+            # a failed growth commit must not leave _bexpr computing
+            # new-layout shard ids against the still-committed old maps
+            self.buckets = old
+            raise
 
     def prime(self) -> None:
         """(Re)build candidates from the full view — initial attach to an

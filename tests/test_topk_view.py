@@ -411,6 +411,41 @@ def test_topk_first_batch_collect_is_capped(spark, tmp_path):
     assert _got(topk) == _model_topk(ops + more)
 
 
+def test_topk_composite_key_retraction_without_boundary(spark, tmp_path):
+    """Boundary-None retraction matching for a COMPOSITE row key goes
+    through a broadcast semi-join on the buffered keys (a per-key literal
+    OR-chain grows the Catalyst tree with k·|key|); a buffered composite
+    key's retraction must still hit and promotion stays exact."""
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("g", "kid"),
+        measures={"total": lambda: F.col("val")},
+    )
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), spec)
+    topk = TopKView(
+        3, "total", ("g", "kid"), refill=eng.result, slack=2, prime=False
+    )
+    # 6 live rows < k+2*slack+1 = 8: the buffer stays COMPLETE (boundary
+    # None), so batch 1 exercises exactly the semi-join retraction path
+    ops = [(g, i, 10 * (3 - i) + g, 1) for g in range(2) for i in range(3)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops, G_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    topk.apply(d0)
+    assert topk._boundary is None
+    got = [(r["g"], r["kid"], r["total"]) for r in topk.result_rows()]
+    assert got == [(1, 0, 31), (0, 0, 30), (1, 1, 21)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame([(1, 0, 31, -1)], G_SCHEMA)},
+        batch_id=1,
+        emit_delta=True,
+    )
+    topk.apply(d1)
+    got = [(r["g"], r["kid"], r["total"]) for r in topk.result_rows()]
+    assert got == [(0, 0, 30), (1, 1, 21), (0, 1, 20)]
+    assert topk.refills == 0  # served from the complete buffer, no scan
+
+
 def test_grouped_topk_replayed_changelog_is_idempotent(spark, tmp_path):
     """Crash-replay redelivery: re-applying the SAME changelog (including
     +post rows with no matching −pre — brand-new groups) must not duplicate
@@ -563,6 +598,62 @@ def test_grouped_topk_crash_before_manifest_replace_recovers(spark, tmp_path):
     assert left < orphans  # the torn batch's dirs were GC'd
     assert _ggot(re) == _gmodel(ops0)  # pre-crash committed state, exactly
     re.apply(d1, batch_id=1)  # foreachBatch redelivery
+    assert _ggot(re) == _gmodel(ops0 + ops1)
+
+
+def test_grouped_topk_failed_commit_in_process_retry_is_safe(spark, tmp_path):
+    """In-process retry after a MID-COMMIT failure (same instance, no
+    restart): the commit must leave every in-memory pointer at the last
+    COMMITTED state — maps staged and swapped only after the manifest
+    replace, the version bumped BEFORE any write so the retry never reuses
+    (and self-overwrites) a partially-written version dir."""
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), G_SPEC)
+    topk = _gdurable(spark, tmp_path, eng, resume=False)
+    ops0 = [(g, i, 10 * (5 - i) + g, 1) for g in range(3) for i in range(5)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, G_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    topk.apply(d0, batch_id=0)
+    committed = (
+        dict(topk._cand_map),
+        dict(topk._bound_map),
+        topk._last_batch,
+        topk._emitted,
+    )
+    v0 = topk._version
+
+    orig = topk._write_manifest
+    state = {"fail": True}
+
+    def flaky(**kw):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("injected: commit died before os.replace")
+        return orig(**kw)
+
+    topk._write_manifest = flaky
+    ops1 = [(0, 0, 50, -1), (1, 9, 99, 1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, G_SCHEMA)}, batch_id=1, emit_delta=True
+    ).localCheckpoint()
+    with pytest.raises(RuntimeError, match="injected"):
+        topk.apply(d1, batch_id=1)
+    # every live pointer still resolves the COMMITTED state ...
+    assert (
+        dict(topk._cand_map),
+        dict(topk._bound_map),
+        topk._last_batch,
+        topk._emitted,
+    ) == committed
+    assert _ggot(topk) == _gmodel(ops0)  # reads don't see the torn batch
+    # ... and the failed version is burned, never reused by the retry
+    assert topk._version > v0
+    failed_v = topk._version
+    topk.apply(d1, batch_id=1)  # same-instance retry
+    assert topk._version > failed_v
+    assert _ggot(topk) == _gmodel(ops0 + ops1)
+    # a restart from the retried commit agrees
+    re = _gdurable(spark, tmp_path, eng, resume=True)
     assert _ggot(re) == _gmodel(ops0 + ops1)
 
 
@@ -755,6 +846,81 @@ def test_spec_level_topk_catches_up_after_crash_between_commits(spark, tmp_path)
     # and the engine state was NOT double-applied
     eng2 = IncrementalAcyclicQuery(spark, sdir, TK_SPEC, resume=True)
     assert _knob_got(eng2) == _model_topk(ops0 + ops1)
+
+
+def test_spec_level_topk_restart_during_first_batch_emits_initial_delta(
+    spark, tmp_path
+):
+    """The sharpest exactly-once window: a PROCESS RESTART (not in-process
+    retry) between the engine's batch-0 manifest commit and the top-k's
+    FIRST commit. The fresh durable view commits an initial empty manifest
+    at construction, so the resumed engine reattaches to 'complete over the
+    empty view' instead of re-priming from the already-updated view — the
+    replayed batch-0 changelog then rebuilds the buffer AND emits the TRUE
+    first delta (a re-primed buffer would fold it idempotently and persist
+    an EMPTY batch-0 emission, permanently lost to a downstream sink)."""
+    sdir = str(tmp_path / "es")
+    eng = IncrementalAcyclicQuery(spark, sdir, TK_SPEC)
+
+    def boom(ch, batch_id=None):
+        raise RuntimeError("injected: died before the top-k's first commit")
+
+    eng._topk.apply = boom
+    ops0 = [(i, 10 * (8 - i), 1) for i in range(8)]
+    d0 = spark.createDataFrame(ops0, ITEM_SCHEMA).localCheckpoint()
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.process_batch({"items": d0}, batch_id=0)
+
+    # restart: resume must find the INITIAL top-k manifest, not prime
+    re = IncrementalAcyclicQuery(spark, sdir, TK_SPEC, resume=True)
+    assert re._topk.refills == 0  # no view scan — the window's tell
+    re.process_batch({"items": d0}, batch_id=0)  # foreachBatch redelivery
+    assert _knob_got(re) == _model_topk(ops0)
+    emitted = {
+        (r["kid"], r["total"]): r["weight"] for r in re.topk_delta().collect()
+    }
+    assert emitted == {t: 1 for t in _model_topk(ops0)}
+
+
+def test_spec_level_grouped_topk_restart_during_first_batch_emits_initial_delta(
+    spark, tmp_path
+):
+    """Grouped twin of the first-batch crash window: restart between the
+    engine's batch-0 commit and the grouped view's first commit must replay
+    into an initial empty manifest (no prime) and emit the true entries."""
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("g", "kid"),
+        measures={"total": lambda: F.col("val")},
+        top_k=TopKSpec(
+            k=GK, order_by="total", partition_by=("g",), key=("kid",),
+            slack=GSLACK, emit_changelog=True,
+        ),
+    )
+    sdir = str(tmp_path / "es")
+    eng = IncrementalAcyclicQuery(spark, sdir, spec)
+
+    def boom(ch, batch_id=None):
+        raise RuntimeError("injected: died before the grouped first commit")
+
+    eng._topk.apply = boom
+    ops0 = [(g, i, 10 * (5 - i) + g, 1) for g in range(3) for i in range(5)]
+    d0 = spark.createDataFrame(ops0, G_SCHEMA).localCheckpoint()
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.process_batch({"items": d0}, batch_id=0)
+
+    # resume must reattach to the INITIAL empty manifest (not prime from
+    # the already-updated view) — the emitted-delta check below is the
+    # tell: a primed view folds the replay idempotently and emits NOTHING
+    re = IncrementalAcyclicQuery(spark, sdir, spec, resume=True)
+    re.process_batch({"items": d0}, batch_id=0)  # foreachBatch redelivery
+    got = {(r["g"], r["kid"], r["total"]) for r in re.topk_result().collect()}
+    assert got == _gmodel(ops0)
+    emitted = {
+        (r["g"], r["kid"], r["total"]): r["weight"]
+        for r in re.topk_delta().collect()
+    }
+    assert emitted == {t: 1 for t in _gmodel(ops0)}
 
 
 def test_topk_sink_crash_replay_no_double_emission(spark, tmp_path):
