@@ -236,6 +236,193 @@ register(
 )
 
 
+def incremental_q3_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous TPC-H Q3 WITH its ORDER BY — `ORDER BY revenue DESC,
+    o_orderdate LIMIT 10` maintained under inserts and deletes: the
+    MULTI-KEY continuous ORDER BY (round 8). The maintained buffer's total
+    order is (revenue DESC, o_orderdate ASC, l_orderkey ASC): ties on
+    revenue are resolved by the SECOND declared order column before the
+    unique-key tiebreak, and the Spark-side boundary pushdown restricts the
+    per-batch collect lexicographically over BOTH order values
+    (streaming/topk.py `_touching`) — transfer stays O(buffer) even when
+    revenues tie. Tree and filters are `incremental_q3_stream`'s
+    (plans/ivm_ext.py); the knob is the only addition."""
+    scratch = _scratch("ivm_q3_topk", sf_dir)
+    gens = (
+        DeltaGen(
+            "lineitem",
+            "l_orderkey",
+            ("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"),
+            dup_mod=5,
+            del_mod=7,
+        ),
+        DeltaGen(
+            "orders",
+            "o_orderkey",
+            ("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+            dup_mod=3,
+            del_mod=7,
+        ),
+        DeltaGen("customer", "c_custkey", ("c_custkey", "c_mktsegment"), del_mod=11),
+    )
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec(
+                "lineitem",
+                delta_filter=lambda d: d.filter(
+                    F.col("l_shipdate") > F.lit("1995-06-15").cast("timestamp_ntz")
+                ),
+                project=("l_orderkey", "l_extendedprice", "l_discount"),
+                buckets=16,
+                bucket_key=("l_orderkey",),
+            ),
+            RelSpec(
+                "orders",
+                join_on=("o_orderkey", "l_orderkey"),
+                delta_filter=lambda d: d.filter(
+                    F.col("o_orderdate") < F.lit("1995-06-15").cast("timestamp_ntz")
+                ),
+                project=("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+                buckets=16,
+                bucket_key=("o_orderkey",),
+            ),
+            RelSpec(
+                "customer",
+                join_on=("c_custkey", "o_custkey"),
+                delta_filter=lambda d: d.filter(F.col("c_mktsegment") == "BUILDING"),
+            ),
+        ),
+        group_by=("l_orderkey", "o_orderdate", "o_orderpriority"),
+        measures={"revenue": _revenue},
+        finalize=lambda df: df.select(
+            "l_orderkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        ),
+        top_k=TopKSpec(
+            k=10,
+            order_by=(("revenue", "desc"), ("o_orderdate", "asc")),
+            key=("l_orderkey",),
+            slack=10,
+        ),
+    )
+    eng = IncrementalAcyclicQuery(spark, f"{scratch}/state", spec)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        eng.process_batch(split_deltas(batch, rel_columns), batch_id)
+
+    run_delta_stream(spark, delta_dir, schema, scratch, handle)
+    return eng.topk_result()
+
+
+register(
+    "incremental_q3_topk_stream",
+    incremental_q3_topk_stream,
+    """WITH li AS (
+         SELECT *, 1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
+         FROM lineitem),
+       o AS (
+         SELECT *, 1 + (o_orderkey % 3 = 0)::INT - (o_orderkey % 7 = 0)::INT AS m
+         FROM orders),
+       c AS (
+         SELECT *, 1 - (c_custkey % 11 = 0)::INT AS m FROM customer)
+       SELECT l_orderkey,
+              sum(li.m * o.m * c.m * l_extendedprice::DECIMAL(12,4)
+                  * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS revenue,
+              o_orderdate, o_orderpriority
+       FROM li JOIN o ON l_orderkey = o_orderkey
+       JOIN c ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1995-06-15'
+         AND l_shipdate > TIMESTAMP '1995-06-15'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       HAVING sum(li.m * o.m * c.m) > 0
+       ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+)
+
+
+def incremental_topk_chained_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K CHANGELOG → DOWNSTREAM ENGINE composition (round 8): the
+    continuously-maintained Q10 top-20's OWN ±changelog
+    (streaming/topk.py `TopKView.apply` — "a valid weighted delta for a
+    downstream engine") feeds a SECOND `IncrementalAcyclicQuery` as a base
+    relation, which maintains per-nation membership count and revenue sum
+    OVER THE LEADERBOARD — a continuous aggregate OF a continuous top-k.
+
+    Per micro-batch: the upstream engine folds the TPC-H deltas and feeds
+    its spec-level top-k; `topk_delta()` hands back the batch's persisted
+    ±20-row changelog; the downstream engine folds it through the same
+    weight algebra (members = Σw, revenue = Σw·revenue, HAVING Σw>0).
+    Exactly-once composes across ALL THREE manifests: a crash between any
+    two commits replays the batch, the upstream pair replay-skip and
+    re-hand the PERSISTED changelog, and the downstream engine either
+    applies it (it was behind) or replay-skips too
+    (tests/test_topk_view.py::test_topk_chained_engine_crash_replay)."""
+    scratch = _scratch("ivm_topk_chain", sf_dir)
+    gens = _q10_gens()
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+    eng = IncrementalAcyclicQuery(spark, f"{scratch}/state", _q10_topk_spec())
+    down_spec = AcyclicQuerySpec(
+        relations=(RelSpec("top20"),),
+        group_by=("n_name",),
+        measures={
+            "members": lambda: F.lit(1),
+            "revenue_sum": lambda: F.col("revenue"),
+        },
+        finalize=lambda df: df.select(
+            "n_name",
+            F.col("members").cast("bigint").alias("members"),
+            F.col("revenue_sum").cast("double").alias("revenue_sum"),
+        ),
+    )
+    down = IncrementalAcyclicQuery(spark, f"{scratch}/state2", down_spec)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        eng.process_batch(split_deltas(batch, rel_columns), batch_id)
+        down.process_batch({"top20": eng.topk_delta()}, batch_id)
+
+    run_delta_stream(spark, delta_dir, schema, scratch, handle)
+    return down.result()
+
+
+register(
+    "incremental_topk_chained_stream",
+    incremental_topk_chained_stream,
+    f"""WITH li AS (
+         SELECT *, 1 + (l_orderkey % 5 = 0)::INT - (l_orderkey % 7 = 0)::INT AS m
+         FROM lineitem WHERE l_returnflag = 'R'),
+       o AS (
+         SELECT *, 1 - (o_orderkey % 7 = 0)::INT AS m
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+           AND o_orderdate <  TIMESTAMP '{Q10_DATE_HI}'),
+       c AS (
+         SELECT *, 1 - (c_custkey % 13 = 0)::INT AS m FROM customer),
+       t AS (
+         SELECT c_custkey, c_name,
+                sum(li.m * o.m * c.m * l_extendedprice::DECIMAL(12,4)
+                    * (1 - l_discount)::DECIMAL(12,4))::DOUBLE AS revenue,
+                c_acctbal, n_name
+         FROM li JOIN o ON l_orderkey = o_orderkey
+         JOIN c ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         HAVING sum(li.m * o.m * c.m) > 0
+         ORDER BY revenue DESC, c_custkey LIMIT 20)
+       SELECT n_name, count(*)::BIGINT AS members,
+              sum(revenue)::DOUBLE AS revenue_sum
+       FROM t GROUP BY n_name""",
+)
+
+
 def incremental_topk_per_group_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous PER-GROUP top-k — each nation's top-3 customers by order
     revenue, maintained under inserts AND deletes: the continuous twin of the

@@ -376,7 +376,10 @@ class TopKSpec:
     ``bucket_target_rows`` shard the per-group candidate state."""
 
     k: int
-    order_by: str
+    # a single emitted column name, or a tuple of names / (name,
+    # "asc"|"desc") pairs for a multi-key ORDER BY (e.g. continuous Q3's
+    # ``revenue DESC, o_orderdate``); bare names take ``descending``
+    order_by: str | tuple
     partition_by: tuple[str, ...] = ()
     key: tuple[str, ...] | None = None
     slack: int | None = None
@@ -394,6 +397,9 @@ class TopKSpec:
             raise ValueError("top_k: k must be >= 1")
         if self.buckets < 1:
             raise ValueError("top_k: buckets must be >= 1")
+        from .topk import _norm_order
+
+        _norm_order(self.order_by, self.descending)  # fail bad shapes at spec time
 
 
 @dataclass(frozen=True)

@@ -65,12 +65,39 @@ WEIGHT = "weight"
 BUCKET = "_bucket"  # reserved shard column, engine streaming/acyclic.py
 
 
+def _norm_order(order_by, descending: bool) -> tuple[tuple[str, bool], ...]:
+    """Normalize an ORDER BY declaration to ``((column, desc_bool), ...)``.
+
+    Accepted forms (TopKSpec.order_by and both views' order parameter):
+    a single column name (direction = the ``descending`` default), or a
+    sequence whose entries are column names or ``(column, direction)``
+    pairs, direction being "asc"/"desc" or a bool (True = descending) —
+    the continuous twin of a multi-key ``ORDER BY v DESC, d ASC``."""
+    if isinstance(order_by, str):
+        return ((order_by, descending),)
+    out = []
+    for e in order_by:
+        if isinstance(e, str):
+            out.append((e, descending))
+        else:
+            c, d = e
+            out.append(
+                (c, d.lower() == "desc" if isinstance(d, str) else bool(d))
+            )
+    if not out:
+        raise ValueError("order_by must name at least one column")
+    return tuple(out)
+
+
 class TopKView:
     """Exact top-k of a continuously-maintained view, fed by its emit_delta
     changelog.
 
     ``k``          — rows to emit.
-    ``order_col``  — the ranking measure column of the view.
+    ``order_col``  — the ranking ORDER BY of the view: a single column name,
+                     or a sequence of names / ``(name, "asc"|"desc")`` pairs
+                     for a multi-key ``ORDER BY v DESC, d ASC`` (round 8);
+                     bare names take the ``descending`` default.
     ``key_cols``   — columns forming a UNIQUE key of view rows (the group-by
                      key of the upstream engine); also the deterministic
                      ascending tiebreak, mirroring ``ORDER BY v DESC, key``.
@@ -113,7 +140,9 @@ class TopKView:
         if k < 1:
             raise ValueError("k must be >= 1")
         self.k = k
-        self.order_col = order_col
+        # multi-key ORDER BY (round 8): ((col, desc), ...) — ``order_col``
+        # accepts a single name or a sequence of name/(name, dir) entries
+        self.order_cols = _norm_order(order_col, descending)
         self.key_cols = tuple(key_cols)
         self.descending = descending
         self.slack = k if slack is None else slack
@@ -160,13 +189,18 @@ class TopKView:
 
     # --- total order ---------------------------------------------------------
     def _skey(self, row: dict) -> tuple:
-        return (row[self.order_col], tuple(row[c] for c in self.key_cols))
+        return (
+            tuple(row[c] for c, _ in self.order_cols),
+            tuple(row[c] for c in self.key_cols),
+        )
 
     def _better(self, a: tuple, b: tuple) -> bool:
-        """Strict 'a ranks before b' under (order value, tiebreak keys) —
-        total because key_cols are unique per row."""
-        if a[0] != b[0]:
-            return a[0] > b[0] if self.descending else a[0] < b[0]
+        """Strict 'a ranks before b' under (order values..., tiebreak keys)
+        — lexicographic with a per-column direction, total because key_cols
+        are unique per row."""
+        for (_, desc), av, bv in zip(self.order_cols, a[0], b[0]):
+            if av != bv:
+                return av > bv if desc else av < bv
         return a[1] < b[1]
 
     def _admissible(self, s: tuple) -> bool:
@@ -182,9 +216,10 @@ class TopKView:
 
     def _ranked(self) -> list[dict]:
         rows = sorted(self._buffer.values(), key=lambda r: tuple(r[c] for c in self.key_cols))
-        rows.sort(
-            key=lambda r: r[self.order_col], reverse=self.descending
-        )  # stable: ties stay tiebreak-ascending
+        # stable sorts applied least-significant-first: ties on every order
+        # column stay tiebreak-ascending
+        for c, desc in reversed(self.order_cols):
+            rows.sort(key=lambda r, _c=c: r[_c], reverse=desc)
         return rows
 
     # --- durability (optional): tiny parquet behind an atomic manifest -------
@@ -214,9 +249,10 @@ class TopKView:
             fields = self._schema.fields
             by_name = {f.name: f for f in fields}
             bschema = StructType(
-                [by_name[self.order_col]] + [by_name[c] for c in self.key_cols]
+                [by_name[c] for c, _ in self.order_cols]
+                + [by_name[c] for c in self.key_cols]
             )
-            brow = [(self._boundary[0], *self._boundary[1])]
+            brow = [(*self._boundary[0], *self._boundary[1])]
             self._spark.createDataFrame(brow, bschema).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(vdir, "bnd"))
@@ -284,7 +320,7 @@ class TopKView:
         if data["has_boundary"]:
             b = self._spark.read.parquet(os.path.join(vdir, "bnd")).collect()[0]
             self._boundary = (
-                b[self.order_col],
+                tuple(b[c] for c, _ in self.order_cols),
                 tuple(b[c] for c in self.key_cols),
             )
 
@@ -303,17 +339,19 @@ class TopKView:
         """Rebuild the buffer as the true top-(k+slack) of the full view —
         ONE TakeOrderedAndProject job. Fewer rows than that means the buffer
         is complete (boundary None: every insert is admitted)."""
-        order = (
-            F.col(self.order_col).desc() if self.descending else F.col(self.order_col).asc()
-        )
+        order = [
+            F.col(c).desc() if d else F.col(c).asc() for c, d in self.order_cols
+        ]
         view = self._refill_fn()
         if self._spark is None:
             self._spark = view.sparkSession
         self._pin_schema(view)
-        df = view.filter(F.col(self.order_col).isNotNull())
+        df = view
+        for c, _ in self.order_cols:
+            df = df.filter(F.col(c).isNotNull())
         rows = [
             r.asDict()
-            for r in df.orderBy(order, *[F.col(c).asc() for c in self.key_cols])
+            for r in df.orderBy(*order, *[F.col(c).asc() for c in self.key_cols])
             .limit(self.k + self.slack)
             .collect()
         ]
@@ -340,16 +378,25 @@ class TopKView:
         order pass — exact, because every buffered row ranks at-or-before B
         (retractions of buffered keys always pass) and admission itself is
         at-or-before B."""
-        ch = changelog.filter(F.col(self.order_col).isNotNull())
+        ch = changelog
+        for c, _ in self.order_cols:
+            ch = ch.filter(F.col(c).isNotNull())
         if self._boundary is None:
             return ch
-        bv, bkeys = self._boundary
-        ov = F.col(self.order_col)
-        cond = ov > F.lit(bv) if self.descending else ov < F.lit(bv)
-        eq = ov == F.lit(bv)
+        bvals, bkeys = self._boundary
+        types = {f.name: f.dataType for f in self._schema.fields}
+        cond = F.lit(False)
+        eq = F.lit(True)
+        # literals cast to the PINNED column type: a collected timestamp_ntz
+        # boundary value must compare as ntz, not as a re-inferred ltz literal
+        for (c, desc), bv in zip(self.order_cols, bvals):
+            col, lit = F.col(c), F.lit(bv).cast(types[c])
+            cond = cond | (eq & ((col > lit) if desc else (col < lit)))
+            eq = eq & col.eqNullSafe(lit)
         for c, bk in zip(self.key_cols, bkeys):
-            cond = cond | (eq & (F.col(c) < F.lit(bk)))
-            eq = eq & F.col(c).eqNullSafe(F.lit(bk))
+            lit = F.lit(bk).cast(types[c])
+            cond = cond | (eq & (F.col(c) < lit))
+            eq = eq & F.col(c).eqNullSafe(lit)
         # trailing `eq` = the boundary row itself (keys are unique), which
         # at-or-before admission readmits after a −pre/+post pop
         return ch.filter(cond | eq)
@@ -375,7 +422,9 @@ class TopKView:
           buffer stays complete."""
         if self._boundary is not None:
             return [r.asDict() for r in self._touching(changelog).collect()]
-        ch = changelog.filter(F.col(self.order_col).isNotNull())
+        ch = changelog
+        for c, _ in self.order_cols:
+            ch = ch.filter(F.col(c).isNotNull())
         rows: list[dict] = []
         if self._buffer:
             # buffered-key membership: a per-key OR-chain of literal
@@ -409,15 +458,13 @@ class TopKView:
                     how="left_semi",
                 )
             rows += [r.asDict() for r in neg.collect()]
-        order = (
-            F.col(self.order_col).desc()
-            if self.descending
-            else F.col(self.order_col).asc()
-        )
+        order = [
+            F.col(c).desc() if d else F.col(c).asc() for c, d in self.order_cols
+        ]
         rows += [
             r.asDict()
             for r in ch.filter(F.col(WEIGHT) > 0)
-            .orderBy(order, *[F.col(c).asc() for c in self.key_cols])
+            .orderBy(*order, *[F.col(c).asc() for c in self.key_cols])
             .limit(self.k + 2 * self.slack + 1)
             .collect()
         ]
@@ -563,7 +610,8 @@ class GroupedTopKView:
         if buckets < 1:
             raise ValueError("buckets must be >= 1")
         self.k = k
-        self.order_col = order_col
+        # multi-key ORDER BY (round 8), same forms as TopKView
+        self.order_cols = _norm_order(order_col, descending)
         self.group_cols = tuple(group_cols)
         self.key_cols = tuple(key_cols)
         self.descending = descending
@@ -620,10 +668,14 @@ class GroupedTopKView:
 
     # --- internals -----------------------------------------------------------
     def _order(self):
-        v = F.col(self.order_col)
-        return [v.desc() if self.descending else v.asc()] + [
-            F.col(c).asc() for c in self.key_cols
-        ]
+        return [
+            F.col(c).desc() if d else F.col(c).asc() for c, d in self.order_cols
+        ] + [F.col(c).asc() for c in self.key_cols]
+
+    def _non_null_order(self, df: DataFrame) -> DataFrame:
+        for c, _ in self.order_cols:
+            df = df.filter(F.col(c).isNotNull())
+        return df
 
     def _rank(self, df: DataFrame) -> DataFrame:
         from pyspark.sql.window import Window
@@ -635,26 +687,33 @@ class GroupedTopKView:
         """Boundary rows for groups trimmed AT capacity (row k+slack exists)."""
         return ranked.filter(F.col("_rn") == self.k + self.slack).select(
             *self.group_cols,
-            F.col(self.order_col).alias("_bv"),
+            *[
+                F.col(c).alias(f"_bv{i}")
+                for i, (c, _) in enumerate(self.order_cols)
+            ],
             *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(self.key_cols)],
         )
 
     def _beats_bound(self):
         """Row AT-OR-BEFORE the boundary under the TOTAL order (boundary
-        absent — _bv NULL after the left join — admits unconditionally).
-        The trailing full-tie term is the boundary row itself: admitting it
-        back after its own −pre/+post pop keeps the candidate set from
-        shrinking on touched-but-unchanged boundary rows (the strictly-
-        better form forced refills earlier than the ≥slack-deletions
-        amortization); the k+2·slack capacity bound is unaffected because
-        the pop freed the slot in the same batch."""
-        v, bv = F.col(self.order_col), F.col("_bv")
-        cond = (v > bv) if self.descending else (v < bv)
-        eq = v == bv
+        absent — _bv0 NULL after the left join — admits unconditionally).
+        Lexicographic over every (order column, direction), then the
+        ascending key tiebreak. The trailing full-tie term is the boundary
+        row itself: admitting it back after its own −pre/+post pop keeps
+        the candidate set from shrinking on touched-but-unchanged boundary
+        rows (the strictly-better form forced refills earlier than the
+        ≥slack-deletions amortization); the k+2·slack capacity bound is
+        unaffected because the pop freed the slot in the same batch."""
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for i, (c, desc) in enumerate(self.order_cols):
+            v, b = F.col(c), F.col(f"_bv{i}")
+            cond = cond | (eq & ((v > b) if desc else (v < b)))
+            eq = eq & v.eqNullSafe(b)
         for i, c in enumerate(self.key_cols):
             cond = cond | (eq & (F.col(c) < F.col(f"_bk{i}")))
             eq = eq & F.col(c).eqNullSafe(F.col(f"_bk{i}"))
-        return bv.isNull() | cond | eq
+        return F.col("_bv0").isNull() | cond | eq
 
     # --- sharded state I/O ---------------------------------------------------
     def _bexpr(self):
@@ -675,7 +734,10 @@ class GroupedTopKView:
         by_name = {f.name: f for f in self._schema.fields}
         self._bschema = StructType(
             [by_name[c] for c in self.group_cols]
-            + [StructField("_bv", by_name[self.order_col].dataType)]
+            + [
+                StructField(f"_bv{i}", by_name[c].dataType)
+                for i, (c, _) in enumerate(self.order_cols)
+            ]
             + [
                 StructField(f"_bk{i}", by_name[c].dataType)
                 for i, c in enumerate(self.key_cols)
@@ -932,7 +994,7 @@ class GroupedTopKView:
         view = self._refill_fn(None)
         self._spark = self._spark or view.sparkSession
         self._pin_schemas(view)
-        view = view.filter(F.col(self.order_col).isNotNull())
+        view = self._non_null_order(view)
         ranked = self._rank(view)
         self._commit(
             ranked.filter(F.col("_rn") <= self.k + self.slack).drop("_rn"),
@@ -990,12 +1052,9 @@ class GroupedTopKView:
             # metadata-only counts of the shards this batch will read
             self.last_read_rows = cand0.count()
         neg = changelog.filter(F.col(WEIGHT) < 0).select(*gk)
-        pos = (
-            changelog.filter(
-                (F.col(WEIGHT) > 0) & F.col(self.order_col).isNotNull()
-            )
-            .drop(WEIGHT)
-        )
+        pos = self._non_null_order(
+            changelog.filter(F.col(WEIGHT) > 0)
+        ).drop(WEIGHT)
         cand = cand0.join(neg, on=gk, how="left_anti")
         admitted = (
             pos.join(bound0, on=list(self.group_cols), how="left")
@@ -1027,9 +1086,7 @@ class GroupedTopKView:
             on=list(self.group_cols),
             how="left_anti",
         )
-        fresh = self._refill_fn(drained).filter(
-            F.col(self.order_col).isNotNull()
-        )
+        fresh = self._non_null_order(self._refill_fn(drained))
         # the refill reads ENGINE state (drained-restricted semi-joins) and
         # feeds both the candidate and the boundary writes — checkpoint it
         # lazily so the state read runs once per batch, not per consumer

@@ -446,6 +446,175 @@ def test_topk_composite_key_retraction_without_boundary(spark, tmp_path):
     assert topk.refills == 0  # served from the complete buffer, no scan
 
 
+MK_SCHEMA = "kid int, d int, val int, weight int"
+
+MK_SPEC = AcyclicQuerySpec(
+    relations=(RelSpec("items"),),
+    group_by=("kid", "d"),
+    measures={"total": lambda: F.col("val")},
+)
+
+
+def _mk_model(ops, k=3):
+    """From-scratch multi-key rank: ORDER BY total DESC, d ASC, kid ASC."""
+    net: dict[tuple, int] = {}
+    for kid, d, val, w in ops:
+        net[(kid, d, val)] = net.get((kid, d, val), 0) + w
+    tot: dict[tuple, int] = {}
+    sup: dict[tuple, int] = {}
+    for (kid, d, val), m in net.items():
+        tot[(kid, d)] = tot.get((kid, d), 0) + m * val
+        sup[(kid, d)] = sup.get((kid, d), 0) + m
+    live = [(kid, d, tot[(kid, d)]) for kid, d in tot if sup[(kid, d)] > 0]
+    live.sort(key=lambda t: (-t[2], t[1], t[0]))
+    return [(kid, d, t) for kid, d, t in live[:k]]
+
+
+def test_topk_multi_key_order_by_exact_under_churn(spark, tmp_path):
+    """Round 8: ORDER BY over MULTIPLE columns with per-column direction —
+    ``total DESC, d ASC`` — ties on the first key resolved by the second
+    BEFORE the unique-key tiebreak, through trim, boundary pushdown,
+    admission, retraction-promotion, and the durable manifest round-trip."""
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), MK_SPEC)
+    sdir = str(tmp_path / "tk")
+    topk = TopKView(
+        3,
+        (("total", "desc"), ("d", "asc")),
+        ("kid",),
+        refill=eng.result,
+        slack=1,
+        prime=False,
+        state_dir=sdir,
+        spark=spark,
+    )
+    # three-way tie on total=50 ordered by d; 8 rows > k+2*slack=5 -> trim
+    # fires, so the persisted boundary carries BOTH order values
+    ops0 = [
+        (0, 2, 50, 1), (1, 1, 50, 1), (2, 0, 50, 1), (3, 1, 40, 1),
+        (4, 0, 40, 1), (5, 0, 30, 1), (6, 0, 20, 1), (7, 0, 10, 1),
+    ]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, MK_SCHEMA)}, batch_id=0,
+        emit_delta=True,
+    )
+    topk.apply(d0, batch_id=0)
+    got = [(r["kid"], r["d"], r["total"]) for r in topk.result_rows()]
+    assert got == _mk_model(ops0) == [(2, 0, 50), (1, 1, 50), (0, 2, 50)]
+    assert topk._boundary is not None
+
+    # admission decided by the SECOND order key: a new total=50 row with
+    # d=0 must rank ahead of the d=1 and d=2 ties (multi-key pushdown)
+    ops1 = [(8, 0, 50, 1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, MK_SCHEMA)}, batch_id=1,
+        emit_delta=True,
+    )
+    topk.apply(d1, batch_id=1)
+    got = [(r["kid"], r["d"], r["total"]) for r in topk.result_rows()]
+    assert got == _mk_model(ops0 + ops1) == [
+        (2, 0, 50), (8, 0, 50), (1, 1, 50)
+    ]
+
+    # retraction inside the tie cohort promotes across the second key
+    ops2 = [(2, 0, 50, -1), (8, 0, 50, -1)]
+    d2 = eng.process_batch(
+        {"items": spark.createDataFrame(ops2, MK_SCHEMA)}, batch_id=2,
+        emit_delta=True,
+    ).localCheckpoint()
+    topk.apply(d2, batch_id=2)
+    got = [(r["kid"], r["d"], r["total"]) for r in topk.result_rows()]
+    assert got == _mk_model(ops0 + ops1 + ops2) == [
+        (1, 1, 50), (0, 2, 50), (4, 0, 40)
+    ]
+
+    # durable round-trip of the multi-column boundary: resume, replay, go on
+    re = TopKView(
+        3,
+        (("total", "desc"), ("d", "asc")),
+        ("kid",),
+        refill=eng.result,
+        slack=1,
+        prime=False,
+        state_dir=sdir,
+        spark=spark,
+        resume=True,
+    )
+    assert re.refills == 0 and re._boundary == topk._boundary
+    re.apply(d2, batch_id=2)  # replay no-op
+    got = [(r["kid"], r["d"], r["total"]) for r in re.result_rows()]
+    assert got == _mk_model(ops0 + ops1 + ops2)
+
+
+def test_grouped_topk_multi_key_order_by(spark, tmp_path):
+    """Grouped twin: per-group ``row_number() OVER (PARTITION BY g ORDER BY
+    total DESC, d ASC, kid)`` — the second order key decides within-group
+    ties through the Spark-side boundary join (_bv0/_bv1)."""
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("g", "kid", "d"),
+        measures={"total": lambda: F.col("val")},
+        top_k=TopKSpec(
+            k=2,
+            order_by=(("total", "desc"), ("d", "asc")),
+            partition_by=("g",),
+            key=("kid",),
+            slack=1,
+        ),
+    )
+    schema = "g int, kid int, d int, val int, weight int"
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "es"), spec)
+    # both groups: a 3-way total tie split by d, plus filler past capacity
+    ops0 = [
+        (g, 0, 2, 50, 1) for g in range(2)
+    ] + [
+        (g, 1, 1, 50, 1) for g in range(2)
+    ] + [
+        (g, 2, 0, 50, 1) for g in range(2)
+    ] + [
+        (g, 3 + i, 0, 40 - 10 * i, 1) for g in range(2) for i in range(3)
+    ]
+    eng.process_batch(
+        {"items": spark.createDataFrame(ops0, schema)}, batch_id=0
+    )
+
+    def model(ops, k=2):
+        tot: dict[tuple, tuple] = {}
+        sup: dict[tuple, int] = {}
+        for g, kid, d, val, w in ops:
+            key = (g, kid)
+            t, _ = tot.get(key, (0, d))
+            tot[key] = (t + w * val, d)
+            sup[key] = sup.get(key, 0) + w
+        per_g: dict[int, list] = {}
+        for (g, kid), (t, d) in tot.items():
+            if sup[(g, kid)] > 0:
+                per_g.setdefault(g, []).append((kid, d, t))
+        out = set()
+        for g, rows in per_g.items():
+            rows.sort(key=lambda r: (-r[2], r[1], r[0]))
+            out |= {(g, kid, d, t) for kid, d, t in rows[:k]}
+        return out
+
+    def got():
+        return {
+            (r["g"], r["kid"], r["d"], r["total"])
+            for r in eng.topk_result().collect()
+        }
+
+    assert got() == model(ops0) == {
+        (0, 2, 0, 50), (0, 1, 1, 50), (1, 2, 0, 50), (1, 1, 1, 50)
+    }
+    # group-0 churn: the d=0 leader leaves, a NEW d=0 tie enters group 1 —
+    # admission vs the (total, d) boundary, not total alone
+    ops1 = [(0, 2, 0, 50, -1), (1, 9, 0, 50, 1)]
+    eng.process_batch(
+        {"items": spark.createDataFrame(ops1, schema)}, batch_id=1
+    )
+    assert got() == model(ops0 + ops1) == {
+        (0, 1, 1, 50), (0, 0, 2, 50), (1, 2, 0, 50), (1, 9, 0, 50)
+    }
+
+
 def test_grouped_topk_replayed_changelog_is_idempotent(spark, tmp_path):
     """Crash-replay redelivery: re-applying the SAME changelog (including
     +post rows with no matching −pre — brand-new groups) must not duplicate
@@ -1260,3 +1429,114 @@ def test_topk_emits_its_own_changelog(spark, tmp_path):
         prev_model = model
     telescoped = {t for t, w in net.items() if w != 0}
     assert telescoped == set(_model_topk(seen)) == set(_got(topk))
+
+
+# --- topk changelog -> downstream ENGINE composition (round 8) ---------------
+
+CH_SCHEMA = "kid int, g int, val int, weight int"
+
+CH_UP_SPEC = AcyclicQuerySpec(
+    relations=(RelSpec("items"),),
+    group_by=("kid", "g"),
+    measures={"total": lambda: F.col("val")},
+    top_k=TopKSpec(k=K, order_by="total", key=("kid",), slack=SLACK),
+)
+
+CH_DOWN_SPEC = AcyclicQuerySpec(
+    relations=(RelSpec("top"),),
+    group_by=("g",),
+    measures={"members": lambda: F.lit(1), "tot": lambda: F.col("total")},
+)
+
+
+def _chain_model(ops, k=K):
+    """From-scratch: top-k of the view (total desc, kid asc), then GROUP BY
+    g over those k rows — the downstream continuous aggregate OF the
+    leaderboard."""
+    net: dict[tuple, int] = {}
+    for kid, g, val, w in ops:
+        net[(kid, g, val)] = net.get((kid, g, val), 0) + w
+    tot: dict[tuple, int] = {}
+    sup: dict[tuple, int] = {}
+    for (kid, g, val), m in net.items():
+        tot[(kid, g)] = tot.get((kid, g), 0) + m * val
+        sup[(kid, g)] = sup.get((kid, g), 0) + m
+    live = [(kid, g, t) for (kid, g), t in tot.items() if sup[(kid, g)] > 0]
+    live.sort(key=lambda r: (-r[2], r[0]))
+    agg: dict[int, tuple] = {}
+    for _, g, t in live[:k]:
+        c, s = agg.get(g, (0, 0))
+        agg[g] = (c + 1, s + t)
+    return {(g, c, s) for g, (c, s) in agg.items()}
+
+
+def _chain_got(down):
+    return {(r["g"], r["members"], r["tot"]) for r in down.result().collect()}
+
+
+def _chain_step(spark, up, down, rows, i):
+    up.process_batch(
+        {"items": spark.createDataFrame(rows or [], CH_SCHEMA)}, batch_id=i
+    )
+    down.process_batch({"top": up.topk_delta()}, batch_id=i)
+
+
+def test_topk_chained_engine_crash_replay(spark, tmp_path):
+    """topk changelog -> downstream ENGINE (round 8): the maintained top-k's
+    ±changelog feeds a SECOND IncrementalAcyclicQuery as a base relation,
+    and exactly-once composes across all THREE manifests — a crash between
+    the upstream pair's commits and the downstream commit replays the batch,
+    the upstream engine+top-k replay-skip and re-hand the PERSISTED top-k
+    delta, and the downstream engine applies it exactly once."""
+    up_dir, down_dir = str(tmp_path / "up"), str(tmp_path / "down")
+    up = IncrementalAcyclicQuery(spark, up_dir, CH_UP_SPEC)
+    down = IncrementalAcyclicQuery(spark, down_dir, CH_DOWN_SPEC)
+    ops0 = [(i, i % 2, 10 * (8 - i), 1) for i in range(8)]
+    _chain_step(spark, up, down, ops0, 0)
+    assert _chain_got(down) == _chain_model(ops0)
+    # leaderboard churn crosses group lines: exits and entries land as
+    # ±deltas on DIFFERENT downstream groups
+    ops1 = [(0, 0, 80, -1), (9, 1, 65, 1)]
+    _chain_step(spark, up, down, ops1, 1)
+    assert _chain_got(down) == _chain_model(ops0 + ops1)
+
+    # crash window: upstream engine AND top-k commit batch 2, the process
+    # dies before the downstream feed
+    ops2 = [(1, 1, 70, -1), (2, 0, 60, -1)]
+    up.process_batch(
+        {"items": spark.createDataFrame(ops2, CH_SCHEMA)}, batch_id=2
+    )
+    # restart: all three structures resume from their manifests
+    up2 = IncrementalAcyclicQuery(spark, up_dir, CH_UP_SPEC, resume=True)
+    down2 = IncrementalAcyclicQuery(spark, down_dir, CH_DOWN_SPEC, resume=True)
+    assert _chain_got(down2) == _chain_model(ops0 + ops1)  # still behind
+    _chain_step(spark, up2, down2, ops2, 2)  # foreachBatch redelivery
+    assert _chain_got(down2) == _chain_model(ops0 + ops1 + ops2)
+    # a second redelivery is a full-chain no-op (both ends replay-skip)
+    _chain_step(spark, up2, down2, ops2, 2)
+    assert _chain_got(down2) == _chain_model(ops0 + ops1 + ops2)
+    # stream continues exactly across the healed chain
+    ops3 = [(3, 1, 50, -1), (10, 0, 45, 1)]
+    _chain_step(spark, up2, down2, ops3, 3)
+    assert _chain_got(down2) == _chain_model(ops0 + ops1 + ops2 + ops3)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batched=_SPLITS)
+def test_topk_chained_engine_property_prefix_closure(
+    spark, tmp_path_factory, batched
+):
+    """Prefix closure ACROSS the chain: after EVERY batch of an arbitrary
+    interleaving, the downstream engine fed by the top-k's ±changelog equals
+    a from-scratch GROUP BY over the from-scratch top-k of the prefix —
+    entries, exits, and value updates all propagate as valid weighted
+    deltas."""
+    tmp = tmp_path_factory.mktemp("chain")
+    up = IncrementalAcyclicQuery(spark, str(tmp / "up"), CH_UP_SPEC)
+    down = IncrementalAcyclicQuery(spark, str(tmp / "down"), CH_DOWN_SPEC)
+    seen: list[tuple] = []
+    for i, ops in enumerate(batched):
+        rows = [(kid, kid % 2, val, w) for kid, val, w in ops]
+        _chain_step(spark, up, down, rows, i)
+        seen.extend(rows)
+        assert _chain_got(down) == _chain_model(seen)
