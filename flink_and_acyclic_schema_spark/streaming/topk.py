@@ -230,39 +230,66 @@ class TopKView:
         if self._schema is None:
             self._schema = template.schema
 
+    def _write_rows(self, path: str, schema, rows: list[dict]) -> None:
+        """ONE parquet file via a DRIVER-SIDE arrow write: the buffer is
+        O(k) rows of plain Python values already resident on the driver, so
+        persisting it must not cost Spark jobs (the previous design spent
+        2-3 ``createDataFrame().write`` round-trips per batch on ≤60 rows).
+        The layout mirrors a Spark-written dir (part file inside a
+        directory), so the sink-facing ``emitted_df`` stays a plain
+        ``spark.read.parquet`` and old Spark-written state dirs resume
+        unchanged (pyarrow dataset discovery skips ``_SUCCESS``)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        os.makedirs(path, exist_ok=True)
+        target = os.path.join(path, "part-00000.parquet")
+        try:
+            tbl = pa.Table.from_pylist(
+                [{f.name: r[f.name] for f in schema.fields} for r in rows],
+                schema=to_arrow_schema(schema),
+            )
+            pq.write_table(tbl, target)
+        except Exception:
+            # a type the arrow bridge can't map — fall back to one Spark job
+            data = [tuple(r[f.name] for f in schema.fields) for r in rows]
+            self._spark.createDataFrame(data, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+
     def _persist(self, out: list[dict] | None, batch_id: int | None) -> None:
         """Commit the post-batch buffer/boundary (and the batch's emitted
         top-k changelog) under a versioned dir + atomic manifest replace.
         Everything written is O(k) rows — the buffer IS bounded driver
-        state, so its durable twin is bounded too."""
+        state, so its durable twin is bounded too, and the whole commit is
+        driver-side file IO (no Spark jobs)."""
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         v = self._version + 1
         vdir = os.path.join(self.state_dir, f"v{v}")
         if self._schema is not None:
-            fields = self._schema.fields
-            rows = [tuple(r[f.name] for f in fields) for r in self._buffer.values()]
-            self._spark.createDataFrame(rows, self._schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(vdir, "buf"))
+            self._write_rows(
+                os.path.join(vdir, "buf"), self._schema, list(self._buffer.values())
+            )
         if self._boundary is not None:
-            fields = self._schema.fields
-            by_name = {f.name: f for f in fields}
+            by_name = {f.name: f for f in self._schema.fields}
             bschema = StructType(
                 [by_name[c] for c, _ in self.order_cols]
                 + [by_name[c] for c in self.key_cols]
             )
-            brow = [(*self._boundary[0], *self._boundary[1])]
-            self._spark.createDataFrame(brow, bschema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(vdir, "bnd"))
+            brow = dict(
+                zip(
+                    [c for c, _ in self.order_cols] + list(self.key_cols),
+                    [*self._boundary[0], *self._boundary[1]],
+                )
+            )
+            self._write_rows(os.path.join(vdir, "bnd"), bschema, [brow])
         if out is not None and batch_id is not None:
-            fields = self._schema.fields
-            eschema = StructType(list(fields) + [StructField(WEIGHT, IntegerType())])
-            erows = [tuple(r[f.name] for f in fields) + (r[WEIGHT],) for r in out]
-            self._spark.createDataFrame(erows, eschema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(vdir, "emitted"))
+            eschema = StructType(
+                list(self._schema.fields) + [StructField(WEIGHT, IntegerType())]
+            )
+            self._write_rows(os.path.join(vdir, "emitted"), eschema, out)
             self._emitted_batch = batch_id
         else:
             # each version dir is self-contained; a commit without an emitted
@@ -310,15 +337,14 @@ class TopKView:
             return
         self._schema = StructType.fromJson(data["schema"])
         vdir = os.path.join(self.state_dir, f"v{self._version}")
-        rows = [
-            r.asDict()
-            for r in self._spark.read.schema(self._schema)
-            .parquet(os.path.join(vdir, "buf"))
-            .collect()
-        ]
+        # driver-side reads to match the driver-side writes — resume costs
+        # zero Spark jobs (pyarrow reads Spark-written dirs too)
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(os.path.join(vdir, "buf")).to_pylist()
         self._buffer = {tuple(r[c] for c in self.key_cols): r for r in rows}
         if data["has_boundary"]:
-            b = self._spark.read.parquet(os.path.join(vdir, "bnd")).collect()[0]
+            b = pq.read_table(os.path.join(vdir, "bnd")).to_pylist()[0]
             self._boundary = (
                 tuple(b[c] for c, _ in self.order_cols),
                 tuple(b[c] for c in self.key_cols),
@@ -577,7 +603,9 @@ class GroupedTopKView:
     batches (``batch_id`` ≤ last committed) are skipped — idempotent under
     foreachBatch crash-replay redelivery. With ``state_dir=None`` state
     lives in localCheckpoint blocks instead: cheap for short-lived/test
-    pipelines, explicitly NOT fault-tolerant mid-run.
+    pipelines, explicitly NOT fault-tolerant mid-run — which is why that
+    mode requires the explicit ``ephemeral=True`` opt-in (round 8); the
+    durable path is the default and the only one the spec-level knob wires.
 
     NULL order values never enter candidates (SQL NULLS LAST for a LIMIT
     the non-NULL rows satisfy). The structure is a pure function of the
@@ -600,9 +628,23 @@ class GroupedTopKView:
         bucket_target_rows: int = 0,
         resume: bool = False,
         emit: bool = False,
+        ephemeral: bool = False,
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
+        if state_dir is None and not ephemeral:
+            # the fragile mode must be an explicit CHOICE, not a default: with
+            # no state_dir, candidate/boundary state lives in localCheckpoint
+            # blocks — cheap for tests/short-lived pipelines, NOT fault-
+            # tolerant mid-run (an executor loss or restart loses it; recovery
+            # is an O(view) prime()). Production streams pass state_dir (the
+            # spec-level TopKSpec knob always does).
+            raise ValueError(
+                "GroupedTopKView without state_dir keeps state in "
+                "localCheckpoint blocks (not fault-tolerant mid-run); pass "
+                "state_dir=... for manifest-committed durable state, or opt "
+                "in explicitly with ephemeral=True for test/short-lived use"
+            )
         if not group_cols or not key_cols:
             raise ValueError("group_cols and key_cols must be non-empty")
         if set(group_cols) & set(key_cols):

@@ -211,7 +211,8 @@ def _gpair(spark, tmp_path):
         spark, str(tmp_path / f"g{uuid.uuid4().hex[:8]}"), G_SPEC
     )
     topk = GroupedTopKView(
-        GK, "total", ("g",), ("kid",), refill=lambda t: eng.result(t), slack=GSLACK
+        GK, "total", ("g",), ("kid",), refill=lambda t: eng.result(t),
+        slack=GSLACK, ephemeral=True,
     )
     return eng, topk
 
@@ -318,7 +319,8 @@ def test_grouped_topk_prime_attaches_to_existing_view(spark, tmp_path):
         {"items": spark.createDataFrame(ops, G_SCHEMA)}, batch_id=0
     )
     topk = GroupedTopKView(
-        GK, "total", ("g",), ("kid",), refill=lambda t: eng.result(t), slack=GSLACK
+        GK, "total", ("g",), ("kid",), refill=lambda t: eng.result(t),
+        slack=GSLACK, ephemeral=True,
     )
     topk.prime()
     assert _ggot(topk) == _gmodel(ops)
@@ -1540,3 +1542,11 @@ def test_topk_chained_engine_property_prefix_closure(
         _chain_step(spark, up, down, rows, i)
         seen.extend(rows)
         assert _chain_got(down) == _chain_model(seen)
+
+
+def test_grouped_topk_ephemeral_requires_opt_in():
+    """state_dir=None silently constructed the fragile localCheckpoint mode
+    (not fault-tolerant mid-run); round 8 makes that an explicit choice —
+    omitting BOTH state_dir and ephemeral=True is a constructor error."""
+    with pytest.raises(ValueError, match="ephemeral=True"):
+        GroupedTopKView(GK, "total", ("g",), ("kid",), refill=lambda t: None)

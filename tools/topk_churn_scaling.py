@@ -354,10 +354,128 @@ def grouped() -> None:
     spark.stop()
 
 
+def durable() -> None:
+    """Durable TopKView persist cost (round 8): the buffer is a ≤ k+2·slack
+    row driver-side dict, so its per-batch durable commit is ONE atomic
+    driver-side arrow file write per artifact — not the 2-3
+    ``createDataFrame().coalesce(1).write`` Spark jobs of the round-7
+    design. Two measurements:
+
+    - end-to-end: the main() churn workload with ``state_dir`` on, per-batch
+      wall split into engine fold vs top-k apply+persist;
+    - isolated: the SAME committed buffer persisted N times through the
+      driver-side arrow path vs the Spark-job path (the fallback code),
+      mean ms each — the apples-to-apples cost of what the rewrite removed.
+
+    Usage:  python tools/topk_churn_scaling.py durable [groups] [batches] [bulk]
+    """
+    groups = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    batches = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    bulk = int(sys.argv[4]) if len(sys.argv) > 4 else 2_000
+    spark = get_spark(app_name="topk_durable_persist", shuffle_partitions=16)
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("kid",),
+        measures={"total": lambda: F.col("v")},
+    )
+    work = tempfile.mkdtemp(prefix="topk_durable_")
+    eng = IncrementalAcyclicQuery(spark, work, spec)
+    topk = TopKView(
+        K, "total", ("kid",), refill=eng.result, slack=SLACK, prime=False,
+        state_dir=f"{work}/topk", spark=spark,
+    )
+    seed = spark.range(groups).select(
+        F.col("id").alias("kid"), (F.col("id") + 1).alias("v"), F.lit(1).alias("weight")
+    )
+    topk.apply(eng.process_batch({"items": seed}, 0, emit_delta=True), batch_id=0)
+
+    per_batch = []
+    for b in range(1, batches + 1):
+        victim = topk.result_rows()[0]
+        ops = [(int(victim["kid"]), int(victim["total"]), -1)]
+        base = (b * 7919) % (groups // 2)
+        ops += [
+            ((base + i) % (groups // 2), 1 if (b + i) % 2 else -1, 1)
+            for i in range(bulk)
+        ]
+        delta = spark.createDataFrame(ops, SCHEMA).localCheckpoint()
+        t0 = time.perf_counter()
+        ch = eng.process_batch({"items": delta}, b, emit_delta=True)
+        t1 = time.perf_counter()
+        topk.apply(ch, batch_id=b)
+        t2 = time.perf_counter()
+        per_batch.append(
+            {
+                "batch": b,
+                "engine_sec": round(t1 - t0, 3),
+                "topk_apply_and_persist_sec": round(t2 - t1, 3),
+            }
+        )
+
+    # isolated persist micro-benchmark on the live committed buffer
+    import os as _os
+    import shutil as _shutil
+
+    n_iter = 20
+    scratch = tempfile.mkdtemp(prefix="topk_persist_bench_")
+    rows = list(topk._buffer.values())
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        topk._write_rows(_os.path.join(scratch, f"a{i}"), topk._schema, rows)
+    arrow_ms = (time.perf_counter() - t0) * 1000 / n_iter
+    data = [tuple(r[f.name] for f in topk._schema.fields) for r in rows]
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        spark.createDataFrame(data, topk._schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(scratch, f"s{i}"))
+    spark_ms = (time.perf_counter() - t0) * 1000 / n_iter
+    _shutil.rmtree(scratch, ignore_errors=True)
+
+    # exactness + durability: a resumed instance agrees with from-scratch
+    want = [
+        (r["kid"], r["total"])
+        for r in eng.result()
+        .orderBy(F.col("total").desc(), F.col("kid").asc())
+        .limit(K)
+        .collect()
+    ]
+    re = TopKView(
+        K, "total", ("kid",), refill=eng.result, slack=SLACK, prime=False,
+        state_dir=f"{work}/topk", spark=spark, resume=True,
+    )
+    got = [(r["kid"], r["total"]) for r in re.result_rows()]
+    mean = lambda k_: round(  # noqa: E731
+        sum(p[k_] for p in per_batch) / len(per_batch), 4
+    )
+    out = {
+        "metric": "topk_durable_persist_cost",
+        "groups": groups,
+        "batches": batches,
+        "bulk_churn_per_batch": bulk,
+        "k": K,
+        "slack": SLACK,
+        "buffer_rows_persisted": len(rows),
+        "mean_engine_sec_per_batch": mean("engine_sec"),
+        "mean_topk_apply_and_persist_sec_per_batch": mean(
+            "topk_apply_and_persist_sec"
+        ),
+        "persist_micro_arrow_ms": round(arrow_ms, 2),
+        "persist_micro_spark_job_ms": round(spark_ms, 2),
+        "persist_speedup": round(spark_ms / max(arrow_ms, 1e-9), 1),
+        "resume_exact": got == want,
+        "per_batch": per_batch,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "grouped":
         grouped()
     elif len(sys.argv) > 1 and sys.argv[1] == "ties":
         ties()
+    elif len(sys.argv) > 1 and sys.argv[1] == "durable":
+        durable()
     else:
         main()
