@@ -217,6 +217,105 @@ def ties() -> None:
     spark.stop()
 
 
+def ties2() -> None:
+    """Two-key ORDER BY tie-heavy cost model (round 8): totals drawn from 10
+    distinct values AND a second order column ``d`` drawn from 2 — the
+    boundary sits inside a cohort tying BOTH declared order values, broken
+    only by the unique key. The generalized lexicographic pushdown
+    (order values..., then keys) must keep per-batch driver transfer within
+    the buffer budget exactly as the single-key form does.
+
+    Usage:  python tools/topk_churn_scaling.py ties2 [groups] [batches] [bulk]
+    """
+    groups = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    batches = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    bulk = int(sys.argv[4]) if len(sys.argv) > 4 else 2_000
+    spark = get_spark(app_name="topk_ties2_scaling", shuffle_partitions=16)
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("kid", "d"),
+        measures={"total": lambda: F.col("v")},
+    )
+    work = tempfile.mkdtemp(prefix="topk_ties2_")
+    eng = IncrementalAcyclicQuery(spark, work, spec)
+    topk = TopKView(
+        K,
+        (("total", "desc"), ("d", "asc")),
+        ("kid",),
+        refill=eng.result,
+        slack=SLACK,
+        prime=False,
+    )
+
+    # group g: total (g%10 + 1)*10, d = g%2 — the top cohort (total=100,
+    # d chosen by kid parity) ties BOTH order values groups//20 deep
+    seed = spark.range(groups).select(
+        F.col("id").alias("kid"),
+        (F.col("id") % 2).cast("int").alias("d"),
+        ((F.col("id") % 10 + 1) * 10).alias("v"),
+        F.lit(1).alias("weight"),
+    )
+    topk.apply(eng.process_batch({"items": seed}, 0, emit_delta=True))
+
+    per_batch = []
+    for b in range(1, batches + 1):
+        # churn groups inside the FULL two-key boundary-tie cohort
+        # (kid ≡ 9 mod 10 -> total 100; kid odd -> d = 1): net-zero pairs,
+        # every one tying BOTH boundary values exactly
+        base = (b * 7919) % (groups // 10)
+        kids = [((base + i) % (groups // 10)) * 10 + 9 for i in range(bulk)]
+        ops = [(kid, kid % 2, 1, 1) for kid in kids] + [
+            (kid, kid % 2, 1, -1) for kid in kids
+        ]
+        delta = spark.createDataFrame(
+            ops, "kid long, d int, v long, weight int"
+        ).localCheckpoint()
+        ch = eng.process_batch({"items": delta}, b, emit_delta=True)
+        n_changelog = ch.count()
+        topk.apply(ch)
+        per_batch.append(
+            {
+                "batch": b,
+                "changelog_rows": int(n_changelog),
+                "collected_rows": topk.applied_rows,
+            }
+        )
+
+    want = [
+        (r["kid"], r["d"], r["total"])
+        for r in eng.result()
+        .orderBy(F.col("total").desc(), F.col("d").asc(), F.col("kid").asc())
+        .limit(K)
+        .collect()
+    ]
+    got = [(r["kid"], r["d"], r["total"]) for r in topk.result_rows()]
+    collected = [p["collected_rows"] for p in per_batch]
+    out = {
+        "metric": "topk_two_key_tie_heavy_transfer",
+        "order_by": "total DESC, d ASC",
+        "groups": groups,
+        "distinct_totals": 10,
+        "distinct_d": 2,
+        "rows_tying_top_value": groups // 10,
+        "batches": batches,
+        "tie_churn_groups_per_batch": bulk,
+        "k": K,
+        "slack": SLACK,
+        "collect_ceiling": 2 * (K + 2 * SLACK),
+        "mean_changelog_rows_per_batch": round(
+            sum(p["changelog_rows"] for p in per_batch) / len(per_batch), 1
+        ),
+        "mean_collected_rows_per_batch": round(sum(collected) / len(collected), 1),
+        "max_collected_rows_per_batch": max(collected),
+        "collect_bounded_by_buffer": max(collected) <= 2 * (K + 2 * SLACK),
+        "refills": topk.refills,
+        "result_exact": got == want,
+        "per_batch": per_batch,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
 def grouped() -> None:
     """GroupedTopKView cost model, measured: candidates are a (k+slack)/members
     reduction of the view, a drained group's refill reads ONLY that group's
@@ -475,6 +574,8 @@ if __name__ == "__main__":
         grouped()
     elif len(sys.argv) > 1 and sys.argv[1] == "ties":
         ties()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ties2":
+        ties2()
     elif len(sys.argv) > 1 and sys.argv[1] == "durable":
         durable()
     else:
