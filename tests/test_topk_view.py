@@ -1550,3 +1550,52 @@ def test_grouped_topk_ephemeral_requires_opt_in():
     omitting BOTH state_dir and ephemeral=True is a constructor error."""
     with pytest.raises(ValueError, match="ephemeral=True"):
         GroupedTopKView(GK, "total", ("g",), ("kid",), refill=lambda t: None)
+
+
+def test_grouped_topk_changelog_chains_into_engine(spark, tmp_path):
+    """Grouped twin of the chain: a GroupedTopKView with emit_changelog=True
+    feeds its per-group top-k ±changelog into a downstream engine — the
+    continuous 'members and total per group OVER each group's leaderboard'.
+    Entries, exits, value updates, and a drain-refill all propagate as valid
+    weighted deltas."""
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("g", "kid"),
+        measures={"total": lambda: F.col("val")},
+        top_k=TopKSpec(
+            k=GK, order_by="total", partition_by=("g",), key=("kid",),
+            slack=GSLACK, emit_changelog=True,
+        ),
+    )
+    down_spec = AcyclicQuerySpec(
+        relations=(RelSpec("top"),),
+        group_by=("g",),
+        measures={"members": lambda: F.lit(1), "tot": lambda: F.col("total")},
+    )
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "up"), spec)
+    down = IncrementalAcyclicQuery(spark, str(tmp_path / "down"), down_spec)
+
+    def model(seen):
+        agg: dict[int, tuple] = {}
+        for g, kid, t in _gmodel(seen):
+            c, s = agg.get(g, (0, 0))
+            agg[g] = (c + 1, s + t)
+        return {(g, c, s) for g, (c, s) in agg.items()}
+
+    batches = [
+        [(g, i, 10 * (5 - i) + g, 1) for g in range(3) for i in range(5)],
+        [(0, 0, 50, -1), (1, 9, 99, 1)],  # group-0 exit, group-1 entry
+        [(2, 0, 7, 1)],  # group-2 leader value update: −old/+new downstream
+        [(1, 0, 51, -1), (1, 1, 41, -1), (1, 2, 31, -1)],  # drain -> refill
+    ]
+    seen: list[tuple] = []
+    for i, ops in enumerate(batches):
+        eng.process_batch(
+            {"items": spark.createDataFrame(ops, G_SCHEMA)}, batch_id=i
+        )
+        down.process_batch({"top": eng.topk_delta()}, batch_id=i)
+        seen.extend(ops)
+        got = {
+            (r["g"], r["members"], r["tot"]) for r in down.result().collect()
+        }
+        assert got == model(seen)
