@@ -1599,3 +1599,50 @@ def test_grouped_topk_changelog_chains_into_engine(spark, tmp_path):
             (r["g"], r["members"], r["tot"]) for r in down.result().collect()
         }
         assert got == model(seen)
+
+
+def test_grouped_topk_failed_growth_commit_restores_layout(spark, tmp_path):
+    """Adaptive shard growth is its own commit after the batch's: if THAT
+    commit fails, the in-memory bucket count must roll back to the
+    committed layout (otherwise _bexpr computes new-layout shard ids
+    against old-layout maps and reads resolve to nothing), and the next
+    batch retries the growth cleanly."""
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), G_SPEC)
+    topk = GroupedTopKView(
+        GK, "total", ("g",), ("kid",), refill=lambda t: eng.result(t),
+        slack=GSLACK, state_dir=str(tmp_path / "gtk"), spark=spark,
+        buckets=1, bucket_target_rows=4,
+    )
+    ops0 = [(g, i, 10 * (5 - i) + g, 1) for g in range(8) for i in range(4)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, G_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    orig = topk._write_manifest
+    calls = {"n": 0}
+
+    def flaky(**kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the batch commits (#1); the GROWTH commit (#2) dies
+            raise RuntimeError("injected: growth commit failed")
+        return orig(**kw)
+
+    topk._write_manifest = flaky
+    with pytest.raises(RuntimeError, match="injected"):
+        topk.apply(d0, batch_id=0)
+    assert topk.buckets == 1  # rolled back to the committed layout
+    assert _ggot(topk) == _gmodel(ops0)  # reads resolve the committed shards
+    topk._write_manifest = orig
+    # the next batch re-attempts the growth and the stream stays exact
+    ops1 = [(0, 9, 99, 1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, G_SCHEMA)}, batch_id=1, emit_delta=True
+    )
+    topk.apply(d1, batch_id=1)
+    assert topk.buckets == 8  # 32 candidates / target 4
+    assert _ggot(topk) == _gmodel(ops0 + ops1)
+    re = GroupedTopKView(
+        GK, "total", ("g",), ("kid",), refill=lambda t: eng.result(t),
+        slack=GSLACK, state_dir=str(tmp_path / "gtk"), spark=spark,
+        buckets=1, bucket_target_rows=4, resume=True,
+    )
+    assert re.buckets == 8 and _ggot(re) == _gmodel(ops0 + ops1)
