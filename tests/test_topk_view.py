@@ -616,6 +616,21 @@ def test_grouped_topk_multi_key_order_by(spark, tmp_path):
         (0, 1, 1, 50), (0, 0, 2, 50), (1, 2, 0, 50), (1, 9, 0, 50)
     }
 
+    # the multi-column boundary (_bv0, _bv1) survives the manifest
+    # round-trip: a resumed engine keeps deciding admission by BOTH keys
+    re = IncrementalAcyclicQuery(
+        spark, str(tmp_path / "es"), spec, resume=True
+    )
+    ops2 = [(1, 8, 0, 50, 1)]  # another two-key tie into group 1
+    re.process_batch({"items": spark.createDataFrame(ops2, schema)}, batch_id=2)
+    got2 = {
+        (r["g"], r["kid"], r["d"], r["total"])
+        for r in re.topk_result().collect()
+    }
+    assert got2 == model(ops0 + ops1 + ops2) == {
+        (0, 1, 1, 50), (0, 0, 2, 50), (1, 2, 0, 50), (1, 8, 0, 50)
+    }
+
 
 def test_grouped_topk_replayed_changelog_is_idempotent(spark, tmp_path):
     """Crash-replay redelivery: re-applying the SAME changelog (including
@@ -1646,3 +1661,35 @@ def test_grouped_topk_failed_growth_commit_restores_layout(spark, tmp_path):
         buckets=1, bucket_target_rows=4, resume=True,
     )
     assert re.buckets == 8 and _ggot(re) == _gmodel(ops0 + ops1)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batched=_SPLITS)
+def test_topk_multi_key_property_prefix_closure(spark, tmp_path_factory, batched):
+    """Prefix closure for the MULTI-KEY order: after every batch of an
+    arbitrary interleaving, the buffer-maintained ``ORDER BY total DESC,
+    d ASC`` top-k equals the from-scratch model over the prefix — heavy
+    value collisions make the second order key (and then the unique key)
+    decide constantly."""
+    tmp = tmp_path_factory.mktemp("mktopk")
+    eng = IncrementalAcyclicQuery(spark, str(tmp / "eng"), MK_SPEC)
+    topk = TopKView(
+        K,
+        (("total", "desc"), ("d", "asc")),
+        ("kid",),
+        refill=eng.result,
+        slack=SLACK,
+        prime=False,
+    )
+    seen: list[tuple] = []
+    for i, ops in enumerate(batched):
+        rows = [(kid, kid % 3, val, w) for kid, val, w in ops]
+        d = eng.process_batch(
+            {"items": spark.createDataFrame(rows or [], MK_SCHEMA)},
+            batch_id=i,
+            emit_delta=True,
+        )
+        topk.apply(d)
+        seen.extend(rows)
+        got = [(r["kid"], r["d"], r["total"]) for r in topk.result_rows()]
+        assert got == _mk_model(seen, k=K)
