@@ -517,3 +517,135 @@ register(
          FROM v)
        SELECT n_name, c_custkey, revenue FROM r WHERE rn <= 3""",
 )
+
+
+def incremental_grouped_topk_chained_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED top-k, MULTI-KEY ORDER BY, chained into a downstream engine —
+    the grouped twin of ``incremental_topk_chained_stream`` (round 8), in one
+    registered query:
+
+    - each nation's top-3 customers by ``ORDER BY n_orders DESC, revenue
+      DESC`` — the count column is heavily TIED (most customers hold a
+      handful of live orders), so the SECOND order key does the real
+      discrimination and the Spark-side boundary predicate
+      (streaming/topk.py ``_beats_bound``) must compare lexicographically
+      across both values before the c_custkey tiebreak;
+    - ``TopKSpec(emit_changelog=True)``: the per-group top-k view's own
+      netted ±changelog (entries/exits/value-updates across touched groups,
+      persisted under the same manifest commit) feeds a SECOND
+      ``IncrementalAcyclicQuery`` as a base relation, which maintains
+      per-nation membership count and leaderboard revenue concentration —
+      a continuous aggregate OF a continuous per-group top-k.
+
+    Exactly-once composes across all three manifests exactly as in the
+    global chain (tests/test_topk_view.py::
+    test_grouped_topk_chained_engine_crash_replay): a replayed batch makes
+    the upstream pair re-hand the PERSISTED changelog and the downstream
+    engine apply-or-skip it."""
+    from ..functions.numeric import dec
+
+    scratch = _scratch("ivm_gtopk_chain", sf_dir)
+    gens = (
+        DeltaGen(
+            "orders",
+            "o_orderkey",
+            ("o_orderkey", "o_custkey", "o_totalprice"),
+            dup_mod=4,
+            del_mod=7,
+        ),
+        DeltaGen(
+            "customer", "c_custkey", ("c_custkey", "c_nationkey"), del_mod=13
+        ),
+        DeltaGen("nation", "n_nationkey", ("n_nationkey", "n_name")),
+    )
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("orders"),
+            RelSpec(
+                "customer",
+                join_on=("c_custkey", "o_custkey"),
+                buckets=16,
+                bucket_key=("c_custkey",),
+            ),
+            RelSpec(
+                "nation",
+                join_on=("n_nationkey", "c_nationkey"),
+                broadcast_state=True,
+            ),
+        ),
+        group_by=("n_name", "c_custkey"),
+        measures={
+            "n_orders": lambda: F.lit(1),
+            "revenue": lambda: dec("o_totalprice"),
+        },
+        finalize=lambda df: df.select(
+            "n_name",
+            "c_custkey",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("revenue").cast("double").alias("revenue"),
+        ),
+        top_k=TopKSpec(
+            k=3,
+            order_by=(("n_orders", "desc"), ("revenue", "desc")),
+            partition_by=("n_name",),
+            key=("c_custkey",),
+            slack=3,
+            emit_changelog=True,
+        ),
+    )
+    eng = IncrementalAcyclicQuery(spark, f"{scratch}/state", spec)
+    down_spec = AcyclicQuerySpec(
+        relations=(RelSpec("top3"),),
+        group_by=("n_name",),
+        measures={
+            "members": lambda: F.lit(1),
+            "top_revenue": lambda: F.col("revenue"),
+        },
+        finalize=lambda df: df.select(
+            "n_name",
+            F.col("members").cast("bigint").alias("members"),
+            F.col("top_revenue").cast("double").alias("top_revenue"),
+        ),
+    )
+    down = IncrementalAcyclicQuery(spark, f"{scratch}/state2", down_spec)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        eng.process_batch(split_deltas(batch, rel_columns), batch_id)
+        down.process_batch({"top3": eng.topk_delta()}, batch_id)
+
+    run_delta_stream(spark, delta_dir, schema, scratch, handle)
+    return down.result()
+
+
+register(
+    "incremental_grouped_topk_chained_stream",
+    incremental_grouped_topk_chained_stream,
+    """WITH o AS (
+         SELECT *, 1 + (o_orderkey % 4 = 0)::INT - (o_orderkey % 7 = 0)::INT AS m
+         FROM orders),
+       c AS (
+         SELECT *, 1 - (c_custkey % 13 = 0)::INT AS m FROM customer),
+       v AS (
+         SELECT n_name, c_custkey,
+                sum(o.m * c.m)::BIGINT AS n_orders,
+                sum(o.m * c.m * o_totalprice::DECIMAL(12,4))::DOUBLE AS revenue
+         FROM o JOIN c ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, c_custkey HAVING sum(o.m * c.m) > 0),
+       r AS (
+         SELECT *, row_number() OVER (
+                     PARTITION BY n_name
+                     ORDER BY n_orders DESC, revenue DESC, c_custkey
+                   ) AS rn
+         FROM v),
+       t AS (SELECT * FROM r WHERE rn <= 3)
+       SELECT n_name, count(*)::BIGINT AS members,
+              sum(revenue)::DOUBLE AS top_revenue
+       FROM t GROUP BY n_name""",
+)
