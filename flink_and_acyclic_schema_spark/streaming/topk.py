@@ -290,18 +290,16 @@ class TopKView:
                 list(self._schema.fields) + [StructField(WEIGHT, IntegerType())]
             )
             self._write_rows(os.path.join(vdir, "emitted"), eschema, out)
-            self._emitted_batch = batch_id
+            emitted_batch = batch_id
         else:
             # each version dir is self-contained; a commit without an emitted
             # changelog supersedes any previously persisted one
-            self._emitted_batch = None
-        if batch_id is not None:
-            self._last_batch = batch_id
-        self._version = v
+            emitted_batch = None
+        last_batch = batch_id if batch_id is not None else self._last_batch
         data = {
             "version": v,
-            "last_batch": self._last_batch,
-            "emitted_batch": self._emitted_batch,
+            "last_batch": last_batch,
+            "emitted_batch": emitted_batch,
             "has_boundary": self._boundary is not None,
             # None until the first refill/apply pins it (the pre-first-batch
             # initial commit): empty buffer, no boundary, nothing on disk
@@ -313,6 +311,13 @@ class TopKView:
         with open(tmp, "w") as fh:
             json.dump(data, fh)
         os.replace(tmp, self._manifest_path())
+        # committed: NOW swap the staged fields in (the grouped view's
+        # discipline) — a failed write above leaves self on the last
+        # committed state, so an in-process retry re-applies the batch
+        # instead of replay-skipping to a version the manifest never adopted
+        self._version = v
+        self._last_batch = last_batch
+        self._emitted_batch = emitted_batch
         for entry in os.listdir(self.state_dir):
             if entry.startswith("v") and entry != f"v{v}":
                 shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
@@ -528,6 +533,13 @@ class TopKView:
         if self._spark is None:
             self._spark = changelog.sparkSession
         self._pin_schema(changelog.drop(WEIGHT))
+        # committed snapshot for commit-failure rollback (durable mode): the
+        # fold below mutates the buffer BEFORE _persist, so if the manifest
+        # replace fails the in-memory state must return to the committed
+        # batch — otherwise an in-process retry re-folds idempotently
+        # (pre == post) and persists an EMPTY emitted delta, losing the
+        # batch's emission for an exactly-once sink. O(k) rows to copy.
+        snap = (dict(self._buffer), self._boundary, self.refills)
         pre = {self._skey(r): r for r in self.result_rows()}
         rows = self._collect_touching(changelog)
         self.applied_rows = len(rows)
@@ -548,7 +560,14 @@ class TopKView:
         out = [{**pre[s], WEIGHT: -1} for s in pre if s not in post]
         out += [{**post[s], WEIGHT: 1} for s in post if s not in pre]
         if self.durable:
-            self._persist(out, batch_id)
+            try:
+                self._persist(out, batch_id)
+            except BaseException:
+                # roll the fold back to the committed batch (see `snap`): a
+                # retry then re-applies against committed state and emits
+                # the true delta instead of an idempotent empty one
+                self._buffer, self._boundary, self.refills = snap
+                raise
         return out
 
     # --- emission ------------------------------------------------------------

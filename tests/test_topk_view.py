@@ -698,6 +698,60 @@ def test_topk_durable_resume_and_replay(spark, tmp_path):
     assert out0 is not None  # first batch emitted its build-up changelog
 
 
+def test_topk_failed_commit_rolls_back_fold(spark, tmp_path, monkeypatch):
+    """A commit failure AFTER the fold mutated the buffer must roll the
+    in-memory state back to the committed batch: the manifest never adopted
+    the new version, so an in-process retry has to re-apply the changelog
+    against COMMITTED state and emit the true delta. Without the rollback
+    the retry folds idempotently into the already-updated buffer
+    (pre == post) and persists an EMPTY emitted changelog — the batch's
+    emission is permanently lost for an exactly-once sink (the same bug
+    class as the first-batch crash window, in-process form)."""
+    import flink_and_acyclic_schema_spark.streaming.topk as topk_mod
+
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), SPEC)
+    topk = TopKView(
+        K, "total", ("kid",), refill=eng.result, slack=SLACK,
+        prime=False, state_dir=str(tmp_path / "tkstate"), spark=spark,
+    )
+    ops0 = [(i, 10 * (10 - i), 1) for i in range(10)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, ITEM_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    topk.apply(d0, batch_id=0)
+    buf0, bnd0 = dict(topk._buffer), topk._boundary
+
+    ops1 = [(0, 100, -1), (9, 95, 1)]  # top exit + runner-up value update
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, ITEM_SCHEMA)}, batch_id=1, emit_delta=True
+    ).localCheckpoint()
+    real_replace = topk_mod.os.replace
+
+    def boom(src, dst):
+        raise OSError("commit torn: replace failed")
+
+    monkeypatch.setattr(topk_mod.os, "replace", boom)
+    with pytest.raises(OSError, match="replace failed"):
+        topk.apply(d1, batch_id=1)
+    # rolled back: in-memory state IS the committed batch-0 state
+    assert topk._buffer == buf0 and topk._boundary == bnd0
+    assert topk._last_batch == 0 and topk._emitted_batch == 0
+    monkeypatch.setattr(topk_mod.os, "replace", real_replace)
+    # in-process retry (foreachBatch redelivery): the TRUE delta, not []
+    out1 = topk.apply(d1, batch_id=1)
+    assert sorted((r["kid"], r["total"], r[WEIGHT]) for r in out1) == [
+        (0, 100, -1),
+        (9, 105, 1),
+    ]
+    assert _got(topk) == _model_topk(ops0 + ops1)
+    # and the retried commit is the durable one: a resumed twin agrees
+    re = TopKView(
+        K, "total", ("kid",), refill=eng.result, slack=SLACK, prime=False,
+        state_dir=str(tmp_path / "tkstate"), spark=spark, resume=True,
+    )
+    assert re._buffer == topk._buffer and re._last_batch == 1
+
+
 def _gdurable(spark, tmp_path, eng, resume, **kw):
     return GroupedTopKView(
         GK, "total", ("g",), ("kid",),
