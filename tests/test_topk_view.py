@@ -1088,6 +1088,54 @@ def test_spec_level_topk_catches_up_after_crash_between_commits(spark, tmp_path)
     assert _knob_got(eng2) == _model_topk(ops0 + ops1)
 
 
+def test_spec_level_grouped_topk_catches_up_after_crash_between_commits(
+    spark, tmp_path
+):
+    """Grouped twin of the mid-stream crash BETWEEN the engine's manifest
+    commit and the top-k's: the engine replay-skip branch re-feeds the
+    PERSISTED changelog, the grouped view (still on its previous commit,
+    maps untouched by the failed attempt) applies it once, and the two
+    manifests re-converge — including across a PROCESS RESTART instead of
+    an in-process retry."""
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("g", "kid"),
+        measures={"total": lambda: F.col("val")},
+        top_k=TopKSpec(
+            k=GK, order_by="total", partition_by=("g",), key=("kid",), slack=GSLACK
+        ),
+    )
+    sdir = str(tmp_path / "es")
+    eng = IncrementalAcyclicQuery(spark, sdir, spec)
+    ops0 = [(g, i, 10 * (5 - i) + g, 1) for g in range(3) for i in range(5)]
+    eng.process_batch(
+        {"items": spark.createDataFrame(ops0, G_SCHEMA)}, batch_id=0
+    )
+    orig = eng._topk.apply
+    state = {"fail": True}
+
+    def flaky(ch, batch_id=None):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("injected: grouped top-k died after engine commit")
+        return orig(ch, batch_id)
+
+    eng._topk.apply = flaky
+    ops1 = [(0, 0, 50, -1), (2, 9, 99, 1)]  # group-0 exit, group-2 entry
+    d1 = spark.createDataFrame(ops1, G_SCHEMA).localCheckpoint()
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.process_batch({"items": d1}, batch_id=1)
+    # in-process retry: engine replay-skips, grouped top-k catches up
+    eng.process_batch({"items": d1}, batch_id=1)
+    got = {(r["g"], r["kid"], r["total"]) for r in eng.topk_result().collect()}
+    assert got == _gmodel(ops0 + ops1)
+    # restart instead: both manifests agree, redelivery is a full no-op
+    re = IncrementalAcyclicQuery(spark, sdir, spec, resume=True)
+    re.process_batch({"items": d1}, batch_id=1)
+    got = {(r["g"], r["kid"], r["total"]) for r in re.topk_result().collect()}
+    assert got == _gmodel(ops0 + ops1)
+
+
 def test_spec_level_topk_restart_during_first_batch_emits_initial_delta(
     spark, tmp_path
 ):
