@@ -1831,6 +1831,60 @@ def test_grouped_topk_failed_growth_commit_restores_layout(spark, tmp_path):
 
 
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batched=_GSPLITS)
+def test_grouped_topk_multi_key_property_prefix_closure(
+    spark, tmp_path_factory, batched
+):
+    """Prefix closure for the GROUPED multi-key order: after every batch of
+    an arbitrary interleaving, the spec-level per-group ``ORDER BY total
+    DESC, d ASC`` top-k equals the from-scratch model — heavy within-group
+    total collisions make the second order key decide constantly, through
+    the lexicographic boundary join (_beats_bound), drains/refills, and
+    trims."""
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("items"),),
+        group_by=("g", "kid", "d"),
+        measures={"total": lambda: F.col("val")},
+        top_k=TopKSpec(
+            k=GK, order_by=(("total", "desc"), ("d", "asc")),
+            partition_by=("g",), key=("kid",), slack=GSLACK,
+        ),
+    )
+    schema = "g int, kid int, d int, val int, weight int"
+    tmp = tmp_path_factory.mktemp("gmk")
+    eng = IncrementalAcyclicQuery(spark, str(tmp / "es"), spec)
+
+    def model(ops, k=GK):
+        tot: dict[tuple, int] = {}
+        sup: dict[tuple, int] = {}
+        for g, kid, d, val, w in ops:
+            tot[(g, kid, d)] = tot.get((g, kid, d), 0) + w * val
+            sup[(g, kid, d)] = sup.get((g, kid, d), 0) + w
+        per_g: dict[int, list] = {}
+        for (g, kid, d), t in tot.items():
+            if sup[(g, kid, d)] > 0:
+                per_g.setdefault(g, []).append((kid, d, t))
+        out = set()
+        for g, rows in per_g.items():
+            rows.sort(key=lambda r: (-r[2], r[1], r[0]))
+            out |= {(g, kid, d, t) for kid, d, t in rows[:k]}
+        return out
+
+    seen: list[tuple] = []
+    for i, ops in enumerate(batched):
+        rows = [(g, kid, kid % 3, val, w) for g, kid, val, w in ops]
+        eng.process_batch(
+            {"items": spark.createDataFrame(rows or [], schema)}, batch_id=i
+        )
+        seen.extend(rows)
+        got = {
+            (r["g"], r["kid"], r["d"], r["total"])
+            for r in eng.topk_result().collect()
+        }
+        assert got == model(seen)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(batched=_SPLITS)
 def test_topk_multi_key_property_prefix_closure(spark, tmp_path_factory, batched):
     """Prefix closure for the MULTI-KEY order: after every batch of an
