@@ -1719,18 +1719,22 @@ def test_grouped_topk_changelog_chains_into_engine(spark, tmp_path):
 
 
 def test_grouped_topk_chained_engine_crash_replay(spark, tmp_path):
-    """Grouped twin of the chain's crash window: upstream engine AND grouped
-    top-k commit a batch, the process dies before the downstream feed.
-    Exactly-once composes across all three manifests — on restart the
-    upstream pair replay-skip the redelivered batch and re-hand the
-    PERSISTED per-group ±changelog, the downstream engine (which never saw
-    it) applies it once, and a second redelivery is a full-chain no-op."""
+    """Grouped twin of the chain's crash window, in the registered query's
+    exact shape (MULTI-KEY per-group order + emit_changelog + downstream
+    engine): upstream engine AND grouped top-k commit a batch, the process
+    dies before the downstream feed. Exactly-once composes across all three
+    manifests — on restart the upstream pair replay-skip the redelivered
+    batch and re-hand the PERSISTED per-group ±changelog, the downstream
+    engine (which never saw it) applies it once, and a second redelivery is
+    a full-chain no-op."""
+    schema = "g int, kid int, d int, val int, weight int"
     spec = AcyclicQuerySpec(
         relations=(RelSpec("items"),),
-        group_by=("g", "kid"),
+        group_by=("g", "kid", "d"),
         measures={"total": lambda: F.col("val")},
         top_k=TopKSpec(
-            k=GK, order_by="total", partition_by=("g",), key=("kid",),
+            k=GK, order_by=(("total", "desc"), ("d", "asc")),
+            partition_by=("g",), key=("kid",),
             slack=GSLACK, emit_changelog=True,
         ),
     )
@@ -1740,11 +1744,22 @@ def test_grouped_topk_chained_engine_crash_replay(spark, tmp_path):
         measures={"members": lambda: F.lit(1), "tot": lambda: F.col("total")},
     )
 
-    def model(seen):
+    def model(seen, k=GK):
+        tot: dict[tuple, int] = {}
+        sup: dict[tuple, int] = {}
+        for g, kid, d, val, w in seen:
+            tot[(g, kid, d)] = tot.get((g, kid, d), 0) + w * val
+            sup[(g, kid, d)] = sup.get((g, kid, d), 0) + w
+        per_g: dict[int, list] = {}
+        for (g, kid, d), t in tot.items():
+            if sup[(g, kid, d)] > 0:
+                per_g.setdefault(g, []).append((kid, d, t))
         agg: dict[int, tuple] = {}
-        for g, kid, t in _gmodel(seen):
-            c, s = agg.get(g, (0, 0))
-            agg[g] = (c + 1, s + t)
+        for g, rows in per_g.items():
+            rows.sort(key=lambda r: (-r[2], r[1], r[0]))
+            for _, _, t in rows[:k]:
+                c, s = agg.get(g, (0, 0))
+                agg[g] = (c + 1, s + t)
         return {(g, c, s) for g, (c, s) in agg.items()}
 
     def got(down):
@@ -1755,30 +1770,32 @@ def test_grouped_topk_chained_engine_crash_replay(spark, tmp_path):
     up_dir, down_dir = str(tmp_path / "up"), str(tmp_path / "down")
     eng = IncrementalAcyclicQuery(spark, up_dir, spec)
     down = IncrementalAcyclicQuery(spark, down_dir, down_spec)
-    ops0 = [(g, i, 10 * (5 - i) + g, 1) for g in range(3) for i in range(5)]
-    eng.process_batch({"items": spark.createDataFrame(ops0, G_SCHEMA)}, batch_id=0)
+    # within each group: a total tie split only by the SECOND order key d
+    ops0 = [(g, i, i % 3, 10 * (5 - (i % 2)) + g, 1) for g in range(3) for i in range(5)]
+    eng.process_batch({"items": spark.createDataFrame(ops0, schema)}, batch_id=0)
     down.process_batch({"top": eng.topk_delta()}, batch_id=0)
     assert got(down) == model(ops0)
 
     # crash window: batch 1 commits upstream (engine + grouped top-k), the
-    # process dies before the downstream feed — exits/entries span groups
-    ops1 = [(0, 0, 50, -1), (1, 9, 99, 1)]
-    eng.process_batch({"items": spark.createDataFrame(ops1, G_SCHEMA)}, batch_id=1)
+    # process dies before the downstream feed — a tie-cohort exit and a
+    # two-key-tie entry whose admission the (total, d) boundary decides
+    ops1 = [(0, 0, 0, 50, -1), (1, 9, 0, 51, 1)]
+    eng.process_batch({"items": spark.createDataFrame(ops1, schema)}, batch_id=1)
 
     eng2 = IncrementalAcyclicQuery(spark, up_dir, spec, resume=True)
     down2 = IncrementalAcyclicQuery(spark, down_dir, down_spec, resume=True)
     assert got(down2) == model(ops0)  # still behind
     # foreachBatch redelivery: upstream pair replay-skip, downstream applies
-    eng2.process_batch({"items": spark.createDataFrame(ops1, G_SCHEMA)}, batch_id=1)
+    eng2.process_batch({"items": spark.createDataFrame(ops1, schema)}, batch_id=1)
     down2.process_batch({"top": eng2.topk_delta()}, batch_id=1)
     assert got(down2) == model(ops0 + ops1)
     # a second redelivery is a full-chain no-op (both ends replay-skip)
-    eng2.process_batch({"items": spark.createDataFrame(ops1, G_SCHEMA)}, batch_id=1)
+    eng2.process_batch({"items": spark.createDataFrame(ops1, schema)}, batch_id=1)
     down2.process_batch({"top": eng2.topk_delta()}, batch_id=1)
     assert got(down2) == model(ops0 + ops1)
     # stream continues exactly across the healed chain (a drain -> refill)
-    ops2 = [(1, 0, 51, -1), (1, 1, 41, -1), (1, 2, 31, -1)]
-    eng2.process_batch({"items": spark.createDataFrame(ops2, G_SCHEMA)}, batch_id=2)
+    ops2 = [(1, 0, 0, 60 + 1, -1), (1, 1, 1, 50 + 1, -1), (1, 2, 2, 60 + 1, -1)]
+    eng2.process_batch({"items": spark.createDataFrame(ops2, schema)}, batch_id=2)
     down2.process_batch({"top": eng2.topk_delta()}, batch_id=2)
     assert got(down2) == model(ops0 + ops1 + ops2)
 
