@@ -519,35 +519,10 @@ register(
 )
 
 
-def incremental_grouped_topk_chained_stream(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """GROUPED top-k, MULTI-KEY ORDER BY, chained into a downstream engine —
-    the grouped twin of ``incremental_topk_chained_stream`` (round 8), in one
-    registered query:
-
-    - each nation's top-3 customers by ``ORDER BY n_orders DESC, revenue
-      DESC`` — the count column is heavily TIED (most customers hold a
-      handful of live orders), so the SECOND order key does the real
-      discrimination and the Spark-side boundary predicate
-      (streaming/topk.py ``_beats_bound``) must compare lexicographically
-      across both values before the c_custkey tiebreak;
-    - ``TopKSpec(emit_changelog=True)``: the per-group top-k view's own
-      netted ±changelog (entries/exits/value-updates across touched groups,
-      persisted under the same manifest commit) feeds a SECOND
-      ``IncrementalAcyclicQuery`` as a base relation, which maintains
-      per-nation membership count and leaderboard revenue concentration —
-      a continuous aggregate OF a continuous per-group top-k.
-
-    Exactly-once composes across all three manifests exactly as in the
-    global chain (tests/test_topk_view.py::
-    test_grouped_topk_chained_engine_crash_replay): a replayed batch makes
-    the upstream pair re-hand the PERSISTED changelog and the downstream
-    engine apply-or-skip it."""
-    from ..functions.numeric import dec
-
-    scratch = _scratch("ivm_gtopk_chain", sf_dir)
-    gens = (
+def _nation_leaderboard_gens() -> tuple[DeltaGen, ...]:
+    """orders/customer/nation changelog recipe shared by the grouped-chain
+    and depth-4 queries: orders churn drives per-nation rankings."""
+    return (
         DeltaGen(
             "orders",
             "o_orderkey",
@@ -560,11 +535,15 @@ def incremental_grouped_topk_chained_stream(
         ),
         DeltaGen("nation", "n_nationkey", ("n_nationkey", "n_name")),
     )
-    delta_dir, schema = generate_delta_chunks(
-        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
-    )
-    rel_columns = {g.table: g.columns for g in gens}
-    spec = AcyclicQuerySpec(
+
+
+def _nation_leaderboard_spec() -> AcyclicQuerySpec:
+    """Upstream of the grouped-chain family: each nation's top-3 customers
+    by the MULTI-KEY ``ORDER BY n_orders DESC, revenue DESC`` with the
+    per-group top-k view's own ±changelog emitted for downstream engines."""
+    from ..functions.numeric import dec
+
+    return AcyclicQuerySpec(
         relations=(
             RelSpec("orders"),
             RelSpec(
@@ -599,7 +578,42 @@ def incremental_grouped_topk_chained_stream(
             emit_changelog=True,
         ),
     )
-    eng = IncrementalAcyclicQuery(spark, f"{scratch}/state", spec)
+
+
+def incremental_grouped_topk_chained_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED top-k, MULTI-KEY ORDER BY, chained into a downstream engine —
+    the grouped twin of ``incremental_topk_chained_stream`` (round 8), in one
+    registered query:
+
+    - each nation's top-3 customers by ``ORDER BY n_orders DESC, revenue
+      DESC`` — the count column is heavily TIED (most customers hold a
+      handful of live orders), so the SECOND order key does the real
+      discrimination and the Spark-side boundary predicate
+      (streaming/topk.py ``_beats_bound``) must compare lexicographically
+      across both values before the c_custkey tiebreak;
+    - ``TopKSpec(emit_changelog=True)``: the per-group top-k view's own
+      netted ±changelog (entries/exits/value-updates across touched groups,
+      persisted under the same manifest commit) feeds a SECOND
+      ``IncrementalAcyclicQuery`` as a base relation, which maintains
+      per-nation membership count and leaderboard revenue concentration —
+      a continuous aggregate OF a continuous per-group top-k.
+
+    Exactly-once composes across all three manifests exactly as in the
+    global chain (tests/test_topk_view.py::
+    test_grouped_topk_chained_engine_crash_replay): a replayed batch makes
+    the upstream pair re-hand the PERSISTED changelog and the downstream
+    engine apply-or-skip it."""
+    scratch = _scratch("ivm_gtopk_chain", sf_dir)
+    gens = _nation_leaderboard_gens()
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+    eng = IncrementalAcyclicQuery(
+        spark, f"{scratch}/state", _nation_leaderboard_spec()
+    )
     down_spec = AcyclicQuerySpec(
         relations=(RelSpec("top3"),),
         group_by=("n_name",),
@@ -648,4 +662,172 @@ register(
        SELECT n_name, count(*)::BIGINT AS members,
               sum(revenue)::DOUBLE AS top_revenue
        FROM t GROUP BY n_name""",
+)
+
+
+def incremental_topk_chain_depth4_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSITION CLOSURE AT DEPTH 4 (round 9) — engine → per-group top-k →
+    engine → GLOBAL top-k, a leaderboard of leaderboard-aggregates:
+
+    1. the upstream engine maintains per-(nation, customer) order count and
+       revenue over the orders⋈customer⋈nation tree;
+    2. its spec-level GROUPED top-k keeps each nation's top-3 customers
+       under ``ORDER BY n_orders DESC, revenue DESC`` and emits the
+       leaderboard view's own ±changelog (``emit_changelog=True``);
+    3. a SECOND engine consumes that changelog as a base relation and
+       maintains per-nation membership count and leaderboard revenue
+       concentration;
+    4. ITS spec-level GLOBAL top-k maintains the top-5 nations by that
+       concentration — a continuous ``ORDER BY top_revenue DESC LIMIT 5``
+       OVER a continuous aggregate OF a continuous per-group top-k.
+
+    Nothing new is wired for depth 4: every stage's output is a valid
+    weighted changelog for the next (the closure property), and exactly-once
+    composes across all FOUR manifests — upstream state, grouped-top-k,
+    downstream state, global-top-k — by the same replay-skip/persisted-
+    changelog discipline as the depth-2 chains
+    (tests/test_topk_view.py::test_topk_chain_depth4_crash_replay and the
+    4-stage prefix-closure property)."""
+    scratch = _scratch("ivm_topk_d4", sf_dir)
+    gens = _nation_leaderboard_gens()
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+    eng = IncrementalAcyclicQuery(
+        spark, f"{scratch}/state", _nation_leaderboard_spec()
+    )
+    down_spec = AcyclicQuerySpec(
+        relations=(RelSpec("top3"),),
+        group_by=("n_name",),
+        measures={
+            "members": lambda: F.lit(1),
+            "top_revenue": lambda: F.col("revenue"),
+        },
+        finalize=lambda df: df.select(
+            "n_name",
+            F.col("members").cast("bigint").alias("members"),
+            F.col("top_revenue").cast("double").alias("top_revenue"),
+        ),
+        top_k=TopKSpec(
+            k=5, order_by="top_revenue", key=("n_name",), slack=5
+        ),
+    )
+    down = IncrementalAcyclicQuery(spark, f"{scratch}/state2", down_spec)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        eng.process_batch(split_deltas(batch, rel_columns), batch_id)
+        down.process_batch({"top3": eng.topk_delta()}, batch_id)
+
+    run_delta_stream(spark, delta_dir, schema, scratch, handle)
+    return down.topk_result()
+
+
+register(
+    "incremental_topk_chain_depth4_stream",
+    incremental_topk_chain_depth4_stream,
+    """WITH o AS (
+         SELECT *, 1 + (o_orderkey % 4 = 0)::INT - (o_orderkey % 7 = 0)::INT AS m
+         FROM orders),
+       c AS (
+         SELECT *, 1 - (c_custkey % 13 = 0)::INT AS m FROM customer),
+       v AS (
+         SELECT n_name, c_custkey,
+                sum(o.m * c.m)::BIGINT AS n_orders,
+                sum(o.m * c.m * o_totalprice::DECIMAL(12,4))::DOUBLE AS revenue
+         FROM o JOIN c ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, c_custkey HAVING sum(o.m * c.m) > 0),
+       r AS (
+         SELECT *, row_number() OVER (
+                     PARTITION BY n_name
+                     ORDER BY n_orders DESC, revenue DESC, c_custkey
+                   ) AS rn
+         FROM v),
+       t AS (SELECT * FROM r WHERE rn <= 3),
+       agg AS (
+         SELECT n_name, count(*)::BIGINT AS members,
+                sum(revenue)::DOUBLE AS top_revenue
+         FROM t GROUP BY n_name)
+       SELECT n_name, members, top_revenue
+       FROM agg ORDER BY top_revenue DESC, n_name LIMIT 5""",
+)
+
+
+def incremental_trending_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-WINDOW × TOP-K (round 9) — the "trending now" query shape: the
+    top-5 users by total event value over the TRAILING 10 DAYS, maintained
+    continuously. ``RelSpec.ttl`` turns the events relation into a sliding
+    event-time window (watermark = running max ``ts``; rows aging past the
+    horizon re-enter the batch as retraction deltas — streaming/acyclic.py
+    eviction), and the spec-level GLOBAL top-k consumes the resulting
+    ±changelog like any other: a leader whose contributing events age out is
+    DEMOTED by eviction retractions alone, with the exit visible in the
+    emitted top-k changelog (tests/test_topk_view.py::
+    test_topk_ttl_eviction_exits_visible_in_changelog) — no explicit delete
+    anywhere. The composition was test-pinned in round 7; this registers it
+    with a DuckDB oracle.
+
+    Oracle validity under hash-chunked arrival: a delta is late iff its
+    event time is below the horizon AT ARRIVAL, and the horizon only moves
+    forward — so every row at or above the FINAL horizon is never dropped
+    and rows below it end at net weight 0 (dropped, applied-then-evicted,
+    or applied-then-deleted all agree), making the final state a
+    from-scratch recompute over ``ts >= max(ts) - 10 days`` of the net
+    multiset (plans/ivm_ttl_ext.py module docstring)."""
+    from ..functions.numeric import dec
+
+    scratch = _scratch("ivm_trending", sf_dir)
+    gens = (
+        DeltaGen(
+            "events",
+            "event_id",
+            ("event_id", "ts", "user_id", "value"),
+            dup_mod=5,
+            del_mod=7,
+        ),
+    )
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{scratch}/deltas", gens, n_chunks=4
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec(
+                "events",
+                ttl=("ts", lambda wm: wm - F.expr("INTERVAL 10 DAYS")),
+            ),
+        ),
+        group_by=("user_id",),
+        measures={"total_value": lambda: dec("value")},
+        finalize=lambda df: df.select(
+            "user_id", F.col("total_value").cast("double").alias("total_value")
+        ),
+        top_k=TopKSpec(k=5, order_by="total_value", key=("user_id",), slack=5),
+    )
+    eng = IncrementalAcyclicQuery(spark, f"{scratch}/state", spec)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        eng.process_batch(split_deltas(batch, rel_columns), batch_id)
+
+    run_delta_stream(spark, delta_dir, schema, scratch, handle)
+    return eng.topk_result()
+
+
+register(
+    "incremental_trending_topk_stream",
+    incremental_trending_topk_stream,
+    """WITH e AS (
+         SELECT *, 1 + (event_id % 5 = 0)::INT - (event_id % 7 = 0)::INT AS m
+         FROM events),
+       wm AS (SELECT max(ts) AS w FROM events)
+       SELECT user_id,
+              sum(m * value::DECIMAL(12,4))::DOUBLE AS total_value
+       FROM e, wm
+       WHERE ts >= w - INTERVAL 10 DAY
+       GROUP BY user_id
+       HAVING sum(m) > 0
+       ORDER BY total_value DESC, user_id LIMIT 5""",
 )

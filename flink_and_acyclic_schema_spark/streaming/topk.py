@@ -65,6 +65,35 @@ WEIGHT = "weight"
 BUCKET = "_bucket"  # reserved shard column, engine streaming/acyclic.py
 
 
+def _publish_manifest(manifest_path: str, data: dict, adopt=None, gc=None) -> None:
+    """The ONE staged-commit protocol both views (and the engine) rely on,
+    extracted so the replay-safety invariants live in a single place — the
+    round-8 retry bugs each lived in a hand-maintained copy of this exact
+    sequence:
+
+    1. every data file the manifest references is FULLY WRITTEN before this
+       is called (the caller's responsibility);
+    2. the manifest is staged to ``.tmp`` and swapped in with one atomic
+       ``os.replace`` — the commit point;
+    3. only AFTER the replace does ``adopt()`` swap the staged values into
+       the in-memory fields — a failure before step 2 therefore leaves the
+       instance still resolving against the last committed state, so an
+       in-process retry re-applies the batch instead of replay-skipping to
+       a version the manifest never adopted;
+    4. ``gc()`` removes superseded files LAST — a failure here (or in
+       adopt) is post-adoption, i.e. crash-equivalent: resume re-reads the
+       committed manifest and re-runs the GC.
+    """
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(data, fh)
+    os.replace(tmp, manifest_path)
+    if adopt is not None:
+        adopt()
+    if gc is not None:
+        gc()
+
+
 def _norm_order(order_by, descending: bool) -> tuple[tuple[str, bool], ...]:
     """Normalize an ORDER BY declaration to ``((column, desc_bool), ...)``.
 
@@ -307,20 +336,23 @@ class TopKView:
             if self._schema is not None
             else None,
         }
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(data, fh)
-        os.replace(tmp, self._manifest_path())
-        # committed: NOW swap the staged fields in (the grouped view's
-        # discipline) — a failed write above leaves self on the last
-        # committed state, so an in-process retry re-applies the batch
-        # instead of replay-skipping to a version the manifest never adopted
-        self._version = v
-        self._last_batch = last_batch
-        self._emitted_batch = emitted_batch
-        for entry in os.listdir(self.state_dir):
-            if entry.startswith("v") and entry != f"v{v}":
-                shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
+        def adopt():
+            # staged fields swap in only post-replace (_publish_manifest's
+            # contract): a failed write above leaves self on the last
+            # committed state, so an in-process retry re-applies the batch
+            # instead of replay-skipping to an unadopted version
+            self._version = v
+            self._last_batch = last_batch
+            self._emitted_batch = emitted_batch
+
+        def gc():
+            for entry in os.listdir(self.state_dir):
+                if entry.startswith("v") and entry != f"v{v}":
+                    shutil.rmtree(
+                        os.path.join(self.state_dir, entry), ignore_errors=True
+                    )
+
+        _publish_manifest(self._manifest_path(), data, adopt, gc)
 
     def _load_manifest(self) -> None:
         from pyspark.sql.types import StructType
@@ -539,7 +571,22 @@ class TopKView:
         # batch — otherwise an in-process retry re-folds idempotently
         # (pre == post) and persists an EMPTY emitted delta, losing the
         # batch's emission for an exactly-once sink. O(k) rows to copy.
-        snap = (dict(self._buffer), self._boundary, self.refills)
+        # _version anchors the rollback to the commit point: _persist can
+        # also raise AFTER the manifest os.replace adopted the new version
+        # (a KeyboardInterrupt, an OSError in the superseded-dir GC) — in
+        # that window the commit is real and restoring the pre-batch buffer
+        # would leave memory one batch BEHIND the manifest, folding the next
+        # batch against stale candidates. The per-batch transfer counters
+        # (applied_rows*) snapshot too, so a retried batch doesn't
+        # double-count the driver-transfer evidence the tools report.
+        snap = (
+            dict(self._buffer),
+            self._boundary,
+            self.refills,
+            self.applied_rows,
+            self.applied_rows_total,
+            self._version,
+        )
         pre = {self._skey(r): r for r in self.result_rows()}
         rows = self._collect_touching(changelog)
         self.applied_rows = len(rows)
@@ -565,8 +612,20 @@ class TopKView:
             except BaseException:
                 # roll the fold back to the committed batch (see `snap`): a
                 # retry then re-applies against committed state and emits
-                # the true delta instead of an idempotent empty one
-                self._buffer, self._boundary, self.refills = snap
+                # the true delta instead of an idempotent empty one. BUT
+                # only while the commit was NOT adopted — _version moved ⇒
+                # the manifest replace succeeded and the exception came from
+                # the post-adoption tail (GC/interrupt); the fold must stand
+                # or memory falls one batch behind the durable state.
+                if self._version == snap[5]:
+                    (
+                        self._buffer,
+                        self._boundary,
+                        self.refills,
+                        self.applied_rows,
+                        self.applied_rows_total,
+                        _,
+                    ) = snap
                 raise
         return out
 
@@ -830,10 +889,12 @@ class GroupedTopKView:
     def _manifest_path(self) -> str:
         return os.path.join(self.state_dir, "MANIFEST.json")
 
-    def _write_manifest(self, **staged) -> None:
+    def _write_manifest(self, adopt=None, gc=None, **staged) -> None:
         """``staged`` overrides let ``_commit`` publish values it has NOT yet
         swapped into ``self`` — in-memory fields must only move to the new
-        state after the os.replace succeeds (see ``_commit``)."""
+        state after the os.replace succeeds, which is exactly
+        ``_publish_manifest``'s adopt-after-replace contract (shared with
+        TopKView._persist)."""
         data = {
             "version": self._version,
             "last_batch": self._last_batch,
@@ -846,10 +907,7 @@ class GroupedTopKView:
             "bschema": json.loads(self._bschema.json()) if self._bschema else None,
         }
         data.update(staged)
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(data, fh)
-        os.replace(tmp, self._manifest_path())
+        _publish_manifest(self._manifest_path(), data, adopt, gc)
 
     def _load_manifest(self) -> None:
         from pyspark.sql.types import StructType
@@ -1007,20 +1065,26 @@ class GroupedTopKView:
             delta = self._net_delta(pre_topk, self._topk_of(post))
             delta.coalesce(1).write.mode("overwrite").parquet(epath)
             emitted = {"batch": batch_id, "path": epath}
+        def adopt():
+            # committed: NOW swap the staged state in (_publish_manifest
+            # runs this only after the os.replace succeeded)
+            self._cand_map, self._bound_map = cand_map, bound_map
+            self._bucket_rows = bucket_rows
+            self._last_batch, self._emitted = last_batch, emitted
+
         self._write_manifest(
+            adopt=adopt,
+            gc=self._gc,
             last_batch=last_batch,
             cand=cand_map,
             bound=bound_map,
             rows=bucket_rows,
             emitted=emitted,
         )
-        # committed: NOW swap the staged state in
-        self._cand_map, self._bound_map = cand_map, bound_map
-        self._bucket_rows = bucket_rows
-        self._last_batch, self._emitted = last_batch, emitted
         if delta is not None:
+            # the emitted dir is manifest-held (self._emitted after adopt),
+            # so the GC above preserved it
             delta = self._spark.read.parquet(epath)
-        self._gc()
         return delta
 
     def _maybe_grow(self) -> None:

@@ -726,6 +726,7 @@ def test_topk_failed_commit_rolls_back_fold(spark, tmp_path, monkeypatch):
         {"items": spark.createDataFrame(ops1, ITEM_SCHEMA)}, batch_id=1, emit_delta=True
     ).localCheckpoint()
     real_replace = topk_mod.os.replace
+    applied_total0 = topk.applied_rows_total
 
     def boom(src, dst):
         raise OSError("commit torn: replace failed")
@@ -733,9 +734,13 @@ def test_topk_failed_commit_rolls_back_fold(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(topk_mod.os, "replace", boom)
     with pytest.raises(OSError, match="replace failed"):
         topk.apply(d1, batch_id=1)
-    # rolled back: in-memory state IS the committed batch-0 state
+    # rolled back: in-memory state IS the committed batch-0 state —
+    # including the driver-transfer counters the scaling tools report as
+    # evidence (an unreverted applied_rows_total would double-count the
+    # retried batch)
     assert topk._buffer == buf0 and topk._boundary == bnd0
     assert topk._last_batch == 0 and topk._emitted_batch == 0
+    assert topk.applied_rows_total == applied_total0
     monkeypatch.setattr(topk_mod.os, "replace", real_replace)
     # in-process retry (foreachBatch redelivery): the TRUE delta, not []
     out1 = topk.apply(d1, batch_id=1)
@@ -750,6 +755,154 @@ def test_topk_failed_commit_rolls_back_fold(spark, tmp_path, monkeypatch):
         state_dir=str(tmp_path / "tkstate"), spark=spark, resume=True,
     )
     assert re._buffer == topk._buffer and re._last_batch == 1
+
+
+def test_topk_post_adoption_failure_keeps_fold(spark, tmp_path, monkeypatch):
+    """The rollback's other edge: _persist can raise AFTER the manifest
+    os.replace adopted the commit (an OSError in the superseded-dir GC, a
+    KeyboardInterrupt). Restoring the pre-batch buffer there would leave
+    in-memory candidate state one batch BEHIND the manifest, and the next
+    batch would fold against the stale buffer and emit wrong deltas — the
+    rollback must fire only while _version is still the snapshotted one."""
+    import flink_and_acyclic_schema_spark.streaming.topk as topk_mod
+
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), SPEC)
+    topk = TopKView(
+        K, "total", ("kid",), refill=eng.result, slack=SLACK,
+        prime=False, state_dir=str(tmp_path / "tkstate"), spark=spark,
+    )
+    ops0 = [(i, 10 * (10 - i), 1) for i in range(10)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, ITEM_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    topk.apply(d0, batch_id=0)
+
+    ops1 = [(0, 100, -1), (9, 95, 1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, ITEM_SCHEMA)}, batch_id=1, emit_delta=True
+    ).localCheckpoint()
+    real_rmtree = topk_mod.shutil.rmtree
+
+    def boom(*a, **kw):
+        raise OSError("gc failed post-adoption")
+
+    # rmtree runs only in _persist's GC closure — strictly after os.replace
+    monkeypatch.setattr(topk_mod.shutil, "rmtree", boom)
+    with pytest.raises(OSError, match="post-adoption"):
+        topk.apply(d1, batch_id=1)
+    monkeypatch.setattr(topk_mod.shutil, "rmtree", real_rmtree)
+    # the commit WAS adopted: the fold must stand, not roll back
+    assert topk._last_batch == 1 and topk._emitted_batch == 1
+    assert _got(topk) == _model_topk(ops0 + ops1)
+    # memory agrees with the manifest (crash-equivalent failure): a resumed
+    # twin matches, and the replayed batch is skip-returned, not re-folded
+    re = TopKView(
+        K, "total", ("kid",), refill=eng.result, slack=SLACK, prime=False,
+        state_dir=str(tmp_path / "tkstate"), spark=spark, resume=True,
+    )
+    assert re._buffer == topk._buffer and re._last_batch == 1
+    replay = topk.apply(d1, batch_id=1)
+    assert sorted((r["kid"], r["total"], r[WEIGHT]) for r in replay) == [
+        (0, 100, -1),
+        (9, 105, 1),
+    ]
+    # and the stream continues exactly on the SAME instance
+    ops2 = [(1, 90, -1)]
+    d2 = eng.process_batch(
+        {"items": spark.createDataFrame(ops2, ITEM_SCHEMA)}, batch_id=2, emit_delta=True
+    )
+    topk.apply(d2, batch_id=2)
+    assert _got(topk) == _model_topk(ops0 + ops1 + ops2)
+
+
+def test_topk_write_rows_arrow_fallback_is_resumable(spark, tmp_path, monkeypatch):
+    """_write_rows' arrow-unmappable fallback (one Spark job via
+    createDataFrame().write) must produce the SAME resumable layout as the
+    driver-side arrow write: buffer, boundary, and emitted changelog all
+    round-trip through resume=True, and the exactly-once replay contract
+    holds. Driven by forcing to_arrow_schema to reject the schema."""
+    import pyspark.sql.pandas.types as pandas_types
+
+    def reject(schema):
+        raise ValueError("unmappable for arrow (forced)")
+
+    monkeypatch.setattr(pandas_types, "to_arrow_schema", reject)
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), SPEC)
+    sdir = str(tmp_path / "tkstate")
+    topk = TopKView(
+        K, "total", ("kid",), refill=eng.result, slack=SLACK,
+        prime=False, state_dir=sdir, spark=spark,
+    )
+    ops0 = [(i, 10 * (10 - i), 1) for i in range(10)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, ITEM_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    topk.apply(d0, batch_id=0)
+    ops1 = [(0, 100, -1), (9, 95, 1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, ITEM_SCHEMA)}, batch_id=1, emit_delta=True
+    ).localCheckpoint()
+    out1 = topk.apply(d1, batch_id=1)
+    assert topk._boundary is not None  # the bnd leg of the layout exercised
+    assert _got(topk) == _model_topk(ops0 + ops1)
+    # resume reads the Spark-written layout back (pyarrow dataset discovery
+    # skips _SUCCESS), and replay returns the persisted changelog
+    re = TopKView(
+        K, "total", ("kid",), refill=eng.result, slack=SLACK, prime=False,
+        state_dir=sdir, spark=spark, resume=True,
+    )
+    assert re._buffer == topk._buffer and re._boundary == topk._boundary
+    replay = re.apply(d1, batch_id=1)
+    assert sorted((r["kid"], r["total"], r[WEIGHT]) for r in replay) == sorted(
+        (r["kid"], r["total"], r[WEIGHT]) for r in out1
+    )
+
+
+def test_topk_write_rows_fallback_failure_still_rolls_back(
+    spark, tmp_path, monkeypatch
+):
+    """If the arrow write is unmappable AND the Spark-job fallback itself
+    fails, the commit never reached the manifest replace — the standard
+    pre-adoption rollback must hold, and an in-process retry (with the
+    writer healthy again) emits the true delta."""
+    import pyspark.sql.pandas.types as pandas_types
+
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "eng"), SPEC)
+    topk = TopKView(
+        K, "total", ("kid",), refill=eng.result, slack=SLACK,
+        prime=False, state_dir=str(tmp_path / "tkstate"), spark=spark,
+    )
+    ops0 = [(i, 10 * (10 - i), 1) for i in range(10)]
+    d0 = eng.process_batch(
+        {"items": spark.createDataFrame(ops0, ITEM_SCHEMA)}, batch_id=0, emit_delta=True
+    )
+    topk.apply(d0, batch_id=0)
+    buf0, bnd0 = dict(topk._buffer), topk._boundary
+
+    ops1 = [(0, 100, -1), (9, 95, 1)]
+    d1 = eng.process_batch(
+        {"items": spark.createDataFrame(ops1, ITEM_SCHEMA)}, batch_id=1, emit_delta=True
+    ).localCheckpoint()
+
+    def reject(schema):
+        raise ValueError("unmappable for arrow (forced)")
+
+    def boom(*a, **kw):
+        raise RuntimeError("fallback write failed")
+
+    monkeypatch.setattr(pandas_types, "to_arrow_schema", reject)
+    monkeypatch.setattr(topk._spark, "createDataFrame", boom)
+    with pytest.raises(RuntimeError, match="fallback write failed"):
+        topk.apply(d1, batch_id=1)
+    monkeypatch.undo()
+    assert topk._buffer == buf0 and topk._boundary == bnd0
+    assert topk._last_batch == 0 and topk._emitted_batch == 0
+    out1 = topk.apply(d1, batch_id=1)  # retry with the writer healthy
+    assert sorted((r["kid"], r["total"], r[WEIGHT]) for r in out1) == [
+        (0, 100, -1),
+        (9, 105, 1),
+    ]
+    assert _got(topk) == _model_topk(ops0 + ops1)
 
 
 def _gdurable(spark, tmp_path, eng, resume, **kw):
@@ -1734,7 +1887,11 @@ def test_grouped_topk_chained_engine_crash_replay(spark, tmp_path):
         measures={"total": lambda: F.col("val")},
         top_k=TopKSpec(
             k=GK, order_by=(("total", "desc"), ("d", "asc")),
-            partition_by=("g",), key=("kid",),
+            # key = group_by minus partition_by: (kid, d) is the UNIQUE view
+            # key within a group — key=("kid",) only worked because the data
+            # never repeats kid within a group, and a future second d for
+            # the same (g, kid) would silently collapse distinct view rows
+            partition_by=("g",), key=("kid", "d"),
             slack=GSLACK, emit_changelog=True,
         ),
     )
@@ -1931,3 +2088,166 @@ def test_topk_multi_key_property_prefix_closure(spark, tmp_path_factory, batched
         seen.extend(rows)
         got = [(r["kid"], r["d"], r["total"]) for r in topk.result_rows()]
         assert got == _mk_model(seen, k=K)
+
+
+# --- depth-4 composition: engine -> grouped top-k -> engine -> global top-k --
+
+D4_UP_SPEC = AcyclicQuerySpec(
+    relations=(RelSpec("items"),),
+    group_by=("g", "kid"),
+    measures={"total": lambda: F.col("val")},
+    top_k=TopKSpec(
+        k=GK, order_by="total", partition_by=("g",), key=("kid",),
+        slack=GSLACK, emit_changelog=True,
+    ),
+)
+
+D4_DOWN_SPEC = AcyclicQuerySpec(
+    relations=(RelSpec("top"),),
+    group_by=("g",),
+    measures={"members": lambda: F.lit(1), "tot": lambda: F.col("total")},
+    top_k=TopKSpec(k=2, order_by="tot", key=("g",), slack=1),
+)
+
+
+def _d4_model(ops, k=GK, k2=2):
+    """From-scratch 4-stage model: per-group top-k of the view, GROUP BY g
+    over those rows, then the GLOBAL top-k2 of the group aggregates under
+    (tot desc, g asc) — the leaderboard of leaderboard-aggregates."""
+    agg: dict[int, tuple] = {}
+    for g, kid, t in _gmodel(ops, k):
+        c, s = agg.get(g, (0, 0))
+        agg[g] = (c + 1, s + t)
+    rows = sorted(
+        ((g, c, s) for g, (c, s) in agg.items()), key=lambda r: (-r[2], r[0])
+    )
+    return set(rows[:k2])
+
+
+def _d4_got(down):
+    return {
+        (r["g"], r["members"], r["tot"]) for r in down.topk_result().collect()
+    }
+
+
+def _d4_step(spark, up, down, rows, i):
+    up.process_batch(
+        {"items": spark.createDataFrame(rows or [], G_SCHEMA)}, batch_id=i
+    )
+    down.process_batch({"top": up.topk_delta()}, batch_id=i)
+
+
+def test_topk_chain_depth4_crash_replay(spark, tmp_path):
+    """Composition closure at DEPTH 4 (round 9, the registered
+    ``incremental_topk_chain_depth4_stream`` shape): engine → per-group
+    top-k (emit_changelog) → engine → GLOBAL top-k. A crash between the
+    upstream pair's commits and the downstream feed replays the batch;
+    exactly-once composes across all FOUR manifests — the upstream engine
+    and grouped top-k replay-skip and re-hand the PERSISTED leaderboard
+    changelog, the downstream engine applies it once and feeds ITS global
+    top-k inside the same commit discipline, and a second redelivery is a
+    full-chain no-op."""
+    up_dir, down_dir = str(tmp_path / "up"), str(tmp_path / "down")
+    up = IncrementalAcyclicQuery(spark, up_dir, D4_UP_SPEC)
+    down = IncrementalAcyclicQuery(spark, down_dir, D4_DOWN_SPEC)
+    ops0 = [(g, i, 10 * (5 - i) + g, 1) for g in range(3) for i in range(5)]
+    _d4_step(spark, up, down, ops0, 0)
+    assert _d4_got(down) == _d4_model(ops0)
+    # leaderboard churn that REORDERS the nation-level top-2: group-0 exit,
+    # group-1 entry big enough to flip the global ranking
+    ops1 = [(0, 0, 50, -1), (1, 9, 99, 1)]
+    _d4_step(spark, up, down, ops1, 1)
+    assert _d4_got(down) == _d4_model(ops0 + ops1)
+
+    # crash window: upstream engine AND grouped top-k commit batch 2, the
+    # process dies before the downstream feed
+    ops2 = [(1, 9, 99, -1), (2, 0, 52, 1)]
+    up.process_batch(
+        {"items": spark.createDataFrame(ops2, G_SCHEMA)}, batch_id=2
+    )
+    up2 = IncrementalAcyclicQuery(spark, up_dir, D4_UP_SPEC, resume=True)
+    down2 = IncrementalAcyclicQuery(spark, down_dir, D4_DOWN_SPEC, resume=True)
+    assert _d4_got(down2) == _d4_model(ops0 + ops1)  # still behind
+    _d4_step(spark, up2, down2, ops2, 2)  # foreachBatch redelivery
+    assert _d4_got(down2) == _d4_model(ops0 + ops1 + ops2)
+    # a second redelivery is a no-op across all four structures
+    _d4_step(spark, up2, down2, ops2, 2)
+    assert _d4_got(down2) == _d4_model(ops0 + ops1 + ops2)
+    # stream continues exactly across the healed 4-stage chain
+    ops3 = [(0, 1, 40, -1), (2, 9, 5, 1)]
+    _d4_step(spark, up2, down2, ops3, 3)
+    assert _d4_got(down2) == _d4_model(ops0 + ops1 + ops2 + ops3)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batched=_GSPLITS)
+def test_topk_chain_depth4_property_prefix_closure(
+    spark, tmp_path_factory, batched
+):
+    """Prefix closure for the 4-STAGE chain: after EVERY batch of an
+    arbitrary interleaving (duplicates, deletes-before-inserts, colliding
+    totals), the global top-k over the downstream engine fed by the grouped
+    top-k's ±changelog equals the from-scratch 4-stage model over the
+    prefix — entries, exits, value updates, and whole-group vanishings all
+    propagate as valid weighted deltas through BOTH composition hops."""
+    tmp = tmp_path_factory.mktemp("d4")
+    up = IncrementalAcyclicQuery(spark, str(tmp / "up"), D4_UP_SPEC)
+    down = IncrementalAcyclicQuery(spark, str(tmp / "down"), D4_DOWN_SPEC)
+    seen: list[tuple] = []
+    for i, ops in enumerate(batched):
+        rows = list(ops)
+        _d4_step(spark, up, down, rows, i)
+        seen.extend(rows)
+        assert _d4_got(down) == _d4_model(seen)
+
+
+def test_topk_ttl_eviction_exits_visible_in_changelog(spark, tmp_path):
+    """The registered "trending now" shape (round 9,
+    ``incremental_trending_topk_stream``): spec-level GLOBAL top-k over a
+    TTL'd sliding-window view. When the leader's contributing rows age past
+    the horizon, eviction retractions flow through the engine changelog into
+    the top-k buffer AND the emitted top-k ±changelog records the
+    eviction-driven EXIT (weight −1) — no explicit delete anywhere. The
+    durable emitted changelog is what an exactly-once sink would land, so
+    eviction exits must be first-class emissions, not silent drops."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("events", ttl=("e_day", lambda wm: wm - F.lit(10))),
+        ),
+        group_by=("e_cat",),
+        measures={"val": lambda: F.col("e_val")},
+        top_k=TopKSpec(k=2, order_by="val", key=("e_cat",), slack=1),
+    )
+    eng = IncrementalAcyclicQuery(spark, str(tmp_path / "ttlk"), spec)
+    schema = "e_key int, e_day int, e_cat string, e_val int, weight int"
+
+    def step(rows, bid):
+        eng.process_batch(
+            {"events": spark.createDataFrame(rows, schema)}, batch_id=bid
+        )
+        return {
+            (r["e_cat"], r["val"]): r[WEIGHT]
+            for r in eng.topk_delta().collect()
+        }
+
+    # day 0-1: a leads on old rows; b and c trail
+    assert step(
+        [(1, 0, "a", 100, 1), (2, 1, "b", 60, 1), (3, 1, "c", 30, 1)], 0
+    ) == {("a", 100): 1, ("b", 60): 1}
+    # day 8: fresh activity; a's lead is entirely day-0 rows
+    assert step([(4, 8, "b", 5, 1), (5, 8, "c", 50, 1)], 1) == {
+        ("b", 60): -1,
+        ("c", 80): 1,
+    }
+    # day 12 -> horizon 2: EVERY day-0/1 row ages out. The old leader a
+    # VANISHES purely by eviction — its exit (-1 on a=100) and c's demotion
+    # (−80/+50) land in the emitted changelog, and b enters at its windowed
+    # value
+    assert step([(6, 12, "d", 1, 1)], 2) == {
+        ("a", 100): -1,
+        ("c", 80): -1,
+        ("c", 50): 1,
+        ("b", 5): 1,
+    }
+    got = {(r["e_cat"], r["val"]) for r in eng.topk_result().collect()}
+    assert got == {("c", 50), ("b", 5)}
