@@ -48,6 +48,19 @@ HEADLINE = [
 
 N_ITER = 2  # report best-of-N so JIT/first-touch costs don't skew per-query numbers
 
+# Continuous/IVM stacks under a per-round walltime guardrail (round 9):
+# reported SEPARATELY from the 23-query headline series — "value" stays the
+# unchanged headline total, so the cross-round series is not destabilized.
+# Each entry EXECUTES its whole micro-batch pipeline (delta generation,
+# foreachBatch folds, durable top-k, state commits); one iteration, since a
+# pipeline is its own warmup and the row-count artifacts (IVM_*.json) carry
+# the scale evidence — this entry exists to catch constant-factor
+# regressions walltime-side (the r8 persist rewrite moved the registered
+# sink query 80.9 s -> 26.2 s and no bench series saw it).
+CONTINUOUS = [
+    "incremental_q10_topk_buffer_stream",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,6 +114,13 @@ def main() -> None:
         if not name.startswith(("stream_", "incremental_"))
     }
 
+    continuous: dict[str, float] = {}
+    for name in CONTINUOUS:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        continuous[name] = round(time.perf_counter() - t0, 3)
+        release_persisted()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -109,6 +129,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "continuous": continuous,
+                "continuous_total": round(sum(continuous.values()), 3),
                 "ingest_sec": ingest_sec,
                 "plans": plans,
                 "sf": sf,

@@ -101,7 +101,9 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from collections.abc import Callable, Mapping
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -611,6 +613,15 @@ class IncrementalAcyclicQuery:
         # last persisted emitted-changelog {"batch": id, "path": dir} — lets a
         # crash-replayed batch hand downstream engines the exact view delta
         self._emitted: dict | None = None
+        # fold observability (round 9): instrument=True scopes every action
+        # point of a batch in a phase-tagged job group; after process_batch,
+        # ``last_profile`` maps phase -> {"jobs", "stages", "sec"} — the
+        # jobs-per-batch breakdown the per-batch latency budget is made of.
+        # Lazy evaluation attributes a job to the phase whose ACTION ran it
+        # (e.g. without emit_delta the whole ΔJ executes inside agg_write).
+        self.instrument = False
+        self.last_profile: dict[str, dict] = {}
+        self._phase_seq = 0
         if resume and os.path.exists(self._manifest_path()):
             self._load_manifest()
         else:
@@ -992,13 +1003,27 @@ class IncrementalAcyclicQuery:
         ]
         n_buckets = self._buckets[r.name]
         sel = canon + [self._bucket_expr(canon, n_buckets).alias("_b")]
+        # wide-probe fast path (round 9, from the fold profile): the key-
+        # distinct below is a FULL SHUFFLE of the probe side, and a probe
+        # far above the cap paid it (plus a second full scan for the bucket
+        # ids) just to learn it was too wide — at sf1 that is two passes
+        # over a 2.5M-row delta per (delta, state) pair per batch. A raw
+        # row count is one scan-only job (no shuffle); above 64× the cap
+        # the distinct key set realistically exceeds the cap too, so go
+        # straight to the bucket-id distinct — which map-side-reduces every
+        # partition to ≤ buckets rows and shuffles almost nothing. Between
+        # cap and 64× cap the keys may still dedupe under the cap (heavily
+        # duplicated FK deltas), so the exact attempt is kept there.
+        wide = probe_df.count() > self.KEY_PUSHDOWN_CAP * 64
         rows = (
-            probe_df.select(*sel)
+            []
+            if wide
+            else probe_df.select(*sel)
             .distinct()
             .limit(self.KEY_PUSHDOWN_CAP + 1)
             .collect()
         )
-        if len(rows) <= self.KEY_PUSHDOWN_CAP:
+        if not wide and len(rows) <= self.KEY_PUSHDOWN_CAP:
             ids = sorted({row["_b"] for row in rows})
             # NULL probe keys never equi-join, so dropping them from the In
             # sets keeps the superset property (isin never matches NULL)
@@ -1150,6 +1175,40 @@ class IncrementalAcyclicQuery:
         self._last_batch = snap["last_batch"]
         self._buckets = snap["buckets"]
 
+    @contextmanager
+    def _phase(self, name: str):
+        """Scope one batch phase (``instrument=True``): jobs triggered inside
+        the block are tagged with a unique job group, and on exit the status
+        tracker's job/stage counts plus wall time accumulate into
+        ``last_profile[name]``. No-op (zero overhead) when not instrumenting.
+        """
+        if not self.instrument:
+            yield
+            return
+        sc = self.spark.sparkContext
+        self._phase_seq += 1
+        gid = f"ivm_{name}_{self._phase_seq}"  # unique per phase instance
+        sc.setJobGroup(gid, f"ivm fold phase: {name}")
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            sec = time.perf_counter() - t0
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            tracker = sc.statusTracker()
+            jobs = tracker.getJobIdsForGroup(gid)
+            stages = 0
+            for j in jobs:
+                info = tracker.getJobInfo(j)
+                if info is not None:
+                    stages += len(info.stageIds)
+            p = self.last_profile.setdefault(
+                name, {"jobs": 0, "stages": 0, "sec": 0.0}
+            )
+            p["jobs"] += len(jobs)
+            p["stages"] += stages
+            p["sec"] += sec
+
     def process_batch(
         self,
         deltas: Mapping[str, DataFrame],
@@ -1216,7 +1275,8 @@ class IncrementalAcyclicQuery:
         # pre-batch snapshot (disk would then be ahead of memory) — a retry
         # re-enters through the replay-skip branch above instead
         if self._topk is not None and changelog is not None:
-            self._topk.apply(changelog, batch_id)
+            with self._phase("topk"):
+                self._topk.apply(changelog, batch_id)
         return changelog if emit_delta else None
 
     def _process_batch_inner(
@@ -1225,6 +1285,7 @@ class IncrementalAcyclicQuery:
         batch_id: int | None,
         emit_delta: bool,
     ) -> DataFrame | None:
+        self.last_profile = {}
         rels = self.spec.relations
         known = {r.name for r in rels}
         unknown = set(deltas) - known
@@ -1241,7 +1302,14 @@ class IncrementalAcyclicQuery:
                 d = r.delta_filter(d)
             if r.project is not None:
                 d = d.select(*r.project, WEIGHT)
-            filt[r.name] = self._conform(r.name, d)
+            # lazy localCheckpoint (round 9): one batch consumes each delta
+            # many times — probe-pruning counts/distincts, one ΔJ term per
+            # delta relation, the presence gates, and the state write's
+            # union — and without materialization every consumer re-scans
+            # the source (for a streaming micro-batch, the parquet chunk).
+            # Lazy, so a relation whose delta no consumer executes (e.g.
+            # everything-filtered) never pays a job.
+            filt[r.name] = self._conform(r.name, d).localCheckpoint(eager=False)
 
         # watermark advance + late-data drop (RelSpec.ttl): the watermark is
         # the running max event time over ingested deltas — ONE bounded 1-row
@@ -1273,13 +1341,16 @@ class IncrementalAcyclicQuery:
                 if old_wm is not None
                 else F.max(ts_col)
             )
-            row = filt[r.name].agg(
-                F.max(ts_col).alias("_bm"),
-                horizon(eff).alias("_hi"),  # expression OVER the aggregate
-                F.max(
-                    horizon(old_lit) if old_wm is not None else F.lit(None).cast(dtype)
-                ).alias("_lo"),
-            ).first()
+            with self._phase("watermark"):
+                row = filt[r.name].agg(
+                    F.max(ts_col).alias("_bm"),
+                    horizon(eff).alias("_hi"),  # expression OVER the aggregate
+                    F.max(
+                        horizon(old_lit)
+                        if old_wm is not None
+                        else F.lit(None).cast(dtype)
+                    ).alias("_lo"),
+                ).first()
             batch_max, h_new_v, h_old_v = row["_bm"], row["_hi"], row["_lo"]
             new_wm = (
                 old_wm
@@ -1337,22 +1408,23 @@ class IncrementalAcyclicQuery:
             lo = h_old_v  # None (= -inf) on the first advance
             hi = new_wm if (h_new_v is None or h_new_v <= new_wm) else None
             seg_range[r.name] = (lo, hi)
-        if self.compact_every == 1:
-            new = {
-                r.name: self._merge(old[r.name], filt[r.name])
-                if r.name in filt
-                else old[r.name]
-                for r in rels
-            }
-        else:
-            # log-structured: new state is the unmerged union — algebraically
-            # identical in every join/aggregate (linearity), O(Δ) to persist
-            new = {
-                r.name: old[r.name].unionByName(filt[r.name])
-                if r.name in filt
-                else old[r.name]
-                for r in rels
-            }
+        # post-batch relation view for the ΔJ terms and presence gates: the
+        # UNMERGED union old ∪ Δ in BOTH state regimes — algebraically
+        # identical to the netted multiset in every join (weights multiply)
+        # and aggregate (weights sum) by linearity, a (+w, −w) pair
+        # contributing exactly zero. Round 9: merge mode previously handed
+        # the terms the MERGED state, so every term referencing a new-side
+        # relation re-executed the net's groupBy inside its own (pruned)
+        # plan, and the state write then paid the same groupBy again plus
+        # its bucket repartition. Now the net runs exactly once per changed
+        # relation, inside the write, fused with the bucket repartition into
+        # a single full-state shuffle (_net_write).
+        new = {
+            r.name: old[r.name].unionByName(filt[r.name])
+            if r.name in filt
+            else old[r.name]
+            for r in rels
+        }
 
         # semi gates: swap the relation's multiset for its 0/1 PRESENCE view,
         # and its raw delta for the presence DELTA (keys whose net count
@@ -1391,27 +1463,33 @@ class IncrementalAcyclicQuery:
         anti_rels = tuple(r for r in rels if r.anti)
         terms: list[DataFrame] = []
         bucket_memo: dict = {}
-        for k in range(len(anti_rels) + 1):
-            for S in itertools.combinations(anti_rels, k):
-                vlist = tuple(r for r in rels if not r.anti or r in S)
-                sign = -1 if k % 2 else 1
-                for i, ri in enumerate(vlist):
-                    if ri.name not in term_delta:
-                        continue
-                    versions = {}
-                    for j, rj in enumerate(vlist):
-                        if j < i:
-                            versions[rj.name] = term_new[rj.name]
-                        elif j == i:
-                            versions[rj.name] = term_delta[rj.name]
-                        else:
-                            versions[rj.name] = term_old[rj.name]
-                    t = self._join_chain(
-                        versions, vlist, delta_name=ri.name, bucket_memo=bucket_memo
-                    )
-                    if sign < 0:
-                        t = t.withColumn("_w", -F.col("_w"))
-                    terms.append(self._term_project(t))
+        # term construction is NOT pure plan-building: the delta-first order
+        # runs probe-pruning collects (bucket ids + capped key values per
+        # bucketed state scan) and transitive partial-join localCheckpoints
+        # eagerly — phase-scoped so the profile shows this cost instead of
+        # leaving it in the unattributed gap
+        with self._phase("term_build"):
+            for k in range(len(anti_rels) + 1):
+                for S in itertools.combinations(anti_rels, k):
+                    vlist = tuple(r for r in rels if not r.anti or r in S)
+                    sign = -1 if k % 2 else 1
+                    for i, ri in enumerate(vlist):
+                        if ri.name not in term_delta:
+                            continue
+                        versions = {}
+                        for j, rj in enumerate(vlist):
+                            if j < i:
+                                versions[rj.name] = term_new[rj.name]
+                            elif j == i:
+                                versions[rj.name] = term_delta[rj.name]
+                            else:
+                                versions[rj.name] = term_old[rj.name]
+                        t = self._join_chain(
+                            versions, vlist, delta_name=ri.name, bucket_memo=bucket_memo
+                        )
+                        if sign < 0:
+                            t = t.withColumn("_w", -F.col("_w"))
+                        terms.append(self._term_project(t))
         if not terms:
             # empty batch: no state changes, but still record batch_id so
             # last_batch stays aligned with the stream's committed offsets
@@ -1448,15 +1526,18 @@ class IncrementalAcyclicQuery:
             # of touched groups before any state file changes. Preserve-
             # padded rows can flip on a parent-only delta with no join rows,
             # so the preserved relation's delta keys count as touched too.
-            agg_delta = agg_delta.localCheckpoint()
+            with self._phase("join_fold"):
+                agg_delta = agg_delta.localCheckpoint()
             if gb:
                 touched_groups = agg_delta.select(*gb)
                 if self.spec.preserve is not None and self.spec.preserve in filt:
                     touched_groups = touched_groups.unionByName(
                         filt[self.spec.preserve].select(*gb)
                     )
-                touched_groups = touched_groups.distinct().localCheckpoint()
-            pre_view = self._emit(touched_groups).localCheckpoint()
+                with self._phase("touched"):
+                    touched_groups = touched_groups.distinct().localCheckpoint()
+            with self._phase("emit_pre"):
+                pre_view = self._emit(touched_groups).localCheckpoint()
 
         # two-phase commit: every write of this batch executes BEFORE any
         # superseded files are deleted — the agg write's lazy plan still scans
@@ -1469,32 +1550,49 @@ class IncrementalAcyclicQuery:
             if r.ttl is not None and r.name in filt and r.name not in seg_range:
                 seg_range[r.name] = (None, self._watermarks.get(r.name))
         for rel in changed:
-            self._commit_state(
-                rel, new[rel], filt[rel], cleanup, ts_range=seg_range.get(rel)
-            )
+            with self._phase(f"state_write:{rel}"):
+                self._commit_state(
+                    rel, new[rel], filt[rel], cleanup, ts_range=seg_range.get(rel)
+                )
         agg_old = self._read_paths("agg", self._segments.get("agg", []))
-        if self.compact_every == 1:
-            self._commit_state(
-                "agg", self._agg_net(agg_old.unionByName(agg_delta)), agg_delta, cleanup
-            )
-        else:
-            self._commit_state("agg", None, agg_delta, cleanup, net_fn=self._agg_net)
+        with self._phase("agg_write"):
+            if self.compact_every == 1:
+                self._commit_state(
+                    "agg",
+                    agg_old.unionByName(agg_delta),
+                    agg_delta,
+                    cleanup,
+                    net_fn=self._agg_net,
+                )
+            else:
+                self._commit_state(
+                    "agg", None, agg_delta, cleanup, net_fn=self._agg_net
+                )
         # value-histogram state for non-invertible aggregates: same ΔJ,
         # grouped one level finer — (group key, value) -> net weight
         for name in self.spec.hist_measures:
             rel = f"hist::{name}"
             hd = hist_deltas[name]
-            if self.compact_every == 1:
-                h_old = self._read_paths(rel, self._segments.get(rel, []))
-                self._commit_state(rel, self._merge(h_old, hd), hd, cleanup)
-            else:
-                self._commit_state(rel, None, hd, cleanup)
+            with self._phase(f"hist_write:{name}"):
+                if self.compact_every == 1:
+                    h_old = self._read_paths(rel, self._segments.get(rel, []))
+                    self._commit_state(rel, h_old.unionByName(hd), hd, cleanup)
+                else:
+                    self._commit_state(rel, None, hd, cleanup)
         if batch_id is not None:
             self._last_batch = batch_id
         changelog = None
         if emit_delta:
             # post-batch view reads the freshly written (pre-manifest) state
-            post_view = self._emit(touched_groups).localCheckpoint()
+            with self._phase("emit_post"):
+                post_view = self._emit(touched_groups).localCheckpoint()
+            # pre(−1) ∪ post(+1), un-netted: a touched group whose emitted
+            # row did not actually change contributes an identical ± pair
+            # that nets to zero in every consumer (downstream engines sum
+            # weights; the top-k buffer pops and readmits the same row).
+            # Groups touched only through zero-net contributions (a delta
+            # canceling against state rows inside the unmerged union) are
+            # the round-9 source of such pairs — bounded by touched groups.
             changelog = post_view.withColumn(WEIGHT, F.lit(1)).unionByName(
                 pre_view.withColumn(WEIGHT, F.lit(-1))
             )
@@ -1503,7 +1601,8 @@ class IncrementalAcyclicQuery:
                 # commit so a crash-replayed batch can still hand the exact
                 # view delta to downstream engines / sinks (see replay skip)
                 epath = os.path.join(self.state_dir, f"emitted_b{batch_id}")
-                changelog.write.mode("overwrite").parquet(epath)
+                with self._phase("emitted_write"):
+                    changelog.write.mode("overwrite").parquet(epath)
                 if self._emitted is not None:
                     cleanup.append(self._emitted["path"])
                 self._emitted = {"batch": batch_id, "path": epath}
@@ -1523,12 +1622,15 @@ class IncrementalAcyclicQuery:
     ) -> None:
         """Persist one relation's post-batch state.
 
-        merge-and-rewrite mode writes ``merged`` as the next version
-        (O(state) IO); log-structured mode appends ``delta`` as a new segment
+        merge-and-rewrite mode receives the UNMERGED union old ∪ Δ in
+        ``merged`` and nets it INSIDE the write (``_net_write`` — one
+        full-state shuffle, not the round-8 merge-exchange + write-exchange
+        pair); log-structured mode appends ``delta`` as a new segment
         (O(Δ) IO) and, past ``compact_every`` live segments, compacts the
-        union back to the net multiset with ``net_fn`` (default ``_net``;
-        ``_agg_net`` for the aggregate). Superseded paths go to ``cleanup``,
-        deleted only after the whole batch's writes executed.
+        union back to the net multiset. ``net_fn`` picks the reduction
+        (default ``_net``; ``_agg_net`` for the aggregate). Superseded paths
+        go to ``cleanup``, deleted only after the whole batch's writes
+        executed.
 
         ``ts_range`` (ttl relations) is this write's driver-side superset of
         its rows' event times; merged/compacted paths take the union of
@@ -1537,7 +1639,7 @@ class IncrementalAcyclicQuery:
         if self.compact_every == 1:
             nxt = self._version[rel] + 1
             p = self._path(rel, nxt)
-            self._write_state(rel, self._conform(rel, merged), p)
+            self._net_write(rel, merged, p, net_fn)
             self._version[rel] = nxt
             cleanup.extend(self._segments.get(rel, []))
             self._segments[rel] = [p]
@@ -1556,12 +1658,7 @@ class IncrementalAcyclicQuery:
         if len(self._segments[rel]) > self.compact_every:
             nxt = self._version[rel] + 1
             cp = self._path(rel, nxt)
-            net = net_fn or self._net
-            self._write_state(
-                rel,
-                self._conform(rel, net(self._read_paths(rel, self._segments[rel]))),
-                cp,
-            )
+            self._net_write(rel, self._read_paths(rel, self._segments[rel]), cp, net_fn)
             self._version[rel] = nxt
             cleanup.extend(self._segments[rel])
             self._segments[rel] = [cp]
@@ -1570,6 +1667,31 @@ class IncrementalAcyclicQuery:
                     cp: _range_union(self._seg_ts.get(rel, {}).values())
                 }
             self._rebucket_written(rel, cp, cleanup)
+
+    def _net_write(self, rel: str, df: DataFrame, path: str, net_fn=None) -> None:
+        """Net a (possibly unmerged) weighted multiset and write it as one
+        state version — in ONE full-state shuffle (round 9). A bucketed
+        relation is repartitioned by ``_bucket`` FIRST; the net's groupBy
+        keys include ``_bucket``, so Catalyst elides the aggregate's own
+        exchange (HashPartitioning(_bucket) satisfies the aggregate's
+        clustering requirement: every group lives in one partition), and the
+        write's partitionBy sees data already bucket-partitioned. The
+        round-8 form paid two full-state exchanges per merge-mode batch per
+        bucketed relation — the merge groupBy's, then the write
+        repartition's. Non-bucketed state only ever had the net's exchange;
+        that path is unchanged."""
+        net = net_fn or self._net
+        r = self._by_name.get(rel)
+        if r is not None and r.buckets > 0:
+            df = self._conform(rel, df)
+            df = df.repartition(self._buckets[rel], F.col(BUCKET))
+            # re-conform: the net's SUM may widen/reorder columns; a plain
+            # projection that preserves the child's partitioning
+            self._write_state(
+                rel, self._conform(rel, net(df)), path, pre_partitioned=True
+            )
+        else:
+            self._write_state(rel, self._conform(rel, net(df)), path)
 
     def _zone_col(self, r: RelSpec) -> Column:
         """Coarse event-time zone of a row — floor(ts / ttl_zone width), with
@@ -1621,7 +1743,9 @@ class IncrementalAcyclicQuery:
         if r.ttl is not None and rel in self._seg_ts:
             self._seg_ts[rel] = {p2: _range_union(self._seg_ts[rel].values())}
 
-    def _write_state(self, rel: str, df: DataFrame, path: str) -> None:
+    def _write_state(
+        self, rel: str, df: DataFrame, path: str, pre_partitioned: bool = False
+    ) -> None:
         """Write one state file set. A bucketed relation is hash-partitioned
         on ``_bucket`` (parquet partition column, one writer task per bucket
         so the layout stays one-file-per-bucket locally; at cluster scale the
@@ -1651,9 +1775,16 @@ class IncrementalAcyclicQuery:
             if r.ttl is not None and r.ttl_zone is not None:
                 sort_cols.append(self._zone_col(r))
             sort_cols += [F.col(c) for c in r.bucket_key]
+            # ``pre_partitioned`` (from _net_write): the input is already
+            # hash-partitioned on _bucket — repartitioning again would add
+            # back exactly the exchange the fused net+write elides
+            out = (
+                df
+                if pre_partitioned
+                else df.repartition(self._buckets[rel], F.col(BUCKET))
+            )
             (
-                df.repartition(self._buckets[rel], F.col(BUCKET))
-                .sortWithinPartitions(*sort_cols)
+                out.sortWithinPartitions(*sort_cols)
                 .write.mode("overwrite")
                 .partitionBy(BUCKET)
                 .parquet(path)

@@ -65,6 +65,16 @@ def main() -> int:
             plan_changed.append(q)
             mark += f"  PLAN CHANGED {delta}"
         print(f"  {q:34s} {t_old if t_old is not None else '—':>7} -> {t_new:7}{mark}")
+    # continuous/IVM stacks (round 9): separate walltime series, no static
+    # plan record (building an incremental_ entry executes its pipeline)
+    for q, t_new in sorted(new.get("continuous", {}).items()):
+        t_old = old.get("continuous", {}).get(q)
+        mark = ""
+        if t_old:
+            r = t_new / t_old
+            if r > 1 + tol or r < 1 - tol:
+                mark = f"  [{r:.2f}x]"
+        print(f"  {q:34s} {t_old if t_old is not None else '—':>7} -> {t_new:7}{mark}  (continuous)")
     if plan_changed:
         print(f"\nPLAN SHAPES CHANGED: {plan_changed}")
         return 1

@@ -1,0 +1,142 @@
+"""Per-PHASE job/stage/second breakdown of the engine fold — the round-9
+instrument for the one open scale observation: at sf1 the ENGINE fold is the
+whole latency budget of every continuous stack (11-20 s/batch in
+IVM_TOPK_SINK_SF1.json) while everything downstream is bounded and ~1 s,
+and nobody had measured where inside ``process_batch`` those seconds go.
+
+Runs the heaviest registered stack — ``incremental_topk_sink_stream``'s
+shape (the full Q10 tree, bucketed lineitem/orders/customer state, spec-level
+durable top-20) — on real TPC-H data at sf1 with
+``IncrementalAcyclicQuery.instrument = True``: every action point of a batch
+executes inside a phase-tagged Spark job group, and the status tracker's
+job/stage counts plus wall time land in ``last_profile``. Phases:
+
+- ``join_fold``     — the ΔJ union of delta-join terms + the grouped fold,
+                      materialized by the emit_delta localCheckpoint;
+- ``touched``/``emit_pre``/``emit_post`` — the touched-group restriction and
+                      the pre/post view snapshots the changelog diffs;
+- ``state_write:R`` — relation R's net+write state commit (round 9: ONE
+                      fused full-state shuffle; was the merge exchange plus
+                      the write repartition);
+- ``agg_write``     — the grouped-aggregate state commit;
+- ``emitted_write`` — persisting the batch's view changelog;
+- ``topk``          — the maintained top-k feed (collect + arrow persist).
+
+Exactness guard (unchanged from tools/topk_sink_sf1.py): the maintained
+top-20 must equal a from-scratch ORDER BY over the final maintained view.
+
+Usage:  python tools/ivm_fold_profile.py [sf_dir] [n_chunks] [compact_every]
+Prints one JSON line (default sf_dir .scratch/sf1, compact_every 1 = the
+registered stack's merge-and-rewrite regime; pass >1 to profile the
+log-structured O(Δ)-IO regime on the same stack) — committed as
+IVM_FOLD_PROFILE.json with before/after runs of the round-9 fusion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_and_acyclic_schema_spark.plans.ivm_topk_ext import (  # noqa: E402
+    _q10_gens,
+    _q10_topk_spec,
+)
+from flink_and_acyclic_schema_spark.session import get_spark  # noqa: E402
+from flink_and_acyclic_schema_spark.streaming.acyclic import (  # noqa: E402
+    IncrementalAcyclicQuery,
+)
+from flink_and_acyclic_schema_spark.streaming.delta_transport import (  # noqa: E402
+    generate_delta_chunks,
+    run_delta_stream,
+    split_deltas,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO_ROOT, ".scratch/sf1")
+    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    spark = get_spark(app_name="ivm_fold_profile", shuffle_partitions=32)
+    work = tempfile.mkdtemp(prefix="ivm_fold_profile_")
+    gens = _q10_gens()
+    delta_dir, schema = generate_delta_chunks(
+        spark, sf_dir, f"{work}/deltas", gens, n_chunks=n_chunks
+    )
+    rel_columns = {g.table: g.columns for g in gens}
+    eng = IncrementalAcyclicQuery(
+        spark, f"{work}/state", _q10_topk_spec(), compact_every=compact_every
+    )
+    eng.instrument = True
+    per_batch = []
+    totals: dict[str, dict] = {}
+
+    def handle(batch, batch_id):
+        batch = batch.localCheckpoint()  # count once, fold from memory
+        n_in = batch.count()
+        t0 = time.perf_counter()
+        eng.process_batch(split_deltas(batch, rel_columns), batch_id)
+        sec = time.perf_counter() - t0
+        prof = {
+            k: {"jobs": v["jobs"], "stages": v["stages"], "sec": round(v["sec"], 2)}
+            for k, v in eng.last_profile.items()
+        }
+        for k, v in eng.last_profile.items():
+            t = totals.setdefault(k, {"jobs": 0, "stages": 0, "sec": 0.0})
+            t["jobs"] += v["jobs"]
+            t["stages"] += v["stages"]
+            t["sec"] += v["sec"]
+        per_batch.append(
+            {
+                "batch": batch_id,
+                "input_delta_rows": int(n_in),
+                "batch_sec": round(sec, 2),
+                "profiled_jobs": sum(v["jobs"] for v in prof.values()),
+                "profiled_sec": round(sum(v["sec"] for v in prof.values()), 2),
+                "phases": prof,
+            }
+        )
+
+    t_all = time.perf_counter()
+    run_delta_stream(spark, delta_dir, schema, work, handle)
+    wall = time.perf_counter() - t_all
+
+    # exactness: maintained top-20 == from-scratch ORDER BY over final view
+    cols = ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
+    maintained = {tuple(r) for r in eng.topk_result().select(*cols).collect()}
+    scratch = {
+        tuple(r)
+        for r in eng.result()
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(*cols)
+        .collect()
+    }
+    out = {
+        "tool": "ivm_fold_profile",
+        "sf_dir": sf_dir,
+        "n_chunks": n_chunks,
+        "compact_every": compact_every,
+        "wall_sec": round(wall, 2),
+        "per_batch": per_batch,
+        "phase_totals": {
+            k: {"jobs": v["jobs"], "stages": v["stages"], "sec": round(v["sec"], 2)}
+            for k, v in sorted(
+                totals.items(), key=lambda kv: -kv[1]["sec"]
+            )
+        },
+        "maintained_eq_scratch": maintained == scratch,
+        "topk_rows": len(maintained),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
