@@ -373,9 +373,17 @@ class TopKSpec:
 
     ``key`` is the unique key of EMITTED rows used as the deterministic
     ascending tiebreak (``ORDER BY v DESC, key``); default: the spec's
-    group_by minus ``partition_by``. ``slack`` extra buffered rows amortize
-    refills over ≥slack top-region deletions (default k). ``buckets`` /
-    ``bucket_target_rows`` shard the per-group candidate state."""
+    group_by minus ``partition_by`` — always safe, since group_by IS the
+    view's unique key. An EXPLICIT key narrower than that asserts a
+    functional dependency: key → (the remaining group columns), e.g.
+    continuous Q3's ``l_orderkey`` determining ``o_orderdate`` and
+    ``o_orderpriority`` through the join. If the FD does not actually hold,
+    distinct view rows sharing the key silently collapse in the maintained
+    structure's keyed upsert — the engine cannot check an FD statically, so
+    declare a narrow key only when the schema guarantees it. ``slack``
+    extra buffered rows amortize refills over ≥slack top-region deletions
+    (default k). ``buckets`` / ``bucket_target_rows`` shard the per-group
+    candidate state."""
 
     k: int
     # a single emitted column name, or a tuple of names / (name,
@@ -688,10 +696,14 @@ class IncrementalAcyclicQuery:
 
     def _commit_manifest(self) -> None:
         """Atomically publish the post-batch state: every referenced path is
-        fully written by now; os.replace makes the switch a single atomic
-        step, so a crash at ANY point leaves either the old or the new state
-        fully consistent (orphan dirs are GC'd on resume)."""
-        import json
+        fully written by now; the shared ``_publish_manifest`` protocol
+        (streaming/topk.py — the same helper both top-k views commit through)
+        makes the switch a single atomic os.replace, so a crash at ANY point
+        leaves either the old or the new state fully consistent (orphan dirs
+        are GC'd on resume). The engine's in-memory fields are the staging
+        area itself (``_snapshot``/``_restore`` roll them back on failure),
+        so no adopt/gc closures are needed here."""
+        from .topk import _publish_manifest
 
         data = {
             "version": self._version,
@@ -707,10 +719,7 @@ class IncrementalAcyclicQuery:
                 for rel, m in self._seg_ts.items()
             },
         }
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(data, fh)
-        os.replace(tmp, self._manifest_path())
+        _publish_manifest(self._manifest_path(), data)
 
     def _load_manifest(self) -> None:
         import json
@@ -1188,13 +1197,20 @@ class IncrementalAcyclicQuery:
         sc = self.spark.sparkContext
         self._phase_seq += 1
         gid = f"ivm_{name}_{self._phase_seq}"  # unique per phase instance
+        # save/RESTORE the thread's prior job group + description: inside a
+        # foreachBatch thread Structured Streaming owns these properties, and
+        # clearing them outright would strip the stream's attribution from
+        # every unphased job after the first phase exits
+        prev_gid = sc.getLocalProperty("spark.jobGroup.id")
+        prev_desc = sc.getLocalProperty("spark.job.description")
         sc.setJobGroup(gid, f"ivm fold phase: {name}")
         t0 = time.perf_counter()
         try:
             yield
         finally:
             sec = time.perf_counter() - t0
-            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.jobGroup.id", prev_gid)
+            sc.setLocalProperty("spark.job.description", prev_desc)
             tracker = sc.statusTracker()
             jobs = tracker.getJobIdsForGroup(gid)
             stages = 0
@@ -1250,6 +1266,9 @@ class IncrementalAcyclicQuery:
             and self._last_batch is not None
             and batch_id <= self._last_batch
         ):
+            # replayed batches report their own (near-empty) profile — a
+            # stale previous-batch profile must not be read as this batch's
+            self.last_profile = {}
             ch = None
             if (
                 want_delta
@@ -1262,7 +1281,8 @@ class IncrementalAcyclicQuery:
             # changelog catches it up; its own replay skip makes this a no-op
             # when it already committed the batch
             if self._topk is not None and ch is not None:
-                self._topk.apply(ch, batch_id)
+                with self._phase("topk"):
+                    self._topk.apply(ch, batch_id)
             return ch if emit_delta else None
         snap = self._snapshot()
         try:
