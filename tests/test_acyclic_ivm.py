@@ -895,6 +895,54 @@ def test_emit_delta_chains_engines(spark, tmp_path):
     assert outer_map() == {"y": 3}
 
 
+def test_emit_delta_zero_net_touch_is_harmless(spark, tmp_path):
+    """A batch whose delta cancels exactly against state (delete + re-insert
+    of identical rows) leaves the view unchanged. Round 9: the ΔJ terms
+    consume the UNMERGED old ∪ Δ union, so such zero-net contributions can
+    mark the group as touched and the un-netted changelog then carries an
+    identical ±pair for it — the pair must net to zero row-for-row, and a
+    downstream engine folding the changelog must not move (the documented
+    cancellation contract in _process_batch_inner)."""
+    inner_spec = AcyclicQuerySpec(
+        relations=(RelSpec("fact"),),
+        group_by=("k1",),
+        measures={"sv": lambda: F.col("v")},
+        finalize=lambda df: df.select(F.col("k1").alias("vk"), "sv"),
+    )
+    down_spec = AcyclicQuerySpec(
+        relations=(RelSpec("view"),),
+        group_by=("vk",),
+        measures={"total": lambda: F.col("sv")},
+    )
+    inner = _engine(spark, tmp_path, inner_spec)
+    down = _engine(spark, tmp_path, down_spec)
+    vd = inner.process_batch(
+        {"fact": spark.createDataFrame([(0, 0, 5, 1), (1, 0, 3, 1)], FACT_SCHEMA)},
+        emit_delta=True,
+    )
+    down.process_batch({"view": vd})
+
+    def down_map():
+        return {r["vk"]: r["total"] for r in down.result().collect()}
+
+    assert down_map() == {0: 5, 1: 3}
+    # zero-net touch of k1=0: the same row leaves and re-enters in one batch
+    vd = inner.process_batch(
+        {"fact": spark.createDataFrame([(0, 0, 5, -1), (0, 0, 5, 1)], FACT_SCHEMA)},
+        emit_delta=True,
+    )
+    # whatever rows the changelog carries, they net to zero per row value
+    net: dict[tuple, int] = {}
+    for r in vd.collect():
+        key = (r["vk"], r["sv"])
+        net[key] = net.get(key, 0) + r["weight"]
+    assert all(w == 0 for w in net.values())
+    # the view itself is unchanged, and a downstream fold does not move
+    assert {(r["vk"], r["sv"]) for r in inner.result().collect()} == {(0, 5), (1, 3)}
+    down.process_batch({"view": vd})
+    assert down_map() == {0: 5, 1: 3}
+
+
 def test_three_level_argmax_chain(spark, tmp_path):
     """Q15-shape nested aggregate-of-aggregate: per-key SUM view feeds a
     GLOBAL-MAX view (value histogram), and the outer engine joins back on
