@@ -1518,6 +1518,15 @@ class IncrementalAcyclicQuery:
                 self._commit_manifest()
             return None
         dj = reduce(lambda a, b: a.unionByName(b), terms)
+        if self.spec.hist_measures:
+            # ≥2 consumers of the raw ΔJ (the aggregate fold below plus one
+            # groupBy PER hist measure): without materialization every hist
+            # delta re-executes the whole union-of-terms join plan — an
+            # extrema query (3 hist measures) paid the delta join 4× per
+            # batch. Lazy localCheckpoint runs it once; ΔJ is O(Δ ⋈ state)
+            # rows and the blocks are MEMORY_AND_DISK, so this spills rather
+            # than re-joins at scale.
+            dj = dj.localCheckpoint(eager=False)
 
         # fold ΔJ into grouped aggregate state (measures were multiplied by
         # _w per term in _term_project; summing here is the same algebra)
