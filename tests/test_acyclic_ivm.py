@@ -943,6 +943,53 @@ def test_emit_delta_zero_net_touch_is_harmless(spark, tmp_path):
     assert down_map() == {0: 5, 1: 3}
 
 
+def test_fused_net_write_single_exchange(spark, tmp_path, monkeypatch):
+    """Round-9 fusion guardrail: the merge-mode state write of a BUCKETED
+    relation nets INSIDE the write after the bucket repartition, so the
+    plan handed to the parquet writer must contain exactly ONE Exchange
+    (the repartition's) — the net's groupBy keys include ``_bucket``,
+    whose hash partitioning satisfies the aggregate's clustering
+    requirement. A second Exchange reappearing here means the round-8
+    two-shuffle shape regressed (merge groupBy + write repartition) and
+    every merge-mode batch pays a full extra state shuffle per bucketed
+    relation. Results themselves are covered by every other test; this
+    pins the PLAN."""
+    import flink_and_acyclic_schema_spark.streaming.acyclic as am
+
+    captured: dict = {}
+    real = am.IncrementalAcyclicQuery._write_state
+
+    def spy(self, rel, df, path, pre_partitioned=False):
+        if rel == "fact":
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            captured[rel] = (plan, pre_partitioned)
+        return real(self, rel, df, path, pre_partitioned)
+
+    monkeypatch.setattr(am.IncrementalAcyclicQuery, "_write_state", spy)
+    spec = AcyclicQuerySpec(
+        relations=(RelSpec("fact", buckets=4, bucket_key=("k1",)),),
+        group_by=("k1",),
+        measures={"total": lambda: F.col("v")},
+    )
+    eng = _engine(spark, tmp_path, spec)
+    eng.process_batch(
+        {"fact": spark.createDataFrame([(i, 0, i, 1) for i in range(8)], FACT_SCHEMA)},
+        batch_id=0,
+    )
+    # batch 1 makes the write a REAL old ∪ Δ union (state + delta) with
+    # net-relevant cancellation (delete of an existing row)
+    eng.process_batch(
+        {"fact": spark.createDataFrame([(0, 0, 0, -1), (9, 0, 9, 1)], FACT_SCHEMA)},
+        batch_id=1,
+    )
+    plan, pre_partitioned = captured["fact"]
+    assert pre_partitioned is True
+    assert plan.count("Exchange") == 1, plan
+    # and the fused write is still CORRECT: netted state equals the model
+    got = {(r["k1"], r["total"]) for r in eng.result().collect()}
+    assert got == {(i, i) for i in range(1, 8)} | {(9, 9)}
+
+
 def test_three_level_argmax_chain(spark, tmp_path):
     """Q15-shape nested aggregate-of-aggregate: per-key SUM view feeds a
     GLOBAL-MAX view (value histogram), and the outer engine joins back on
