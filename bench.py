@@ -59,6 +59,10 @@ N_ITER = 2  # report best-of-N so JIT/first-touch costs don't skew per-query num
 # sink query 80.9 s -> 26.2 s and no bench series saw it).
 CONTINUOUS = [
     "incremental_q10_topk_buffer_stream",
+    # round 10: the grouped/chained stack (engine -> grouped top-3 ->
+    # downstream engine) — puts GroupedTopKView._commit and the chain
+    # handoff under the same per-round walltime + plan guardrail
+    "incremental_grouped_topk_chained_stream",
 ]
 
 

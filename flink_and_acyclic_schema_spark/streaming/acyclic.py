@@ -630,6 +630,15 @@ class IncrementalAcyclicQuery:
         self.instrument = False
         self.last_profile: dict[str, dict] = {}
         self._phase_seq = 0
+        # round 10: telescoped ΔJ over chain-shaped trees (_factored_chain) —
+        # shares the upward new-relation joins across delta terms. On by
+        # default (exact by distributivity); False forces the per-term path
+        # (the equivalence-test escape hatch). last_factored counts virtual
+        # trees the last batch folded via the factored path.
+        self.factor_terms = True
+        self.last_factored = 0
+        # instrument-only: rel -> eviction-band rows read by the last batch
+        self.last_evicted: dict[str, int] = {}
         if resume and os.path.exists(self._manifest_path()):
             self._load_manifest()
         else:
@@ -979,6 +988,7 @@ class IncrementalAcyclicQuery:
         probe_cols: tuple[str, ...],
         memo: dict | None = None,
         memo_key=None,
+        rows_key=None,
     ):
         """(bucket ids, per-column probe key values | None) the probe side
         can possibly reach in relation ``r`` — bounded driver reads (≤
@@ -1023,7 +1033,18 @@ class IncrementalAcyclicQuery:
         # partition to ≤ buckets rows and shuffles almost nothing. Between
         # cap and 64× cap the keys may still dedupe under the cap (heavily
         # duplicated FK deltas), so the exact attempt is kept there.
-        wide = probe_df.count() > self.KEY_PUSHDOWN_CAP * 64
+        # Round 10: the count is memoized per PROBE SOURCE (``rows_key``,
+        # the delta relation for one-hop probes) — one scan-only job per
+        # relation per batch, not one per (delta, state) pair; the first
+        # count still doubles as the delta's lazy-localCheckpoint
+        # materialization, later pairs read the memo.
+        if memo is not None and rows_key is not None:
+            if rows_key not in memo:
+                memo[rows_key] = probe_df.count()
+            n_probe_rows = memo[rows_key]
+        else:
+            n_probe_rows = probe_df.count()
+        wide = n_probe_rows > self.KEY_PUSHDOWN_CAP * 64
         rows = (
             []
             if wide
@@ -1064,6 +1085,7 @@ class IncrementalAcyclicQuery:
         rels: tuple[RelSpec, ...] | None = None,
         delta_name: str | None = None,
         bucket_memo: dict | None = None,
+        apply_residual: bool = True,
     ) -> DataFrame:
         """k-way join over one version assignment; output weight ``_w`` is the
         product of per-relation weights (joins multiply multiplicities).
@@ -1121,7 +1143,12 @@ class IncrementalAcyclicQuery:
                     # identically-named probe columns must not reuse each
                     # other's pruning sets
                     pruning = self._probe_pruning(
-                        versions[via], r, probe, bucket_memo, (via, r.name, probe)
+                        versions[via],
+                        r,
+                        probe,
+                        bucket_memo,
+                        (via, r.name, probe),
+                        rows_key=("rowcount", via),
                     )
                 else:
                     # transitive: the accumulated join is delta-bounded, so
@@ -1154,11 +1181,172 @@ class IncrementalAcyclicQuery:
                 acc = acc.join(side, cond).drop("_salt_a", "_salt_s")
             else:
                 acc = acc.join(side, cond)
-        if self.spec.residual is not None:
+        if self.spec.residual is not None and apply_residual:
             # non-tree cycle edges: σ distributes over the decomposition terms
+            # (apply_residual=False for the factored path's SUFFIX joins,
+            # where the residual's columns may not all exist yet — the
+            # factored ΔJ applies it once over the full join instead)
             acc = acc.filter(self.spec.residual())
         w = reduce(Column.__mul__, [F.col(f"_w_{r.name}") for r in rels])
         return acc.withColumn("_w", w)
+
+    def _factored_chain(
+        self,
+        vlist: tuple[RelSpec, ...],
+        term_new: Mapping[str, DataFrame],
+        term_old: Mapping[str, DataFrame],
+        term_delta: Mapping[str, DataFrame],
+        bucket_memo: dict | None,
+    ) -> DataFrame | None:
+        """Telescoped ΔJ over a CHAIN-shaped virtual tree (round 10): the
+        per-term decomposition Σ_i new_{<i} ⋈ Δ_i ⋈ old_{>i} re-joins the
+        shared upward prefix of NEW relations once PER TERM — at sf1 the
+        Δlineitem and Δorders terms each join customer-and-above separately,
+        and term_build carries ~45% of the fold budget
+        (IVM_FOLD_PROFILE.json). Joins distribute over unions, so the sum
+        telescopes suffix-first instead:
+
+            B_k = Δ_k
+            B_i = (Δ_i ⋈ old_{i+1} ⋈ … ⋈ old_k)  ∪  (new_i ⋈ B_{i+1})
+            ΔJ  = B_0   (= Σ of all per-relation terms, exactly)
+
+        Every B_i is delta-bounded, each downward Δ_i⋈old-suffix reuses the
+        existing delta-first order + bucket pruning, and each NEW relation is
+        joined exactly ONCE per batch (probed by the union B_{i+1}, whose
+        key set is the union of the replaced terms' probe sets — pruning
+        stays a superset, so restriction stays exact). Requires every spec
+        suffix to be connected, i.e. parent(rel_j) == rel_{j-1} — the chain
+        shape (Q10 and the continuous TPC-H chains); returns None otherwise
+        and the caller falls back to the per-term path. Weights multiply
+        into a single running ``_w``; the residual filter is applied once
+        over the full join (σ commutes with ∪ and ⋈)."""
+        if len(vlist) < 2 or sum(1 for r in vlist if r.name in term_delta) < 2:
+            return None  # nothing to share — per-term path is already minimal
+        columns = {r.name: term_new[r.name].columns for r in vlist}
+        adj = self._edge_steps(vlist, columns)
+        if adj is None:
+            return None
+        parents: dict[str, tuple] = {}
+        for r in vlist[1:]:
+            ps = [(o, pairs) for (o, pairs, is_child) in adj[r.name] if not is_child]
+            if len(ps) != 1:
+                return None
+            parents[r.name] = ps[0]
+        for j in range(1, len(vlist)):
+            if parents[vlist[j].name][0] != vlist[j - 1].name:
+                return None  # not a chain: some suffix would be disconnected
+
+        def datacols(name: str) -> list[str]:
+            return [c for c in columns[name] if c not in (WEIGHT, BUCKET)]
+
+        B: DataFrame | None = None
+        # probe-side bookkeeping: when B is still the RAW bottom delta it is
+        # already lazily localCheckpointed at ingest and its probe is the
+        # same one-hop probe the per-term path memoizes — reuse both instead
+        # of re-materializing; b_mat marks a B we already checkpointed
+        b_is_delta_of: str | None = None
+        b_mat = False
+        for i in range(len(vlist) - 1, -1, -1):
+            ri = vlist[i]
+            suffix = vlist[i:]
+            branch_a = None
+            if ri.name in term_delta:
+                if len(suffix) == 1:
+                    d = term_delta[ri.name]
+                    if BUCKET in d.columns:
+                        d = d.drop(BUCKET)
+                    branch_a = d.withColumnRenamed(WEIGHT, "_w")
+                else:
+                    versions = {ri.name: term_delta[ri.name]}
+                    for rj in suffix[1:]:
+                        versions[rj.name] = term_old[rj.name]
+                    t = self._join_chain(
+                        versions,
+                        suffix,
+                        delta_name=ri.name,
+                        bucket_memo=bucket_memo,
+                        apply_residual=False,
+                    )
+                    keep = [c for rj in suffix for c in datacols(rj.name)]
+                    branch_a = t.select(*keep, "_w")
+            branch_b = None
+            if B is not None:
+                child = vlist[i + 1]
+                pairs = parents[child.name][1]  # (own=child col, earlier=ri col)
+                add_cols = tuple(e for _, e in pairs)
+                pruning = None
+                if (
+                    ri.buckets > 0
+                    and BUCKET in columns[ri.name]
+                    and tuple(ri.bucket_key) == add_cols
+                ):
+                    probe = tuple(o for o, _ in pairs)
+                    if b_is_delta_of is not None:
+                        # one tree hop from the raw delta — share the
+                        # per-term path's memoized probe and row count
+                        pruning = self._probe_pruning(
+                            B,
+                            ri,
+                            probe,
+                            bucket_memo,
+                            (b_is_delta_of, ri.name, probe),
+                            rows_key=("rowcount", b_is_delta_of),
+                        )
+                    else:
+                        # same transitive-pruning contract as _join_chain:
+                        # the probe collect is an eager action over B's
+                        # lineage and the join re-executes it — materialize
+                        # B once for both
+                        if not b_mat:
+                            B = B.localCheckpoint()
+                            b_mat = True
+                        pruning = self._probe_pruning(B, ri, probe)
+                side = term_new[ri.name].withColumnRenamed(WEIGHT, "_w_r")
+                if pruning is not None:
+                    bucket_ids, key_vals = pruning
+                    side = side.filter(F.col(BUCKET).isin(bucket_ids))
+                    if key_vals is not None:
+                        for c, vs in zip(ri.bucket_key, key_vals):
+                            side = side.filter(F.col(c).isin(vs))
+                if BUCKET in side.columns:
+                    side = side.drop(BUCKET)
+                if ri.broadcast_state:
+                    side = F.broadcast(side)
+                cond = reduce(
+                    Column.__and__,
+                    [F.col(own) == F.col(earlier) for own, earlier in pairs],
+                )
+                if ri.salt > 0:
+                    side = side.withColumn(
+                        "_salt_s",
+                        F.explode(F.array(*[F.lit(x) for x in range(ri.salt)])),
+                    )
+                    B = B.withColumn(
+                        "_salt_a",
+                        F.pmod(
+                            F.hash(*[F.col(c) for c in B.columns]), F.lit(ri.salt)
+                        ),
+                    )
+                    cond = cond & (F.col("_salt_a") == F.col("_salt_s"))
+                    branch_b = B.join(side, cond).drop("_salt_a", "_salt_s")
+                else:
+                    branch_b = B.join(side, cond)
+                branch_b = branch_b.withColumn(
+                    "_w", F.col("_w") * F.col("_w_r")
+                ).drop("_w_r")
+            if branch_a is not None and branch_b is not None:
+                B = branch_a.unionByName(branch_b)
+            else:
+                B = branch_a if branch_a is not None else branch_b
+            b_mat = False
+            b_is_delta_of = (
+                ri.name
+                if branch_b is None and branch_a is not None and len(suffix) == 1
+                else None
+            )
+        if B is not None and self.spec.residual is not None:
+            B = B.filter(self.spec.residual())
+        return B
 
     def _snapshot(self) -> dict:
         """Deep copy of every in-memory field the manifest persists — taken at
@@ -1203,6 +1391,11 @@ class IncrementalAcyclicQuery:
         # every unphased job after the first phase exits
         prev_gid = sc.getLocalProperty("spark.jobGroup.id")
         prev_desc = sc.getLocalProperty("spark.job.description")
+        # setJobGroup also overwrites interruptOnCancel (to "false" here);
+        # inside a foreachBatch thread the stream may have set it, and not
+        # restoring it would silently change the stream's job-cancellation
+        # interrupt behavior for every subsequent job
+        prev_int = sc.getLocalProperty("spark.job.interruptOnCancel")
         sc.setJobGroup(gid, f"ivm fold phase: {name}")
         t0 = time.perf_counter()
         try:
@@ -1211,6 +1404,7 @@ class IncrementalAcyclicQuery:
             sec = time.perf_counter() - t0
             sc.setLocalProperty("spark.jobGroup.id", prev_gid)
             sc.setLocalProperty("spark.job.description", prev_desc)
+            sc.setLocalProperty("spark.job.interruptOnCancel", prev_int)
             tracker = sc.statusTracker()
             jobs = tracker.getJobIdsForGroup(gid)
             stages = 0
@@ -1306,6 +1500,7 @@ class IncrementalAcyclicQuery:
         emit_delta: bool,
     ) -> DataFrame | None:
         self.last_profile = {}
+        self.last_evicted = {}
         rels = self.spec.relations
         known = {r.name for r in rels}
         unknown = set(deltas) - known
@@ -1421,6 +1616,12 @@ class IncrementalAcyclicQuery:
             ]
             src = self._read_paths(r.name, src_paths)
             evicted = src.filter(band).withColumn(WEIGHT, -F.col(WEIGHT))
+            if self.instrument:
+                # instrument-only: materialize the band once so the count
+                # and the fold share it, and record the eviction-band read
+                # size (tools/ivm_trending_sf1.py's host-independent signal)
+                evicted = evicted.localCheckpoint()
+                self.last_evicted[r.name] = evicted.count()
             filt[r.name] = filt[r.name].unionByName(evicted)
             # this batch's write holds fresh rows (>= new horizon, <= wm) and
             # the band's negations (>= old horizon) — a cheap driver-side
@@ -1488,11 +1689,22 @@ class IncrementalAcyclicQuery:
         # bucketed state scan) and transitive partial-join localCheckpoints
         # eagerly — phase-scoped so the profile shows this cost instead of
         # leaving it in the unattributed gap
+        self.last_factored = 0
         with self._phase("term_build"):
             for k in range(len(anti_rels) + 1):
                 for S in itertools.combinations(anti_rels, k):
                     vlist = tuple(r for r in rels if not r.anti or r in S)
                     sign = -1 if k % 2 else 1
+                    if self.factor_terms:
+                        fact = self._factored_chain(
+                            vlist, term_new, term_old, term_delta, bucket_memo
+                        )
+                        if fact is not None:
+                            self.last_factored += 1
+                            if sign < 0:
+                                fact = fact.withColumn("_w", -F.col("_w"))
+                            terms.append(self._term_project(fact))
+                            continue
                     for i, ri in enumerate(vlist):
                         if ri.name not in term_delta:
                             continue

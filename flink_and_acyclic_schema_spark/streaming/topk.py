@@ -1162,6 +1162,10 @@ class GroupedTopKView:
             for r in changelog.select(self._bexpr().alias("_b")).distinct().collect()
         )
         self.last_touched_buckets = len(tb)
+        # reset BEFORE the no-touched-buckets early return: a no-touch batch
+        # must report 0 candidate rows read, not the previous batch's count
+        # (instrumented harnesses sum this per batch)
+        self.last_read_rows = 0
         if not tb:
             return self._commit(
                 self._empty(self._schema),

@@ -1218,3 +1218,123 @@ def test_bucket_pruning_exact_across_numeric_type_families(spark, tmp_path):
     )
     got = {r["dname"]: r["total"] for r in eng.result().collect()}
     assert got == {"d2": 100, "d3": 7}
+
+
+# --- round 10: telescoped (factored) ΔJ over chain-shaped trees --------------
+# A 3-level CHAIN (fact ← mid ← leaf in spec order, each relation's parent the
+# previous one) — the shape the factorization targets (q10_spec is the 4-level
+# instance). fact is bucketed so the shared upward join exercises the pruned
+# state scan path.
+CHAIN_FACT_SCHEMA = "k1 int, v int, weight int"
+CHAIN_MID_SCHEMA = "m_k int, m_id int, weight int"
+CHAIN_LEAF_SCHEMA = "l_m int, u int, weight int"
+
+CHAIN_SPEC = AcyclicQuerySpec(
+    relations=(
+        RelSpec("fact", buckets=4, bucket_key=("k1",)),
+        RelSpec("mid", join_on=("m_k", "k1")),
+        RelSpec("leaf", join_on=("l_m", "m_id")),
+    ),
+    group_by=("k1",),
+    measures={"total": lambda: F.col("v") * F.col("u")},
+)
+
+
+def _chain_batches(spark, ops):
+    """ops: list of per-batch dicts rel -> rows."""
+    schemas = {
+        "fact": CHAIN_FACT_SCHEMA,
+        "mid": CHAIN_MID_SCHEMA,
+        "leaf": CHAIN_LEAF_SCHEMA,
+    }
+    return [
+        {rel: spark.createDataFrame(rows, schemas[rel]) for rel, rows in b.items()}
+        for b in ops
+    ]
+
+
+def _chain_result(df):
+    return {r["k1"]: r["total"] for r in df.collect()}
+
+
+def test_factored_chain_engages_and_matches_per_term(spark, tmp_path):
+    """On a chain spec with ≥2 delta relations per batch, the factored path
+    must ENGAGE (last_factored == 1) and produce byte-identical results to a
+    factor_terms=False twin fed the same batches — the distributivity
+    equivalence ΔJ = B_0, including deletes that retract through the shared
+    upward join."""
+    ops = [
+        {  # batch 0: all three relations, duplicates included
+            "fact": [(1, 10, 1), (2, 20, 1), (2, 20, 1), (3, 30, 1)],
+            "mid": [(1, 100, 1), (2, 200, 1), (3, 300, 1)],
+            "leaf": [(100, 5, 1), (200, 7, 1)],
+        },
+        {  # batch 1: deltas in two relations — sharing becomes possible
+            "mid": [(3, 300, -1), (1, 101, 1)],
+            "leaf": [(101, 2, 1), (300, 9, 1), (200, 7, -1)],
+        },
+        {  # batch 2: delete-before-insert + a fact retraction
+            "fact": [(2, 20, -1), (4, 40, 1)],
+            "leaf": [(100, 5, -1), (100, 6, 1)],
+            "mid": [(4, 400, 1)],
+        },
+    ]
+    eng_f = _engine(spark, tmp_path / "fact", CHAIN_SPEC)
+    eng_p = _engine(spark, tmp_path / "per_term", CHAIN_SPEC)
+    eng_p.factor_terms = False
+    for b in _chain_batches(spark, ops):
+        eng_f.process_batch({k: v for k, v in b.items()})
+    for b in _chain_batches(spark, ops):
+        eng_p.process_batch({k: v for k, v in b.items()})
+    # batches 1 and 2 have ≥2 delta relations → factored path must have run
+    assert eng_f.last_factored == 1
+    assert eng_p.last_factored == 0
+    assert _chain_result(eng_f.result()) == _chain_result(eng_p.result())
+    assert _chain_result(eng_f.result())  # non-trivial
+
+
+CHAIN_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["fact", "mid", "leaf"]),
+        st.integers(1, 3),
+        st.integers(1, 4),
+        st.sampled_from([1, -1]),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=CHAIN_OPS, split=st.integers(0, 14))
+def test_factored_chain_prefix_closure_any_split(spark, tmp_path_factory, ops, split):
+    """Factored engine == per-term engine for ANY batch split hypothesis
+    chooses over a chain spec (rows keyed so every op lands on a live FK
+    path; weights net arbitrarily, including negative-first)."""
+    tmp = tmp_path_factory.mktemp("fchain")
+
+    def rows_of(op):
+        rel, a, b, w = op
+        if rel == "fact":
+            return "fact", (a, 10 * a + b, w)
+        if rel == "mid":
+            return "mid", (a, 100 * a, w)
+        return "leaf", (100 * a, b, w)
+
+    split = min(split, len(ops))
+    batches = []
+    for half in (ops[:split], ops[split:]):
+        byrel = {"fact": [], "mid": [], "leaf": []}
+        for op in half:
+            rel, row = rows_of(op)
+            byrel[rel].append(row)
+        batches.append({rel: rows for rel, rows in byrel.items()})
+    dfs = _chain_batches(spark, batches)
+    eng_f = _engine(spark, tmp, CHAIN_SPEC)
+    eng_p = _engine(spark, tmp, CHAIN_SPEC)
+    eng_p.factor_terms = False
+    for b in dfs:
+        eng_f.process_batch(b)
+    for b in dfs:
+        eng_p.process_batch(b)
+    assert _chain_result(eng_f.result()) == _chain_result(eng_p.result())

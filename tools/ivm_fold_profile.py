@@ -64,6 +64,11 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO_ROOT, ".scratch/sf1")
     n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    # repeats=2 (round 10, the first-batch question): run the SAME stream
+    # again with a FRESH engine in the SAME JVM — if the repeat's batch 0
+    # drops to steady-state, the first-batch premium is JVM/session warmup
+    # (codegen, committer, shuffle init), not engine one-time work
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     spark = get_spark(app_name="ivm_fold_profile", shuffle_partitions=32)
     work = tempfile.mkdtemp(prefix="ivm_fold_profile_")
     gens = _q10_gens()
@@ -108,6 +113,35 @@ def main() -> None:
     run_delta_stream(spark, delta_dir, schema, work, handle)
     wall = time.perf_counter() - t_all
 
+    repeat_runs = []
+    for rep in range(1, repeats):
+        eng = IncrementalAcyclicQuery(
+            spark,
+            f"{work}/state_rep{rep}",
+            _q10_topk_spec(),
+            compact_every=compact_every,
+        )
+        eng.instrument = True
+        rep_batches: list[dict] = []
+
+        def rep_handle(batch, batch_id, _eng=eng, _out=rep_batches):
+            batch = batch.localCheckpoint()
+            batch.count()
+            t0 = time.perf_counter()
+            _eng.process_batch(split_deltas(batch, rel_columns), batch_id)
+            _out.append(
+                {
+                    "batch": batch_id,
+                    "batch_sec": round(time.perf_counter() - t0, 2),
+                    "profiled_jobs": sum(
+                        v["jobs"] for v in _eng.last_profile.values()
+                    ),
+                }
+            )
+
+        run_delta_stream(spark, delta_dir, schema, f"{work}/rep{rep}", rep_handle)
+        repeat_runs.append(rep_batches)
+
     # exactness: maintained top-20 == from-scratch ORDER BY over final view
     cols = ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
     maintained = {tuple(r) for r in eng.topk_result().select(*cols).collect()}
@@ -135,6 +169,17 @@ def main() -> None:
         "maintained_eq_scratch": maintained == scratch,
         "topk_rows": len(maintained),
     }
+    if repeat_runs:
+        out["repeat_runs"] = repeat_runs
+        out["first_batch_note"] = (
+            "repeat runs replay the identical stream on a FRESH engine in "
+            "the same JVM: a repeat batch 0 at steady-state latency means "
+            "the first-batch premium is session warmup (codegen/JIT, "
+            "committer + shuffle init, parquet footer caches), not engine "
+            "one-time work; any residual repeat-batch-0 premium is the "
+            "engine's own one-time cost (schema pins, empty-state frames, "
+            "top-k prime)"
+        )
     print(json.dumps(out))
 
 

@@ -1,0 +1,226 @@
+"""Row-count scaling evidence for the TTL-window × top-k "trending now"
+shape (round 10) — the sibling artifact IVM_TTL_SCALING / IVM_TOPK_CHURN
+give the plain-TTL and plain-top-k stacks, and the round-9 verdict asked for
+the COMPOSED shape's own host-independent numbers.
+
+Stack: the registered ``incremental_trending_topk_stream`` spec — one events
+relation under ``RelSpec.ttl`` (trailing 10-day window, watermark-driven
+eviction), grouped SUM per user, spec-level GLOBAL top-5 — fed a
+TIME-ORDERED changelog of the sf1 events table (1M rows / 30 days / 15k
+users, sliced into N batches by ts with the standard dup/del multiplicity
+discipline shifted 1/2 batches later), so the window actually SLIDES: from
+~batch N·(10/30) every batch both admits one slice and evicts one horizon
+band, and leaders demote by eviction retraction alone.
+
+Host-independent signals per batch:
+- ``evicted_rows``    — the eviction-band read (engine ``last_evicted``,
+                        instrument-only counter): must plateau at ~one
+                        slice's volume, never grow with history;
+- ``state_rows``      — committed events state after the batch: must
+                        plateau at ~window volume (the bounded-state claim);
+- ``topk_applied``    — candidate rows the driver buffer collected (boundary
+                        -restricted transfer, ≪ touched groups);
+- ``exits``           — top-5 members demoted this batch (diff vs previous
+                        batch's membership) — nonzero exits with zero
+                        explicit deletes = the eviction-retraction path.
+
+Exactness: the final maintained VIEW (all users) and the maintained top-5
+must equal a from-scratch recompute over the net multiset restricted to the
+final window (ts >= final watermark − 10 days) — the lateness-monotone
+invariant (plans/ivm_ttl_ext.py): rows at/above the final horizon are never
+late at arrival, rows below it net to zero in both readings.
+
+Usage: python tools/ivm_trending_sf1.py [sf_dir] [n_chunks]
+(defaults .scratch/sf1, 10). One JSON line -> IVM_TRENDING_SF1.json.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+from flink_and_acyclic_schema_spark.functions.numeric import dec  # noqa: E402
+from flink_and_acyclic_schema_spark.session import get_spark  # noqa: E402
+from flink_and_acyclic_schema_spark.streaming.acyclic import (  # noqa: E402
+    AcyclicQuerySpec,
+    IncrementalAcyclicQuery,
+    RelSpec,
+    TopKSpec,
+)
+from flink_and_acyclic_schema_spark.tables import load  # noqa: E402
+
+DUP_MOD, DEL_MOD = 5, 7
+WINDOW = "INTERVAL 10 DAYS"
+
+
+def time_sliced_chunks(spark, sf_dir: str, out_dir: str, n_chunks: int):
+    """Events changelog in EVENT-TIME order: base rows land in the ts-ntile
+    slice they belong to; the dup (+1) arrives one slice later and the del
+    (−1) two slices later — same multiplicity discipline as
+    delta_transport.generate_delta_chunks, but ordered so the watermark
+    advances one slice per batch and the window slides."""
+    cols = ("event_id", "ts", "user_id", "value")
+    df = load(spark, sf_dir, "events").select(*cols)
+    base = df.withColumn(
+        "chunk", F.ntile(n_chunks).over(Window.orderBy("ts")) - 1
+    )
+    key = F.col("event_id")
+    parts = [base.withColumn("weight", F.lit(1))]
+    parts.append(
+        base.filter(key % DUP_MOD == 0)
+        .withColumn("chunk", F.least(F.col("chunk") + 1, F.lit(n_chunks - 1)))
+        .withColumn("weight", F.lit(1))
+    )
+    parts.append(
+        base.filter(key % DEL_MOD == 0)
+        .withColumn("chunk", F.least(F.col("chunk") + 2, F.lit(n_chunks - 1)))
+        .withColumn("weight", F.lit(-1))
+    )
+    wide = parts[0]
+    for p in parts[1:]:
+        wide = wide.unionByName(p)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    wide = wide.localCheckpoint()
+    for i in range(n_chunks):
+        tmp = os.path.join(out_dir, f"_tmp{i}")
+        wide.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(part, os.path.join(out_dir, f"chunk{i}.parquet"))
+        shutil.rmtree(tmp)
+    return out_dir, wide.drop("chunk")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO_ROOT, ".scratch/sf1")
+    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="ivm_trending_sf1", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="ivm_trending_sf1_")
+    chunk_dir, all_deltas = time_sliced_chunks(
+        spark, sf_dir, f"{work}/deltas", n_chunks
+    )
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("events", ttl=("ts", lambda wm: wm - F.expr(WINDOW))),
+        ),
+        group_by=("user_id",),
+        measures={"total_value": lambda: dec("value")},
+        finalize=lambda df: df.select(
+            "user_id", F.col("total_value").cast("double").alias("total_value")
+        ),
+        top_k=TopKSpec(k=5, order_by="total_value", key=("user_id",), slack=5),
+    )
+    eng = IncrementalAcyclicQuery(spark, f"{work}/state", spec)
+    eng.instrument = True
+
+    per_batch = []
+    prev_top = set()
+    prev_applied_total = 0
+    prev_refills = 0
+    t_all = time.perf_counter()
+    for i in range(n_chunks):
+        batch = spark.read.parquet(os.path.join(chunk_dir, f"chunk{i}.parquet"))
+        n_in = batch.count()
+        t0 = time.perf_counter()
+        eng.process_batch({"events": batch}, batch_id=i)
+        sec = time.perf_counter() - t0
+        state_rows = eng._read_state("events").count()
+        top = {r["user_id"] for r in eng.topk_result().collect()}
+        tk = eng._topk
+        per_batch.append(
+            {
+                "batch": i,
+                "input_delta_rows": int(n_in),
+                "evicted_rows": int(eng.last_evicted.get("events", 0)),
+                "state_rows": int(state_rows),
+                "topk_applied_rows": int(
+                    tk.applied_rows_total - prev_applied_total
+                ),
+                "refills": int(tk.refills - prev_refills),
+                "exits": len(prev_top - top),
+                "engine_sec": round(sec, 2),
+                "watermark": str(eng._watermarks.get("events")),
+            }
+        )
+        prev_top = top
+        prev_applied_total = tk.applied_rows_total
+        prev_refills = tk.refills
+    wall = time.perf_counter() - t_all
+
+    # from-scratch recompute over the final window of the net multiset
+    wm = eng._watermarks["events"]
+    lo = F.lit(str(wm)).cast("timestamp_ntz") - F.expr(WINDOW)
+    scratch_view = (
+        all_deltas.filter(F.col("ts").cast("timestamp_ntz") >= lo)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("weight") * dec("value")).alias("tv"),
+            F.sum("weight").alias("m"),
+        )
+        .filter(F.col("m") > 0)
+        .select("user_id", F.col("tv").cast("double").alias("total_value"))
+    )
+    maintained_view = {
+        (r["user_id"], round(r["total_value"], 4))
+        for r in eng.result().collect()
+    }
+    scratch_rows = {
+        (r["user_id"], round(r["total_value"], 4))
+        for r in scratch_view.collect()
+    }
+    top_maintained = {
+        (r["user_id"], round(r["total_value"], 4))
+        for r in eng.topk_result().collect()
+    }
+    top_scratch = {
+        (r["user_id"], round(r["total_value"], 4))
+        for r in scratch_view.orderBy(
+            F.col("total_value").desc(), F.col("user_id")
+        )
+        .limit(5)
+        .collect()
+    }
+    steady = per_batch[max(4, n_chunks // 3):]
+    out = {
+        "tool": "ivm_trending_sf1 (round 10)",
+        "stack": "incremental_trending_topk_stream shape: 10-day TTL window "
+        "x global top-5, sf1 events (1M rows / 30 days / 15k users), "
+        f"{n_chunks} time-ordered slices",
+        "sf_dir": sf_dir,
+        "n_chunks": n_chunks,
+        "wall_sec": round(wall, 2),
+        "per_batch": per_batch,
+        "view_exact": maintained_view == scratch_rows,
+        "view_rows": len(maintained_view),
+        "topk_exact": top_maintained == top_scratch,
+        "eviction_plateau": {
+            "steady_evicted_rows": [b["evicted_rows"] for b in steady],
+            "steady_state_rows": [b["state_rows"] for b in steady],
+            "reading": "evicted_rows tracks one slice's volume and "
+            "state_rows plateaus at ~window volume — per-batch cost is "
+            "O(slice), state is O(window), however long the stream runs",
+        },
+        "total_exits": sum(b["exits"] for b in per_batch),
+        "total_topk_applied_rows": sum(b["topk_applied_rows"] for b in per_batch),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
