@@ -80,6 +80,11 @@ def main() -> None:
         spark, f"{work}/state", _q10_topk_spec(), compact_every=compact_every
     )
     eng.instrument = True
+    # SPARK_GRAFT_NO_FACTOR=1: force the per-term ΔJ path (engine escape
+    # hatch) so a back-to-back pair attributes the factored path's win on
+    # identical code and host window
+    if os.environ.get("SPARK_GRAFT_NO_FACTOR"):
+        eng.factor_terms = False
     per_batch = []
     totals: dict[str, dict] = {}
 
