@@ -1338,3 +1338,76 @@ def test_factored_chain_prefix_closure_any_split(spark, tmp_path_factory, ops, s
     for b in dfs:
         eng_p.process_batch(b)
     assert _chain_result(eng_f.result()) == _chain_result(eng_p.result())
+
+
+CHAIN_GATE_SCHEMA = "g_m int, tag int, weight int"
+
+
+def _gated_chain_spec(anti: bool):
+    """fact ← mid ← gate chain with the gate as an EXISTS / NOT-EXISTS leaf:
+    the factored path must telescope BOTH inclusion–exclusion virtual trees
+    ((fact, mid) and (fact, mid, gate-as-presence), the latter sign-flipped
+    for anti) and match the per-term engine exactly."""
+    return AcyclicQuerySpec(
+        relations=(
+            RelSpec("fact", buckets=4, bucket_key=("k1",)),
+            RelSpec("mid", join_on=("m_k", "k1")),
+            RelSpec("gate", join_on=("g_m", "m_id"), semi=not anti, anti=anti),
+        ),
+        group_by=("k1",),
+        measures={"total": lambda: F.col("v")},
+    )
+
+
+def _gated_chain_total(df):
+    return {r["k1"]: r["total"] for r in df.collect()}
+
+
+def _run_gated_chain(spark, tmp_path, anti: bool):
+    ops = [
+        {
+            "fact": [(1, 10, 1), (2, 20, 1), (3, 30, 1)],
+            "mid": [(1, 100, 1), (2, 200, 1), (3, 300, 1)],
+            "gate": [(100, 0, 1), (100, 1, 1), (200, 0, 1)],
+        },
+        {  # presence flips both ways + a fact retraction, multi-delta batch
+            "gate": [(100, 0, -1), (200, 0, -1), (300, 0, 1)],
+            "fact": [(2, 20, -1), (2, 21, 1)],
+        },
+        {  # last-copy delete (100 drains), duplicate insert elsewhere
+            "gate": [(100, 1, -1), (300, 0, 1)],
+            "mid": [(1, 101, 1)],
+        },
+    ]
+    schemas = {
+        "fact": CHAIN_FACT_SCHEMA,
+        "mid": CHAIN_MID_SCHEMA,
+        "gate": CHAIN_GATE_SCHEMA,
+    }
+    results = []
+    for factor in (True, False):
+        eng = _engine(spark, tmp_path / f"g{int(anti)}{int(factor)}",
+                      _gated_chain_spec(anti))
+        eng.factor_terms = factor
+        for b in ops:
+            eng.process_batch(
+                {r: spark.createDataFrame(rows, schemas[r]) for r, rows in b.items()}
+            )
+        results.append((_gated_chain_total(eng.result()), eng.last_factored))
+    return results
+
+
+def test_factored_chain_semi_gate_matches_per_term(spark, tmp_path):
+    (res_f, nf), (res_p, np_) = _run_gated_chain(spark, tmp_path, anti=False)
+    assert nf >= 1 and np_ == 0
+    assert res_f == res_p
+    assert res_f  # non-trivial
+
+
+def test_factored_chain_anti_gate_matches_per_term(spark, tmp_path):
+    """Anti gates expand by inclusion–exclusion: the factored path must
+    telescope the sign-flipped semi-tree too (both vlists are chains)."""
+    (res_f, nf), (res_p, np_) = _run_gated_chain(spark, tmp_path, anti=True)
+    assert nf >= 1 and np_ == 0
+    assert res_f == res_p
+    assert res_f  # non-trivial
