@@ -930,44 +930,71 @@ class IncrementalAcyclicQuery:
         return t.select(*cols)
 
     # --- delta-join decomposition ------------------------------------------
-    def _edge_steps(self, rels: tuple[RelSpec, ...], columns) -> dict | None:
+    def _edge_steps(
+        self, rels: tuple[RelSpec, ...], columns, any_order: bool = False
+    ) -> dict | None:
         """Resolve the tree edges of ``rels`` into an undirected adjacency:
         {name: [(other, pairs, other_is_child)]}. Each non-root relation's
         ``earlier`` columns must resolve to ONE earlier relation (the closest
         match wins when names repeat — they don't in practice); returns None
         when unresolvable (an edge spanning two owners), signalling fallback
-        to the sequential spec-order chain."""
+        to the sequential spec-order chain.
+
+        ``any_order=True`` (the factored path's reordered suffixes, round
+        10): ``rels`` may be an arbitrary sub-tuple in non-spec order, so an
+        edge's owner is searched among ALL other rels — required UNIQUE
+        (ambiguity returns None) — and an edge whose owner is OUTSIDE
+        ``rels`` is SKIPPED instead of failing (the caller's connectivity
+        check over the remaining edges still guards completeness)."""
         adj: dict[str, list] = {r.name: [] for r in rels}
         pos = {r.name: i for i, r in enumerate(rels)}
         for r in rels:
             if r.join_on is None:
                 continue
             owner = None
+            external = False
             for _own, earlier in r.join_pairs():
                 found = None
-                for cand in rels:
-                    if pos[cand.name] >= pos[r.name]:
-                        break
-                    if earlier in columns[cand.name]:
-                        found = cand.name
+                if any_order:
+                    cands = [
+                        cand.name
+                        for cand in rels
+                        if cand.name != r.name and earlier in columns[cand.name]
+                    ]
+                    if len(cands) > 1:
+                        return None  # ambiguous owner: be conservative
+                    found = cands[0] if cands else None
+                    if found is None:
+                        external = True  # owner outside rels: skip this edge
+                        continue
+                else:
+                    for cand in rels:
+                        if pos[cand.name] >= pos[r.name]:
+                            break
+                        if earlier in columns[cand.name]:
+                            found = cand.name
                 if found is None or (owner is not None and found != owner):
                     return None
                 owner = found
             if owner is None:
+                if any_order and external:
+                    continue  # whole edge points outside rels
                 return None
+            if any_order and external:
+                return None  # edge half-in half-out: unresolvable
             adj[owner].append((r.name, r.join_pairs(), True))
             adj[r.name].append((owner, r.join_pairs(), False))
         return adj
 
     def _delta_first_order(
-        self, rels: tuple[RelSpec, ...], start: str, columns
+        self, rels: tuple[RelSpec, ...], start: str, columns, any_order: bool = False
     ) -> list | None:
         """BFS join steps outward from the delta relation over the tree:
         [(rel_to_add, pairs, via_name, add_side_cols)]. Every intermediate
         join result is then bounded by the delta's fan-out — the naive
         sequential order instead joins full upstream states together BEFORE
         the delta restricts them, which is the per-batch scale killer."""
-        adj = self._edge_steps(rels, columns)
+        adj = self._edge_steps(rels, columns, any_order=any_order)
         if adj is None or start not in adj:
             return None
         byname = {r.name: r for r in rels}
@@ -1098,6 +1125,7 @@ class IncrementalAcyclicQuery:
         delta_name: str | None = None,
         bucket_memo: dict | None = None,
         apply_residual: bool = True,
+        any_order_edges: bool = False,
     ) -> DataFrame:
         """k-way join over one version assignment; output weight ``_w`` is the
         product of per-relation weights (joins multiply multiplicities).
@@ -1116,7 +1144,9 @@ class IncrementalAcyclicQuery:
         columns = {r.name: versions[r.name].columns for r in rels}
         steps = None
         if delta_name is not None and len(rels) > 1:
-            steps = self._delta_first_order(rels, delta_name, columns)
+            steps = self._delta_first_order(
+                rels, delta_name, columns, any_order=any_order_edges
+            )
         if steps is None:
             first = rels[0]
             chain = [(r, r.join_pairs(), None, ()) for r in rels[1:]]
@@ -1226,27 +1256,61 @@ class IncrementalAcyclicQuery:
         existing delta-first order + bucket pruning, and each NEW relation is
         joined exactly ONCE per batch (probed by the union B_{i+1}, whose
         key set is the union of the replaced terms' probe sets — pruning
-        stays a superset, so restriction stays exact). Requires every spec
-        suffix to be connected, i.e. parent(rel_j) == rel_{j-1} — the chain
-        shape (Q10 and the continuous TPC-H chains); returns None otherwise
-        and the caller falls back to the per-term path. Weights multiply
-        into a single running ``_w``; the residual filter is applied once
-        over the full join (σ commutes with ∪ and ⋈)."""
+        stays a superset, so restriction stays exact). Requires every suffix
+        of the enumeration to be connected, i.e. the tree is a PATH GRAPH —
+        and since the telescoping identity ΔJ = J(new) − J(old) holds for
+        ANY enumeration order of the relations (each order nets to the same
+        signed multiset, and every consumer — the aggregate fold, the hist
+        deltas, the touched-group set — is net-based), the enumeration is
+        REORDERED along the tree's Hamiltonian path when the spec order
+        isn't already one (round 10: Q5's supplier–lineitem–…–region and
+        Q17's part–lineitem–avgview factor this way). Trees with a degree-3
+        node have no such path; they return None and the caller falls back
+        to the per-term decomposition. Weights multiply into a single
+        running ``_w``; the residual filter is applied once over the full
+        join (σ commutes with ∪ and ⋈)."""
         if len(vlist) < 2 or sum(1 for r in vlist if r.name in term_delta) < 2:
             return None  # nothing to share — per-term path is already minimal
         columns = {r.name: term_new[r.name].columns for r in vlist}
-        adj = self._edge_steps(vlist, columns)
+        adj = self._edge_steps(vlist, columns, any_order=True)
         if adj is None:
             return None
-        parents: dict[str, tuple] = {}
-        for r in vlist[1:]:
-            ps = [(o, pairs) for (o, pairs, is_child) in adj[r.name] if not is_child]
-            if len(ps) != 1:
+        # Hamiltonian path over the join tree: exists iff every node has
+        # degree <= 2 (a path graph); walk it from the spec-earliest endpoint
+        # (deterministic). A spec order that already IS a path walk comes
+        # back unchanged.
+        if any(len(adj[n]) > 2 for n in adj):
+            return None
+        endpoints = [n for n in adj if len(adj[n]) <= 1]
+        if len(endpoints) != 2 or any(len(adj[n]) == 0 for n in adj):
+            return None  # disconnected vlist (e.g. an edge left the subset)
+        posv = {r.name: i for i, r in enumerate(vlist)}
+        byname = {r.name: r for r in vlist}
+        order = [min(endpoints, key=lambda n: posv[n])]
+        prev = None
+        while len(order) < len(vlist):
+            nxts = [o for (o, _, _) in adj[order[-1]] if o != prev]
+            if len(nxts) != 1:
                 return None
-            parents[r.name] = ps[0]
-        for j in range(1, len(vlist)):
-            if parents[vlist[j].name][0] != vlist[j - 1].name:
-                return None  # not a chain: some suffix would be disconnected
+            prev = order[-1]
+            order.append(nxts[0])
+        path = tuple(byname[n] for n in order)
+        # per consecutive pair (path[j], path[j+1]): the edge's join pairs
+        # plus which columns sit on each side (the spec-child owns the pairs,
+        # but path direction is free of spec direction)
+        edges: dict[int, tuple] = {}
+        for j in range(len(path) - 1):
+            a, b = path[j].name, path[j + 1].name
+            other, pairs, a_is_child = next(
+                e for e in adj[b] if e[0] == a
+            )
+            if a_is_child:
+                a_cols = tuple(o for o, _ in pairs)
+                b_cols = tuple(e for _, e in pairs)
+            else:
+                a_cols = tuple(e for _, e in pairs)
+                b_cols = tuple(o for o, _ in pairs)
+            edges[j] = (pairs, a_cols, b_cols)
 
         def datacols(name: str) -> list[str]:
             return [c for c in columns[name] if c not in (WEIGHT, BUCKET)]
@@ -1258,9 +1322,9 @@ class IncrementalAcyclicQuery:
         # of re-materializing; b_mat marks a B we already checkpointed
         b_is_delta_of: str | None = None
         b_mat = False
-        for i in range(len(vlist) - 1, -1, -1):
-            ri = vlist[i]
-            suffix = vlist[i:]
+        for i in range(len(path) - 1, -1, -1):
+            ri = path[i]
+            suffix = path[i:]
             branch_a = None
             if ri.name in term_delta:
                 if len(suffix) == 1:
@@ -1269,6 +1333,17 @@ class IncrementalAcyclicQuery:
                         d = d.drop(BUCKET)
                     branch_a = d.withColumnRenamed(WEIGHT, "_w")
                 else:
+                    # defensive: the suffix must resolve as its own subtree
+                    # (it always should — a contiguous path segment — but a
+                    # silent fall-through to _join_chain's sequential order
+                    # would be wrong for a reordered suffix)
+                    if (
+                        self._delta_first_order(
+                            suffix, ri.name, columns, any_order=True
+                        )
+                        is None
+                    ):
+                        return None
                     versions = {ri.name: term_delta[ri.name]}
                     for rj in suffix[1:]:
                         versions[rj.name] = term_old[rj.name]
@@ -1278,21 +1353,20 @@ class IncrementalAcyclicQuery:
                         delta_name=ri.name,
                         bucket_memo=bucket_memo,
                         apply_residual=False,
+                        any_order_edges=True,
                     )
                     keep = [c for rj in suffix for c in datacols(rj.name)]
                     branch_a = t.select(*keep, "_w")
             branch_b = None
             if B is not None:
-                child = vlist[i + 1]
-                pairs = parents[child.name][1]  # (own=child col, earlier=ri col)
-                add_cols = tuple(e for _, e in pairs)
+                pairs, ri_cols, probe_cols = edges[i]
                 pruning = None
                 if (
                     ri.buckets > 0
                     and BUCKET in columns[ri.name]
-                    and tuple(ri.bucket_key) == add_cols
+                    and tuple(ri.bucket_key) == ri_cols
                 ):
-                    probe = tuple(o for o, _ in pairs)
+                    probe = probe_cols
                     if b_is_delta_of is not None:
                         # one tree hop from the raw delta — share the
                         # per-term path's memoized probe and row count
