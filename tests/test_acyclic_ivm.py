@@ -1411,3 +1411,86 @@ def test_factored_chain_anti_gate_matches_per_term(spark, tmp_path):
     assert nf >= 1 and np_ == 0
     assert res_f == res_p
     assert res_f  # non-trivial
+
+
+def test_factored_path_reorders_branching_tree(spark, tmp_path):
+    """A spec whose ORDER is not a chain walk but whose tree IS a path
+    (dim1–fact–dim2: two leaves hanging off the root) must still factor —
+    the enumeration reorders along the Hamiltonian path, valid because the
+    telescoping nets to J(new) − J(old) in any order. Results must match
+    the per-term twin exactly, deletes included."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("fact", buckets=4, bucket_key=("k1",)),
+            RelSpec("dim1", join_on=("d1", "k1")),
+            RelSpec("dim2", join_on=("d2", "k2")),
+        ),
+        group_by=("name1", "name2"),
+        measures={"total": lambda: F.col("v")},
+    )
+    ops = [
+        {
+            "fact": [(0, 1, 10, 1), (1, 2, 20, 1), (2, 0, 30, 1)],
+            "dim1": [(i, f"a{i}", 1) for i in range(3)],
+            "dim2": [(i, f"b{i}", 1) for i in range(3)],
+        },
+        {  # multi-delta batch with retractions through both branches
+            "fact": [(0, 1, 10, -1), (0, 1, 11, 1)],
+            "dim1": [(1, "a1", -1)],
+            "dim2": [(3, "b3", 1)],
+        },
+    ]
+    schemas = {
+        "fact": "k1 int, k2 int, v int, weight int",
+        "dim1": DIM1_SCHEMA,
+        "dim2": DIM2_SCHEMA,
+    }
+    results = []
+    for factor in (True, False):
+        eng = _engine(spark, tmp_path / f"r{int(factor)}", spec)
+        eng.factor_terms = factor
+        for b in ops:
+            eng.process_batch(
+                {r: spark.createDataFrame(rows, schemas[r]) for r, rows in b.items()}
+            )
+        results.append(
+            ({(r["name1"], r["name2"]): r["total"] for r in eng.result().collect()},
+             eng.last_factored)
+        )
+    (res_f, nf), (res_p, np_) = results
+    assert nf == 1 and np_ == 0  # reordered path engaged
+    assert res_f == res_p
+    assert res_f
+
+
+def test_factored_path_falls_back_on_degree3_star(spark, tmp_path):
+    """Three leaves off one root: no Hamiltonian path exists, so the
+    factored path must decline (last_factored == 0) and the per-term
+    decomposition must still produce the right answer."""
+    spec = AcyclicQuerySpec(
+        relations=(
+            RelSpec("fact"),
+            RelSpec("dim1", join_on=("d1", "k1")),
+            RelSpec("dim2", join_on=("d2", "k2")),
+            RelSpec("dim3", join_on=("d3", "k3")),
+        ),
+        group_by=("name1",),
+        measures={"total": lambda: F.col("v")},
+    )
+    eng = _engine(spark, tmp_path, spec)
+    eng.process_batch(
+        {
+            "fact": spark.createDataFrame(
+                [(0, 0, 0, 5, 1), (1, 1, 1, 7, 1)],
+                "k1 int, k2 int, k3 int, v int, weight int",
+            ),
+            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
+            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
+            "dim3": spark.createDataFrame(
+                [(i, f"c{i}", 1) for i in range(3)], "d3 int, name3 string, weight int"
+            ),
+        }
+    )
+    assert eng.last_factored == 0
+    got = {r["name1"]: r["total"] for r in eng.result().collect()}
+    assert got == {"a0": 5, "a1": 7}
