@@ -63,6 +63,14 @@ CONTINUOUS = [
     # downstream engine) — puts GroupedTopKView._commit and the chain
     # handoff under the same per-round walltime + plan guardrail
     "incremental_grouped_topk_chained_stream",
+    # round 11: the remaining two of the five continuous stack shapes —
+    # the depth-4 composition (engine -> grouped top-k -> engine -> global
+    # top-k: the chain HANDOFF cost) and the TTL×top-k trending shape (the
+    # eviction-band read cost) — so a constant-factor regression in either
+    # band shows in a per-round walltime series, not only in row-count
+    # artifacts
+    "incremental_topk_chain_depth4_stream",
+    "incremental_trending_topk_stream",
 ]
 
 

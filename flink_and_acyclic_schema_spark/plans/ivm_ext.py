@@ -992,12 +992,19 @@ register(
 
 
 # --- continuous star rollup (branching tree around lineitem) -----------------
-def incremental_star_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spec = AcyclicQuerySpec(
+def _star_spec(buckets: int = 0) -> AcyclicQuerySpec:
+    """The degree-3 star around lineitem (orders/part/supplier branches) —
+    shared with tools/ivm_fold_profile.py's star-shaped controlled pair
+    (round 11: this is the shape the generalized tree factorization was
+    built for). ``buckets`` optionally buckets the lineitem state by
+    l_orderkey for the pruned-scan path at profile scale."""
+    li_kw = {"buckets": buckets, "bucket_key": ("l_orderkey",)} if buckets else {}
+    return AcyclicQuerySpec(
         relations=(
             RelSpec(
                 "lineitem",
                 delta_filter=lambda d: d.filter(F.col("l_quantity") > 5),
+                **li_kw,
             ),
             RelSpec(
                 "orders",
@@ -1014,7 +1021,10 @@ def incremental_star_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         measures={"revenue": _revenue},
         finalize=lambda df: df.withColumn("revenue", F.col("revenue").cast("double")),
     )
-    gens = (
+
+
+def _star_gens() -> tuple[DeltaGen, ...]:
+    return (
         DeltaGen(
             "lineitem",
             "l_orderkey",
@@ -1033,9 +1043,12 @@ def incremental_star_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         DeltaGen("part", "p_partkey", ("p_partkey", "p_brand")),
         DeltaGen("supplier", "s_suppkey", ("s_suppkey", "s_nationkey")),
     )
+
+
+def incremental_star_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # log-structured state with a cap wider than the 4-batch stream: pure
     # append path, result reduced lazily at emission — also oracle-gated
-    return _run(spark, sf_dir, "ivm_star", spec, gens, compact_every=8)
+    return _run(spark, sf_dir, "ivm_star", _star_spec(), _star_gens(), compact_every=8)
 
 
 register(

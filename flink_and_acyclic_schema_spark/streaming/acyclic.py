@@ -555,12 +555,26 @@ class IncrementalAcyclicQuery:
     rewritten — per-batch cost tracks the delta, not the schema.
     """
 
+    # process-cumulative count of virtual trees folded via the factored
+    # path by ANY engine instance — lets tests pin that a REGISTERED query
+    # (whose engine is local to its plan function) actually engaged the
+    # factorization, without threading counters through every wiring
+    factored_global = 0
+
+    # compact_every="auto": switch merge -> log-structured after this many
+    # committed batches (the measured amortization point — non-compaction
+    # batches only win once their O(Δ) savings outrun the every-k
+    # compaction cost, ~8-10 batches at sf1 per
+    # LOG_STRUCTURED_AMORTIZATION.json), then compact every k segments
+    AUTO_SWITCH_BATCHES = 8
+    AUTO_COMPACT_EVERY = 3
+
     def __init__(
         self,
         spark: SparkSession,
         state_dir: str,
         spec: AcyclicQuerySpec,
-        compact_every: int = 1,
+        compact_every: int | str = 1,
         resume: bool = False,
     ):
         """``compact_every`` selects the state-IO regime:
@@ -583,6 +597,16 @@ class IncrementalAcyclicQuery:
           (~9-10 s) — so it is the recommended regime for LONG-RUNNING
           streams; the default stays 1 (simplest to inspect, and short
           pipelines never amortize the compaction).
+        - ``"auto"`` (round 11): start in merge-and-rewrite and switch to
+          log-structured ``compact_every=3`` once the stream has committed
+          ``AUTO_SWITCH_BATCHES`` batches — the measured amortization point
+          (~8-10 batches, LOG_STRUCTURED_AMORTIZATION.json). Short
+          pipelines keep the inspectable single-segment state; long streams
+          get the −18% regime without an operator decision. The switch is
+          one-way (monotone), derived from the manifest-persisted committed
+          -batch count so resume lands in the same regime, and exact by the
+          same linearity argument as compaction itself
+          (test_acyclic_ivm.py::test_auto_regime_switches_and_matches_merge).
 
         ``resume=True`` reattaches to an existing state dir: state is loaded
         from the last atomically-committed MANIFEST (see ``process_batch``),
@@ -595,9 +619,15 @@ class IncrementalAcyclicQuery:
         self.spark = spark
         self.state_dir = state_dir
         self.spec = spec
-        if compact_every < 1:
-            raise ValueError("compact_every must be >= 1")
+        self._auto_regime = compact_every == "auto"
+        if self._auto_regime:
+            compact_every = 1  # until AUTO_SWITCH_BATCHES commits
+        elif not isinstance(compact_every, int) or compact_every < 1:
+            raise ValueError("compact_every must be >= 1 or 'auto'")
         self.compact_every = compact_every
+        # committed-batch count (manifest-persisted): the auto regime's
+        # switch criterion, so a resumed stream lands in the same regime
+        self._committed_batches = 0
         # per-relation state versions (monotone; parquet path carries version
         # so a batch never reads and overwrites the same files)
         self._version: dict[str, int] = {r.name: 0 for r in spec.relations}
@@ -642,17 +672,32 @@ class IncrementalAcyclicQuery:
         # JVM (e.g. a profiler's repeat run) would otherwise reuse gids and
         # getJobIdsForGroup would attribute BOTH engines' jobs to each
         self._phase_tag = uuid.uuid4().hex[:8]
-        # round 10: telescoped ΔJ over chain-shaped trees (_factored_chain) —
-        # shares the upward new-relation joins across delta terms. On by
-        # default (exact by distributivity); False forces the per-term path
-        # (the equivalence-test escape hatch). last_factored counts virtual
-        # trees the last batch folded via the factored path.
+        # round 10/11: telescoped ΔJ over tree-shaped virtual trees
+        # (_factored_chain) — shares the new-relation joins across delta
+        # terms. On by default (exact by distributivity); False forces the
+        # per-term path (the equivalence-test escape hatch). The flag is
+        # plan-shape-only (results are identical either way) but it IS
+        # persisted in the manifest so resume=True keeps an operator's
+        # explicit opt-out instead of silently re-enabling the factored
+        # plan mid-stream (r10 advice). last_factored counts virtual trees
+        # the last batch folded via the factored path; last_checkpoints
+        # counts the term-build localCheckpoint materializations of the
+        # last batch (transitive-probe partials + factored-B unions) — the
+        # fold profile's guard against deep chains inverting the factored
+        # win via O(depth) re-materializations.
         self.factor_terms = True
         self.last_factored = 0
+        self.last_checkpoints = 0
         # instrument-only: rel -> eviction-band rows read by the last batch
         self.last_evicted: dict[str, int] = {}
         if resume and os.path.exists(self._manifest_path()):
             self._load_manifest()
+            if self._auto_regime and self._committed_batches >= self.AUTO_SWITCH_BATCHES:
+                # re-land in the post-switch regime BEFORE any read: result()
+                # keys its lazy net reduction off compact_every, and the
+                # on-disk state is already log-structured (possibly un-netted
+                # segments) — a merge-mode read of it would skip the net
+                self.compact_every = self.AUTO_COMPACT_EVERY
         else:
             if os.path.exists(state_dir):
                 shutil.rmtree(state_dir)
@@ -732,6 +777,8 @@ class IncrementalAcyclicQuery:
             "appends": self._appends,
             "last_batch": self._last_batch,
             "compact_every": self.compact_every,
+            "committed_batches": self._committed_batches,
+            "factor_terms": self.factor_terms,
             "emitted": self._emitted,
             "buckets": self._buckets,
             "watermarks": {r: _wm_dump(v) for r, v in self._watermarks.items()},
@@ -751,6 +798,10 @@ class IncrementalAcyclicQuery:
         self._segments = data["segments"]
         self._appends = data["appends"]
         self._last_batch = data["last_batch"]
+        self._committed_batches = data.get("committed_batches", 0)
+        # plan-shape knob, not state semantics — persisted anyway so a
+        # resumed engine keeps the operator's explicit factor_terms opt-out
+        self.factor_terms = data.get("factor_terms", True)
         self._emitted = data.get("emitted")
         self._buckets.update(data.get("buckets", {}))
         self._watermarks = {
@@ -1126,6 +1177,7 @@ class IncrementalAcyclicQuery:
         bucket_memo: dict | None = None,
         apply_residual: bool = True,
         any_order_edges: bool = False,
+        steps: list | None = None,
     ) -> DataFrame:
         """k-way join over one version assignment; output weight ``_w`` is the
         product of per-relation weights (joins multiply multiplicities).
@@ -1139,11 +1191,15 @@ class IncrementalAcyclicQuery:
         delta's bucket partitions; deeper bucketed relations are pruned
         TRANSITIVELY from the accumulated (delta-bounded) join's probe keys,
         one capped collect per term. Falls back to sequential spec order
-        when the edge graph doesn't resolve statically."""
+        when the edge graph doesn't resolve statically — callers for whom
+        the sequential fallback would be WRONG (the factored path's
+        reordered suffixes, where ``rels`` is not in spec order) pass their
+        precomputed ``steps`` instead, which this method then uses verbatim
+        (round 11, closing the r10 advice: the fallback can no longer be
+        reached on a reordered sub-tree)."""
         rels = self.spec.relations if rels is None else rels
         columns = {r.name: versions[r.name].columns for r in rels}
-        steps = None
-        if delta_name is not None and len(rels) > 1:
+        if steps is None and delta_name is not None and len(rels) > 1:
             steps = self._delta_first_order(
                 rels, delta_name, columns, any_order=any_order_edges
             )
@@ -1201,6 +1257,7 @@ class IncrementalAcyclicQuery:
                     # both the probe and the term reuse it instead of
                     # computing the delta-bounded join twice per term
                     acc = acc.localCheckpoint()
+                    self.last_checkpoints += 1
                     pruning = self._probe_pruning(acc, r, probe)
             side = prep(r, pruning)
             if r.broadcast_state:
@@ -1240,13 +1297,13 @@ class IncrementalAcyclicQuery:
         term_delta: Mapping[str, DataFrame],
         bucket_memo: dict | None,
     ) -> DataFrame | None:
-        """Telescoped ΔJ over a CHAIN-shaped virtual tree (round 10): the
-        per-term decomposition Σ_i new_{<i} ⋈ Δ_i ⋈ old_{>i} re-joins the
-        shared upward prefix of NEW relations once PER TERM — at sf1 the
-        Δlineitem and Δorders terms each join customer-and-above separately,
-        and term_build carries ~45% of the fold budget
-        (IVM_FOLD_PROFILE.json). Joins distribute over unions, so the sum
-        telescopes suffix-first instead:
+        """Telescoped ΔJ over ANY tree-shaped virtual tree (round 10 for
+        chains, round 11 for arbitrary trees): the per-term decomposition
+        Σ_i new_{<i} ⋈ Δ_i ⋈ old_{>i} re-joins the shared upward prefix of
+        NEW relations once PER TERM — at sf1 the Δlineitem and Δorders terms
+        each join customer-and-above separately, and term_build carries ~45%
+        of the fold budget (IVM_FOLD_PROFILE.json). Joins distribute over
+        unions, so the sum telescopes suffix-first instead:
 
             B_k = Δ_k
             B_i = (Δ_i ⋈ old_{i+1} ⋈ … ⋈ old_k)  ∪  (new_i ⋈ B_{i+1})
@@ -1256,61 +1313,83 @@ class IncrementalAcyclicQuery:
         existing delta-first order + bucket pruning, and each NEW relation is
         joined exactly ONCE per batch (probed by the union B_{i+1}, whose
         key set is the union of the replaced terms' probe sets — pruning
-        stays a superset, so restriction stays exact). Requires every suffix
-        of the enumeration to be connected, i.e. the tree is a PATH GRAPH —
-        and since the telescoping identity ΔJ = J(new) − J(old) holds for
-        ANY enumeration order of the relations (each order nets to the same
+        stays a superset, so restriction stays exact).
+
+        The telescoping identity ΔJ = J(new) − J(old) holds for ANY
+        enumeration order of the relations (each order nets to the same
         signed multiset, and every consumer — the aggregate fold, the hist
-        deltas, the touched-group set — is net-based), the enumeration is
-        REORDERED along the tree's Hamiltonian path when the spec order
-        isn't already one (round 10: Q5's supplier–lineitem–…–region and
-        Q17's part–lineitem–avgview factor this way). Trees with a degree-3
-        node have no such path; they return None and the caller falls back
-        to the per-term decomposition. Weights multiply into a single
-        running ``_w``; the residual filter is applied once over the full
-        join (σ commutes with ∪ and ⋈)."""
+        deltas, the touched-group set — is net-based); what the RECURRENCE
+        needs of the enumeration is only that every SUFFIX {e_i..e_k}
+        induces a connected subtree: then each Δ-branch is a connected
+        delta-first join driven from Δ_i, and e_i has exactly ONE tree
+        neighbor inside the suffix (two would close a cycle) for the
+        new_i ⋈ B_{i+1} branch's join condition. Round 10 realized this
+        only for Hamiltonian-path enumerations (path graphs); round 11
+        observes that a LEAF-PEELING order — repeatedly remove a leaf of
+        the remaining tree — provides suffix connectivity for EVERY tree
+        (removing a leaf keeps the remainder connected, and the reversed
+        removal order's suffixes are exactly those remainders), so genuine
+        degree-≥3 stars (the registered ``incremental_star_stream``'s
+        lineitem–{orders,part,supplier}, Q2's 5-relation tree) now factor
+        instead of declining to the per-term fallback. The peel is
+        deterministic — spec-earliest leaf first, then prefer the leaf
+        adjacent to the last-peeled node — which reproduces the round-10
+        endpoint walk exactly on path-shaped trees (their plans are
+        unchanged). Weights multiply into a single running ``_w``; the
+        residual filter is applied once over the full join (σ commutes
+        with ∪ and ⋈)."""
         if len(vlist) < 2 or sum(1 for r in vlist if r.name in term_delta) < 2:
             return None  # nothing to share — per-term path is already minimal
         columns = {r.name: term_new[r.name].columns for r in vlist}
         adj = self._edge_steps(vlist, columns, any_order=True)
         if adj is None:
             return None
-        # Hamiltonian path over the join tree: exists iff every node has
-        # degree <= 2 (a path graph); walk it from the spec-earliest endpoint
-        # (deterministic). A spec order that already IS a path walk comes
-        # back unchanged.
-        if any(len(adj[n]) > 2 for n in adj):
-            return None
-        endpoints = [n for n in adj if len(adj[n]) <= 1]
-        if len(endpoints) != 2 or any(len(adj[n]) == 0 for n in adj):
-            return None  # disconnected vlist (e.g. an edge left the subset)
         posv = {r.name: i for i, r in enumerate(vlist)}
         byname = {r.name: r for r in vlist}
-        order = [min(endpoints, key=lambda n: posv[n])]
-        prev = None
-        while len(order) < len(vlist):
-            nxts = [o for (o, _, _) in adj[order[-1]] if o != prev]
-            if len(nxts) != 1:
-                return None
-            prev = order[-1]
-            order.append(nxts[0])
-        path = tuple(byname[n] for n in order)
-        # per consecutive pair (path[j], path[j+1]): the edge's join pairs
-        # plus which columns sit on each side (the spec-child owns the pairs,
-        # but path direction is free of spec direction)
+        # connectivity over the resolved edges (a virtual sub-tree can drop
+        # an edge whose owner left the subset): BFS must reach every node
+        reach, stack = {vlist[0].name}, [vlist[0].name]
+        while stack:
+            for o, _, _ in adj[stack.pop()]:
+                if o not in reach:
+                    reach.add(o)
+                    stack.append(o)
+        if len(reach) != len(vlist):
+            return None
+        # leaf-peel: order[i] is e_i, edges[i] the tree edge from e_i to its
+        # unique neighbor still in the suffix (recorded at peel time, when
+        # that neighbor is e_i's only remaining edge)
+        remaining = {n: {o for o, _, _ in adj[n]} for n in adj}
+        orig_nbrs = {n: {o for o, _, _ in adj[n]} for n in adj}
+        order: list[str] = []
         edges: dict[int, tuple] = {}
-        for j in range(len(path) - 1):
-            a, b = path[j].name, path[j + 1].name
-            other, pairs, a_is_child = next(
-                e for e in adj[b] if e[0] == a
+        while len(remaining) > 1:
+            leaves = sorted(
+                (n for n in remaining if len(remaining[n]) == 1),
+                key=lambda n: posv[n],
             )
-            if a_is_child:
-                a_cols = tuple(o for o, _ in pairs)
-                b_cols = tuple(e for _, e in pairs)
+            if not leaves:
+                return None  # not a tree (cycle) — decline, per-term fallback
+            near = [
+                n for n in leaves if order and order[-1] in orig_nbrs[n]
+            ]
+            pick = (near or leaves)[0]
+            nb = next(iter(remaining[pick]))
+            _, pairs, nb_is_child = next(e for e in adj[pick] if e[0] == nb)
+            # the spec-CHILD owns the pairs' (own, earlier) columns; peel
+            # direction is free of spec direction
+            if nb_is_child:
+                pick_cols = tuple(e for _, e in pairs)
+                nb_cols = tuple(o for o, _ in pairs)
             else:
-                a_cols = tuple(e for _, e in pairs)
-                b_cols = tuple(o for o, _ in pairs)
-            edges[j] = (pairs, a_cols, b_cols)
+                pick_cols = tuple(o for o, _ in pairs)
+                nb_cols = tuple(e for _, e in pairs)
+            edges[len(order)] = (pairs, pick_cols, nb_cols)
+            order.append(pick)
+            del remaining[pick]
+            remaining[nb].discard(pick)
+        order.append(next(iter(remaining)))
+        path = tuple(byname[n] for n in order)
 
         def datacols(name: str) -> list[str]:
             return [c for c in columns[name] if c not in (WEIGHT, BUCKET)]
@@ -1333,16 +1412,18 @@ class IncrementalAcyclicQuery:
                         d = d.drop(BUCKET)
                     branch_a = d.withColumnRenamed(WEIGHT, "_w")
                 else:
-                    # defensive: the suffix must resolve as its own subtree
-                    # (it always should — a contiguous path segment — but a
-                    # silent fall-through to _join_chain's sequential order
-                    # would be wrong for a reordered suffix)
-                    if (
-                        self._delta_first_order(
-                            suffix, ri.name, columns, any_order=True
-                        )
-                        is None
-                    ):
+                    # the suffix must resolve as its own subtree — it always
+                    # should (leaf-peeling keeps every suffix connected, and
+                    # a connected subset of an unambiguous tree resolves
+                    # unambiguously) — and the resolved steps are passed
+                    # straight into _join_chain, so a reordered suffix can
+                    # NEVER hit the sequential spec-order fallback (r10
+                    # advice: the outer `columns` and _join_chain's own
+                    # re-resolution can no longer diverge)
+                    steps = self._delta_first_order(
+                        suffix, ri.name, columns, any_order=True
+                    )
+                    if steps is None:
                         return None
                     versions = {ri.name: term_delta[ri.name]}
                     for rj in suffix[1:]:
@@ -1353,7 +1434,7 @@ class IncrementalAcyclicQuery:
                         delta_name=ri.name,
                         bucket_memo=bucket_memo,
                         apply_residual=False,
-                        any_order_edges=True,
+                        steps=steps,
                     )
                     keep = [c for rj in suffix for c in datacols(rj.name)]
                     branch_a = t.select(*keep, "_w")
@@ -1386,6 +1467,7 @@ class IncrementalAcyclicQuery:
                         if not b_mat:
                             B = B.localCheckpoint()
                             b_mat = True
+                            self.last_checkpoints += 1
                         pruning = self._probe_pruning(B, ri, probe)
                 side = term_new[ri.name].withColumnRenamed(WEIGHT, "_w_r")
                 if pruning is not None:
@@ -1446,6 +1528,7 @@ class IncrementalAcyclicQuery:
             "emitted": self._emitted,
             "last_batch": self._last_batch,
             "buckets": dict(self._buckets),
+            "committed_batches": self._committed_batches,
         }
 
     def _restore(self, snap: dict) -> None:
@@ -1457,6 +1540,7 @@ class IncrementalAcyclicQuery:
         self._emitted = snap["emitted"]
         self._last_batch = snap["last_batch"]
         self._buckets = snap["buckets"]
+        self._committed_batches = snap["committed_batches"]
 
     @contextmanager
     def _phase(self, name: str):
@@ -1588,6 +1672,15 @@ class IncrementalAcyclicQuery:
     ) -> DataFrame | None:
         self.last_profile = {}
         self.last_evicted = {}
+        if self._auto_regime:
+            # monotone merge -> log-structured switch at the measured
+            # amortization point; recomputed from the manifest-persisted
+            # committed-batch count so retry/resume land in the same regime
+            self.compact_every = (
+                1
+                if self._committed_batches < self.AUTO_SWITCH_BATCHES
+                else self.AUTO_COMPACT_EVERY
+            )
         rels = self.spec.relations
         known = {r.name for r in rels}
         unknown = set(deltas) - known
@@ -1777,6 +1870,7 @@ class IncrementalAcyclicQuery:
         # eagerly — phase-scoped so the profile shows this cost instead of
         # leaving it in the unattributed gap
         self.last_factored = 0
+        self.last_checkpoints = 0
         with self._phase("term_build"):
             for k in range(len(anti_rels) + 1):
                 for S in itertools.combinations(anti_rels, k):
@@ -1788,6 +1882,10 @@ class IncrementalAcyclicQuery:
                         )
                         if fact is not None:
                             self.last_factored += 1
+                            # process-cumulative engagement counter (test
+                            # observability for registered queries whose
+                            # engines are function-local)
+                            IncrementalAcyclicQuery.factored_global += 1
                             if sign < 0:
                                 fact = fact.withColumn("_w", -F.col("_w"))
                             terms.append(self._term_project(fact))
@@ -1934,6 +2032,9 @@ class IncrementalAcyclicQuery:
                 if self._emitted is not None:
                     cleanup.append(self._emitted["path"])
                 self._emitted = {"batch": batch_id, "path": epath}
+        # count only state-writing batches (empty batches cost no IO in
+        # either regime, so they don't advance the auto switch)
+        self._committed_batches += 1
         self._commit_manifest()  # atomic commit point; cleanup is post-commit
         for p in cleanup:
             shutil.rmtree(p, ignore_errors=True)

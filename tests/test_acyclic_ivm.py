@@ -1463,34 +1463,280 @@ def test_factored_path_reorders_branching_tree(spark, tmp_path):
     assert res_f
 
 
-def test_factored_path_falls_back_on_degree3_star(spark, tmp_path):
-    """Three leaves off one root: no Hamiltonian path exists, so the
-    factored path must decline (last_factored == 0) and the per-term
-    decomposition must still produce the right answer."""
+STAR_SPEC = AcyclicQuerySpec(
+    relations=(
+        RelSpec("fact", buckets=4, bucket_key=("k1",)),
+        RelSpec("dim1", join_on=("d1", "k1")),
+        RelSpec("dim2", join_on=("d2", "k2")),
+        RelSpec("dim3", join_on=("d3", "k3")),
+    ),
+    group_by=("name1",),
+    measures={"total": lambda: F.col("v")},
+)
+STAR_SCHEMAS = {
+    "fact": "k1 int, k2 int, k3 int, v int, weight int",
+    "dim1": DIM1_SCHEMA,
+    "dim2": DIM2_SCHEMA,
+    "dim3": "d3 int, name3 string, weight int",
+}
+
+
+def test_factored_tree_engages_on_degree3_star(spark, tmp_path):
+    """Three leaves off one root: no Hamiltonian path exists, but the
+    leaf-peeling enumeration (round 11) still keeps every suffix connected,
+    so the factored path must now ENGAGE (round 10 declined this shape) and
+    match the per-term twin exactly — including a multi-batch tail with
+    deletes retracting through every branch of the star."""
+    ops = [
+        {
+            "fact": [(0, 0, 0, 5, 1), (1, 1, 1, 7, 1), (2, 0, 1, 11, 1)],
+            "dim1": DIM1,
+            "dim2": DIM2,
+            "dim3": [(i, f"c{i}", 1) for i in range(3)],
+        },
+        {  # deltas on all three branches + the center, with retractions
+            "fact": [(0, 0, 0, 5, -1), (0, 0, 0, 6, 1)],
+            "dim1": [(2, "a2", -1)],
+            "dim2": [(3, "b3", 1)],
+            "dim3": [(1, "c1", -1), (1, "c1x", 1)],
+        },
+        {  # center-only churn against settled dims
+            "fact": [(1, 1, 1, 7, -1), (1, 3, 1, 9, 1)],
+            "dim2": [(3, "b3", -1)],
+        },
+    ]
+    results = []
+    for factor in (True, False):
+        eng = _engine(spark, tmp_path / f"st{int(factor)}", STAR_SPEC)
+        eng.factor_terms = factor
+        for b in ops:
+            eng.process_batch(
+                {
+                    r: spark.createDataFrame(rows, STAR_SCHEMAS[r])
+                    for r, rows in b.items()
+                }
+            )
+        results.append(
+            ({r["name1"]: r["total"] for r in eng.result().collect()},
+             eng.last_factored)
+        )
+    (res_f, nf), (res_p, np_) = results
+    assert nf == 1 and np_ == 0  # degree-3 star factored (round-11 claim)
+    assert res_f == res_p
+    assert res_f  # non-trivial
+
+
+def test_factored_tree_engages_on_branched_chain(spark, tmp_path):
+    """Degree-3 INTERNAL node with a depth-2 branch (the Q2-ish shape:
+    fact ← mid ← leaf chain plus two dims off fact): the leaf-peeling
+    enumeration must factor it and match the per-term twin, deletes
+    included — the shape where one branch is itself a chain, so B unions
+    cross a multi-relation subtree boundary."""
     spec = AcyclicQuerySpec(
         relations=(
-            RelSpec("fact"),
-            RelSpec("dim1", join_on=("d1", "k1")),
+            RelSpec("fact", buckets=4, bucket_key=("k1",)),
+            RelSpec("mid", join_on=("m_k", "k1")),
+            RelSpec("leaf", join_on=("l_m", "m_id")),
             RelSpec("dim2", join_on=("d2", "k2")),
             RelSpec("dim3", join_on=("d3", "k3")),
         ),
-        group_by=("name1",),
-        measures={"total": lambda: F.col("v")},
+        group_by=("name2",),
+        measures={"total": lambda: F.col("v") * F.col("u")},
     )
-    eng = _engine(spark, tmp_path, spec)
-    eng.process_batch(
+    schemas = {
+        "fact": "k1 int, k2 int, k3 int, v int, weight int",
+        "mid": CHAIN_MID_SCHEMA,
+        "leaf": CHAIN_LEAF_SCHEMA,
+        "dim2": DIM2_SCHEMA,
+        "dim3": "d3 int, name3 string, weight int",
+    }
+    ops = [
         {
-            "fact": spark.createDataFrame(
-                [(0, 0, 0, 5, 1), (1, 1, 1, 7, 1)],
-                "k1 int, k2 int, k3 int, v int, weight int",
-            ),
-            "dim1": spark.createDataFrame(DIM1, DIM1_SCHEMA),
-            "dim2": spark.createDataFrame(DIM2, DIM2_SCHEMA),
-            "dim3": spark.createDataFrame(
-                [(i, f"c{i}", 1) for i in range(3)], "d3 int, name3 string, weight int"
-            ),
+            "fact": [(1, 0, 0, 10, 1), (2, 1, 1, 20, 1), (3, 2, 0, 30, 1)],
+            "mid": [(1, 100, 1), (2, 200, 1), (3, 300, 1)],
+            "leaf": [(100, 5, 1), (200, 7, 1), (300, 2, 1)],
+            "dim2": DIM2,
+            "dim3": [(i, f"c{i}", 1) for i in range(3)],
+        },
+        {  # deltas across the chain branch AND a star leaf
+            "leaf": [(100, 5, -1), (100, 6, 1), (200, 7, -1)],
+            "mid": [(2, 201, 1)],
+            "dim2": [(1, "b1", -1), (1, "b1x", 1)],
+        },
+        {  # center retraction + deep-leaf churn
+            "fact": [(3, 2, 0, 30, -1)],
+            "leaf": [(201, 4, 1), (300, 2, -1)],
+        },
+    ]
+    results = []
+    for factor in (True, False):
+        eng = _engine(spark, tmp_path / f"bc{int(factor)}", spec)
+        eng.factor_terms = factor
+        for b in ops:
+            eng.process_batch(
+                {r: spark.createDataFrame(rows, schemas[r]) for r, rows in b.items()}
+            )
+        results.append(
+            ({r["name2"]: r["total"] for r in eng.result().collect()},
+             eng.last_factored)
+        )
+    (res_f, nf), (res_p, np_) = results
+    assert nf >= 1 and np_ == 0
+    assert res_f == res_p
+    assert res_f
+
+
+STAR_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["fact", "dim1", "dim2", "dim3"]),
+        st.integers(0, 2),
+        st.integers(1, 4),
+        st.sampled_from([1, -1]),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=STAR_OPS, split=st.integers(0, 14))
+def test_factored_tree_star_prefix_closure_any_split(
+    spark, tmp_path_factory, ops, split
+):
+    """Factored engine == per-term engine for ANY batch split hypothesis
+    chooses over the degree-3 STAR spec (the round-11 shape; rows keyed so
+    every op lands on a live FK path, weights net arbitrarily)."""
+    tmp = tmp_path_factory.mktemp("fstar")
+
+    def rows_of(op):
+        rel, a, b, w = op
+        if rel == "fact":
+            return "fact", (a, (a + b) % 3, (a + 2 * b) % 3, 10 * a + b, w)
+        if rel == "dim1":
+            return "dim1", (a, f"a{a}", w)
+        if rel == "dim2":
+            return "dim2", (a, f"b{a}", w)
+        return "dim3", (a, f"c{a}", w)
+
+    split = min(split, len(ops))
+    batches = []
+    for half in (ops[:split], ops[split:]):
+        byrel = {"fact": [], "dim1": [], "dim2": [], "dim3": []}
+        for op in half:
+            rel, row = rows_of(op)
+            byrel[rel].append(row)
+        batches.append(byrel)
+    dfs = [
+        {r: spark.createDataFrame(rows, STAR_SCHEMAS[r]) for r, rows in b.items()}
+        for b in batches
+    ]
+    eng_f = _engine(spark, tmp, STAR_SPEC)
+    eng_p = _engine(spark, tmp, STAR_SPEC)
+    eng_p.factor_terms = False
+    for b in dfs:
+        eng_f.process_batch(b)
+    for b in dfs:
+        eng_p.process_batch(b)
+    got_f = {r["name1"]: r["total"] for r in eng_f.result().collect()}
+    got_p = {r["name1"]: r["total"] for r in eng_p.result().collect()}
+    assert got_f == got_p
+
+
+def test_auto_regime_switches_and_matches_merge(spark, tmp_path):
+    """compact_every="auto" (round 11): merge-and-rewrite for the first
+    AUTO_SWITCH_BATCHES committed batches, then the log-structured
+    compact_every=3 regime — the switch must actually happen (monotone),
+    survive resume via the manifest-persisted committed-batch count, and
+    every prefix must match a merge-mode twin exactly (linearity: the
+    regimes differ only in when segments are netted)."""
+    n = IncrementalAcyclicQuery.AUTO_SWITCH_BATCHES + 4
+    ops = []
+    for i in range(n):
+        batch = {
+            "fact": [(i % 3 + 1, 10 * i + 1, 1)],
+            "mid": [(i % 3 + 1, 100 + i, 1)],
+            "leaf": [(100 + i, i % 4 + 1, 1)],
         }
+        if i >= 2:  # retract the leaf row inserted two batches earlier
+            batch["leaf"].append((100 + (i - 2), (i - 2) % 4 + 1, -1))
+        ops.append(batch)
+    dfs = _chain_batches(spark, ops)
+    eng_a = IncrementalAcyclicQuery(
+        spark, str(tmp_path / "auto"), CHAIN_SPEC, compact_every="auto"
     )
+    eng_m = IncrementalAcyclicQuery(spark, str(tmp_path / "merge"), CHAIN_SPEC)
+    switch_at = None
+    for i, b in enumerate(dfs):
+        eng_a.process_batch({k: v for k, v in b.items()}, batch_id=i)
+        eng_m.process_batch({k: v for k, v in b.items()}, batch_id=i)
+        if switch_at is None and eng_a.compact_every > 1:
+            switch_at = i
+            # resume mid-stream AFTER the switch: the manifest's committed
+            # count must land the resumed engine in the same regime
+            eng_a = IncrementalAcyclicQuery(
+                spark,
+                str(tmp_path / "auto"),
+                CHAIN_SPEC,
+                compact_every="auto",
+                resume=True,
+            )
+        assert _chain_result(eng_a.result()) == _chain_result(eng_m.result())
+    assert switch_at == IncrementalAcyclicQuery.AUTO_SWITCH_BATCHES
+    # post-switch: appends accumulate (log-structured path actually taken)
+    assert eng_a.compact_every == IncrementalAcyclicQuery.AUTO_COMPACT_EVERY
+    assert any(len(v) > 1 for v in eng_a._segments.values())
+    assert _chain_result(eng_a.result())  # non-trivial
+
+
+def test_registered_degree3_shapes_engage_factored_path(spark):
+    """The two registered shapes the r10 verdict named as declining —
+    ``incremental_star_stream`` (lineitem–{orders,part,supplier}) and the
+    Q2-shaped ``incremental_q2_mincost_stream`` (lineitem at degree 3 with
+    supplier/part/minview) — must now ENGAGE the factored path end-to-end
+    through their real Structured-Streaming wiring (their RESULTS are
+    hash-gated by the oracle sweep; this pins the plan actually taken)."""
+    from tests.conftest import SF_SMOKE
+
+    from flink_and_acyclic_schema_spark import registry
+
+    registry._register_all()  # plan modules import in registry order
+    base = IncrementalAcyclicQuery.factored_global
+    assert registry.QUERIES["incremental_star_stream"](spark, SF_SMOKE).count() >= 0
+    after_star = IncrementalAcyclicQuery.factored_global
+    assert after_star > base  # the degree-3 star folded factored batches
+    assert (
+        registry.QUERIES["incremental_q2_mincost_stream"](spark, SF_SMOKE).count()
+        >= 0
+    )
+    assert IncrementalAcyclicQuery.factored_global > after_star
+
+
+def test_factor_terms_optout_survives_resume(spark, tmp_path):
+    """factor_terms is a plan-shape escape hatch; an operator who disabled
+    it must not get it silently re-enabled by resume=True (r10 advice: the
+    flag is persisted in the manifest at every batch commit)."""
+    sd = tmp_path / "ft_resume"
+    eng = IncrementalAcyclicQuery(spark, str(sd), CHAIN_SPEC)
+    eng.factor_terms = False
+    b = _chain_batches(
+        spark,
+        [{
+            "fact": [(1, 10, 1)],
+            "mid": [(1, 100, 1)],
+            "leaf": [(100, 5, 1)],
+        }],
+    )[0]
+    eng.process_batch(b, batch_id=0)
     assert eng.last_factored == 0
-    got = {r["name1"]: r["total"] for r in eng.result().collect()}
-    assert got == {"a0": 5, "a1": 7}
+    eng2 = IncrementalAcyclicQuery(spark, str(sd), CHAIN_SPEC, resume=True)
+    assert eng2.factor_terms is False
+    b2 = _chain_batches(
+        spark,
+        [{
+            "mid": [(1, 101, 1)],
+            "leaf": [(101, 2, 1), (100, 5, -1)],
+        }],
+    )[0]
+    eng2.process_batch(b2, batch_id=1)
+    assert eng2.last_factored == 0  # opt-out held across resume
+    assert _chain_result(eng2.result()) == {1: 10 * 2}

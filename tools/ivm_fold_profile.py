@@ -26,10 +26,15 @@ Exactness guard (unchanged from tools/topk_sink_sf1.py): the maintained
 top-20 must equal a from-scratch ORDER BY over the final maintained view.
 
 Usage:  python tools/ivm_fold_profile.py [sf_dir] [n_chunks] [compact_every]
+                                         [repeats] [shape]
 Prints one JSON line (default sf_dir .scratch/sf1, compact_every 1 = the
 registered stack's merge-and-rewrite regime; pass >1 to profile the
 log-structured O(Δ)-IO regime on the same stack) — committed as
 IVM_FOLD_PROFILE.json with before/after runs of the round-9 fusion.
+``shape`` (round 11): ``q10`` (default, the path-shaped flagship stack) or
+``star`` — the registered degree-3 star around lineitem
+(plans/ivm_ext._star_spec), the shape the generalized tree factorization
+targets; pair with SPARK_GRAFT_NO_FACTOR=1 for the controlled A/B.
 """
 
 from __future__ import annotations
@@ -69,22 +74,35 @@ def main() -> None:
     # drops to steady-state, the first-batch premium is JVM/session warmup
     # (codegen, committer, shuffle init), not engine one-time work
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    shape = sys.argv[5] if len(sys.argv) > 5 else "q10"
     spark = get_spark(app_name="ivm_fold_profile", shuffle_partitions=32)
     work = tempfile.mkdtemp(prefix="ivm_fold_profile_")
-    gens = _q10_gens()
+    if shape == "star":
+        from flink_and_acyclic_schema_spark.plans.ivm_ext import (
+            _star_gens,
+            _star_spec,
+        )
+
+        gens, spec_fn = _star_gens(), lambda: _star_spec(buckets=64)
+    else:
+        gens, spec_fn = _q10_gens(), _q10_topk_spec
     delta_dir, schema = generate_delta_chunks(
         spark, sf_dir, f"{work}/deltas", gens, n_chunks=n_chunks
     )
     rel_columns = {g.table: g.columns for g in gens}
-    eng = IncrementalAcyclicQuery(
-        spark, f"{work}/state", _q10_topk_spec(), compact_every=compact_every
+    # eng0 is THE profiled engine: repeats below use their own binding, so
+    # the exactness guard at the end verifies the run the per_batch/
+    # phase_totals numbers describe (r10 advice — the guard previously
+    # checked the LAST repeat's engine)
+    eng0 = IncrementalAcyclicQuery(
+        spark, f"{work}/state", spec_fn(), compact_every=compact_every
     )
-    eng.instrument = True
+    eng0.instrument = True
     # SPARK_GRAFT_NO_FACTOR=1: force the per-term ΔJ path (engine escape
     # hatch) so a back-to-back pair attributes the factored path's win on
     # identical code and host window
     if os.environ.get("SPARK_GRAFT_NO_FACTOR"):
-        eng.factor_terms = False
+        eng0.factor_terms = False
     per_batch = []
     totals: dict[str, dict] = {}
 
@@ -92,13 +110,13 @@ def main() -> None:
         batch = batch.localCheckpoint()  # count once, fold from memory
         n_in = batch.count()
         t0 = time.perf_counter()
-        eng.process_batch(split_deltas(batch, rel_columns), batch_id)
+        eng0.process_batch(split_deltas(batch, rel_columns), batch_id)
         sec = time.perf_counter() - t0
         prof = {
             k: {"jobs": v["jobs"], "stages": v["stages"], "sec": round(v["sec"], 2)}
-            for k, v in eng.last_profile.items()
+            for k, v in eng0.last_profile.items()
         }
-        for k, v in eng.last_profile.items():
+        for k, v in eng0.last_profile.items():
             t = totals.setdefault(k, {"jobs": 0, "stages": 0, "sec": 0.0})
             t["jobs"] += v["jobs"]
             t["stages"] += v["stages"]
@@ -110,6 +128,11 @@ def main() -> None:
                 "batch_sec": round(sec, 2),
                 "profiled_jobs": sum(v["jobs"] for v in prof.values()),
                 "profiled_sec": round(sum(v["sec"] for v in prof.values()), 2),
+                # round 11: term-build localCheckpoint materializations and
+                # factored engagement per batch — the guard against deep
+                # chains inverting the factored win via O(depth) B unions
+                "localCheckpoints": eng0.last_checkpoints,
+                "factored": eng0.last_factored,
                 "phases": prof,
             }
         )
@@ -120,16 +143,16 @@ def main() -> None:
 
     repeat_runs = []
     for rep in range(1, repeats):
-        eng = IncrementalAcyclicQuery(
+        rep_eng = IncrementalAcyclicQuery(
             spark,
             f"{work}/state_rep{rep}",
-            _q10_topk_spec(),
+            spec_fn(),
             compact_every=compact_every,
         )
-        eng.instrument = True
+        rep_eng.instrument = True
         rep_batches: list[dict] = []
 
-        def rep_handle(batch, batch_id, _eng=eng, _out=rep_batches):
+        def rep_handle(batch, batch_id, _eng=rep_eng, _out=rep_batches):
             batch = batch.localCheckpoint()
             batch.count()
             t0 = time.perf_counter()
@@ -147,22 +170,41 @@ def main() -> None:
         run_delta_stream(spark, delta_dir, schema, f"{work}/rep{rep}", rep_handle)
         repeat_runs.append(rep_batches)
 
-    # exactness: maintained top-20 == from-scratch ORDER BY over final view
-    cols = ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
-    maintained = {tuple(r) for r in eng.topk_result().select(*cols).collect()}
-    scratch = {
-        tuple(r)
-        for r in eng.result()
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
-        .select(*cols)
-        .collect()
-    }
+    if shape == "star":
+        # exactness for the star: the PROFILED engine's maintained view must
+        # equal a twin fed the identical stream with factor_terms inverted —
+        # the controlled-pair equivalence, checked in-run on eng0 itself
+        twin = IncrementalAcyclicQuery(
+            spark, f"{work}/state_twin", spec_fn(), compact_every=compact_every
+        )
+        twin.factor_terms = not eng0.factor_terms
+
+        def twin_handle(batch, batch_id):
+            twin.process_batch(split_deltas(batch, rel_columns), batch_id)
+
+        run_delta_stream(spark, delta_dir, schema, f"{work}/twin", twin_handle)
+        maintained = {tuple(r) for r in eng0.result().collect()}
+        scratch = {tuple(r) for r in twin.result().collect()}
+    else:
+        # exactness: maintained top-20 == from-scratch ORDER BY over final
+        # view — checked against eng0, the engine the profile describes
+        cols = ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
+        maintained = {tuple(r) for r in eng0.topk_result().select(*cols).collect()}
+        scratch = {
+            tuple(r)
+            for r in eng0.result()
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20)
+            .select(*cols)
+            .collect()
+        }
     out = {
         "tool": "ivm_fold_profile",
         "sf_dir": sf_dir,
         "n_chunks": n_chunks,
         "compact_every": compact_every,
+        "shape": shape,
+        "factor_terms": eng0.factor_terms,
         "wall_sec": round(wall, 2),
         "per_batch": per_batch,
         "phase_totals": {

@@ -175,20 +175,20 @@ def main() -> None:
         .filter(F.col("m") > 0)
         .select("user_id", F.col("tv").cast("double").alias("total_value"))
     )
+    # UNROUNDED equality (r10 advice — no tolerance): both readings SUM in
+    # exact DECIMAL and apply one deterministic cast-to-double at the end,
+    # so equal multisets give bit-equal doubles; any difference is a bug
     maintained_view = {
-        (r["user_id"], round(r["total_value"], 4))
-        for r in eng.result().collect()
+        (r["user_id"], r["total_value"]) for r in eng.result().collect()
     }
     scratch_rows = {
-        (r["user_id"], round(r["total_value"], 4))
-        for r in scratch_view.collect()
+        (r["user_id"], r["total_value"]) for r in scratch_view.collect()
     }
     top_maintained = {
-        (r["user_id"], round(r["total_value"], 4))
-        for r in eng.topk_result().collect()
+        (r["user_id"], r["total_value"]) for r in eng.topk_result().collect()
     }
     top_scratch = {
-        (r["user_id"], round(r["total_value"], 4))
+        (r["user_id"], r["total_value"])
         for r in scratch_view.orderBy(
             F.col("total_value").desc(), F.col("user_id")
         )

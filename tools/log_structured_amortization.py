@@ -17,6 +17,12 @@ BY over the final view) for each regime — both runs must be exact for the
 comparison to count. Committed as LOG_STRUCTURED_AMORTIZATION.json; the
 regime the data supports becomes the documented long-stream default.
 
+Round 11 adds a third run: ``compact_every="auto"`` — the adaptive
+regime the measurement motivated (merge for the first AUTO_SWITCH_BATCHES
+committed batches, then log-structured K=3). Its cumulative series must sit
+between the two pure regimes and converge toward log-structured; the
+per-batch ``regime`` field records the switch batch.
+
 Usage: python tools/log_structured_amortization.py [sf_dir] [n_chunks] [K]
 (defaults: .scratch/sf1, 16, 3). One JSON line to stdout.
 """
@@ -49,7 +55,7 @@ from flink_and_acyclic_schema_spark.streaming.delta_transport import (  # noqa: 
 )
 
 
-def run_regime(spark, delta_dir, schema, rel_columns, compact_every: int) -> dict:
+def run_regime(spark, delta_dir, schema, rel_columns, compact_every) -> dict:
     work = tempfile.mkdtemp(prefix=f"ls_amort_k{compact_every}_")
     eng = IncrementalAcyclicQuery(
         spark, f"{work}/state", _q10_topk_spec(), compact_every=compact_every
@@ -71,6 +77,8 @@ def run_regime(spark, delta_dir, schema, rel_columns, compact_every: int) -> dic
                 "profiled_jobs": sum(
                     v["jobs"] for v in eng.last_profile.values()
                 ),
+                # regime in effect this batch (shows the "auto" switch)
+                "regime": eng.compact_every,
             }
         )
 
@@ -124,8 +132,9 @@ def main() -> None:
         la0 = None
     merge = run_regime(spark, delta_dir, schema, rel_columns, 1)
     log_structured = run_regime(spark, delta_dir, schema, rel_columns, k)
+    auto = run_regime(spark, delta_dir, schema, rel_columns, "auto")
     out = {
-        "tool": "log_structured_amortization (round 10)",
+        "tool": "log_structured_amortization (round 10; auto regime round 11)",
         "question": "does the log-structured O(Δ)-append regime beat "
         "merge-and-rewrite cumulatively over a LONG stream (the round-9 "
         "4-batch wash said 'the win amortizes' — unproven until now)",
@@ -139,6 +148,7 @@ def main() -> None:
         "profiled JOBS per batch are the host-independent signal",
         "merge_mode": merge,
         "log_structured": log_structured,
+        "auto": auto,
     }
     print(json.dumps(out))
     spark.stop()
