@@ -31,10 +31,17 @@ Prints one JSON line (default sf_dir .scratch/sf1, compact_every 1 = the
 registered stack's merge-and-rewrite regime; pass >1 to profile the
 log-structured O(Δ)-IO regime on the same stack) — committed as
 IVM_FOLD_PROFILE.json with before/after runs of the round-9 fusion.
-``shape`` (round 11): ``q10`` (default, the path-shaped flagship stack) or
+``shape`` (round 11): ``q10`` (default, the path-shaped flagship stack),
 ``star`` — the registered degree-3 star around lineitem
-(plans/ivm_ext._star_spec), the shape the generalized tree factorization
-targets; pair with SPARK_GRAFT_NO_FACTOR=1 for the controlled A/B.
+(plans/ivm_ext._star_spec) — or ``q10tree`` — the Q10 chain with part AND
+supplier branches off lineitem (a degree-3 node atop a 4-relation chain).
+Pair any shape with SPARK_GRAFT_NO_FACTOR=1 for the controlled A/B.
+The two tree shapes bracket the factorization's value: a DEPTH-1 star has
+no shared multi-relation new-side chain (per-term re-joins only the single
+center state, so factored≈per-term — measured parity); ``q10tree`` is the
+shape the generalization actually pays off on — the Δpart/Δsupplier terms
+each re-join the whole new-side nation–customer–orders–lineitem chain in
+the per-term decomposition, and the factored form joins it once.
 """
 
 from __future__ import annotations
@@ -65,6 +72,98 @@ from flink_and_acyclic_schema_spark.streaming.delta_transport import (  # noqa: 
 )
 
 
+def _q10tree_gens():
+    from flink_and_acyclic_schema_spark.streaming.delta_transport import DeltaGen
+
+    return (
+        DeltaGen(
+            "lineitem",
+            "l_orderkey",
+            (
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_returnflag",
+            ),
+            dup_mod=5,
+            del_mod=7,
+        ),
+        DeltaGen(
+            "orders", "o_orderkey", ("o_orderkey", "o_custkey", "o_orderdate"),
+            del_mod=7,
+        ),
+        DeltaGen(
+            "customer", "c_custkey", ("c_custkey", "c_name", "c_nationkey"),
+            del_mod=13,
+        ),
+        DeltaGen("nation", "n_nationkey", ("n_nationkey", "n_name")),
+        DeltaGen("part", "p_partkey", ("p_partkey", "p_brand")),
+        DeltaGen("supplier", "s_suppkey", ("s_suppkey", "s_nationkey")),
+    )
+
+
+def _q10tree_spec():
+    """Q10's 4-relation chain with part AND supplier branching off lineitem
+    (degree-3 node atop the chain) — deltas on all six relations, so the
+    per-term decomposition re-joins the shared new-side chain once per
+    branch delta while the factored tree joins every new relation once."""
+    from flink_and_acyclic_schema_spark.plans.ivm_topk_ext import (
+        Q10_DATE_HI,
+        Q10_DATE_LO,
+        _revenue,
+    )
+    from flink_and_acyclic_schema_spark.streaming.acyclic import (
+        AcyclicQuerySpec,
+        RelSpec,
+    )
+
+    return AcyclicQuerySpec(
+        relations=(
+            RelSpec(
+                "lineitem",
+                delta_filter=lambda d: d.filter(F.col("l_returnflag") == "R"),
+                project=(
+                    "l_orderkey",
+                    "l_partkey",
+                    "l_suppkey",
+                    "l_extendedprice",
+                    "l_discount",
+                ),
+                buckets=16,
+                bucket_key=("l_orderkey",),
+            ),
+            RelSpec(
+                "orders",
+                join_on=("o_orderkey", "l_orderkey"),
+                delta_filter=lambda d: d.filter(
+                    (F.col("o_orderdate") >= F.lit(Q10_DATE_LO).cast("timestamp_ntz"))
+                    & (F.col("o_orderdate") < F.lit(Q10_DATE_HI).cast("timestamp_ntz"))
+                ),
+                project=("o_orderkey", "o_custkey"),
+                buckets=16,
+                bucket_key=("o_orderkey",),
+            ),
+            RelSpec(
+                "customer",
+                join_on=("c_custkey", "o_custkey"),
+                buckets=16,
+                bucket_key=("c_custkey",),
+            ),
+            RelSpec(
+                "nation",
+                join_on=("n_nationkey", "c_nationkey"),
+                broadcast_state=True,
+            ),
+            RelSpec("part", join_on=("p_partkey", "l_partkey")),
+            RelSpec("supplier", join_on=("s_suppkey", "l_suppkey")),
+        ),
+        group_by=("n_name", "p_brand"),
+        measures={"revenue": _revenue},
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO_ROOT, ".scratch/sf1")
     n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -84,6 +183,8 @@ def main() -> None:
         )
 
         gens, spec_fn = _star_gens(), lambda: _star_spec(buckets=64)
+    elif shape == "q10tree":
+        gens, spec_fn = _q10tree_gens(), _q10tree_spec
     else:
         gens, spec_fn = _q10_gens(), _q10_topk_spec
     delta_dir, schema = generate_delta_chunks(
@@ -170,10 +271,10 @@ def main() -> None:
         run_delta_stream(spark, delta_dir, schema, f"{work}/rep{rep}", rep_handle)
         repeat_runs.append(rep_batches)
 
-    if shape == "star":
-        # exactness for the star: the PROFILED engine's maintained view must
-        # equal a twin fed the identical stream with factor_terms inverted —
-        # the controlled-pair equivalence, checked in-run on eng0 itself
+    if shape in ("star", "q10tree"):
+        # exactness for the tree shapes: the PROFILED engine's maintained
+        # view must equal a twin fed the identical stream with factor_terms
+        # inverted — the controlled-pair equivalence, checked in-run on eng0
         twin = IncrementalAcyclicQuery(
             spark, f"{work}/state_twin", spec_fn(), compact_every=compact_every
         )
