@@ -1642,6 +1642,86 @@ def test_factored_tree_star_prefix_closure_any_split(
     assert got_f == got_p
 
 
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    # parents[i] ∈ [0, i] assigns relation i+1's tree parent among the
+    # relations before it — every acyclic tree shape on 5 nodes arises,
+    # including paths, flat stars, and branched chains
+    parents=st.tuples(*(st.integers(0, i) for i in range(4))),
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 4),  # relation index
+            st.integers(1, 3),  # key value
+            st.integers(1, 5),  # payload
+            st.sampled_from([1, -1]),
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+    split=st.integers(0, 16),
+)
+def test_factored_random_tree_shapes_match_per_term(
+    spark, tmp_path_factory, parents, ops, split
+):
+    """The strongest pin of the leaf-peeling generalization: hypothesis
+    draws a RANDOM 5-relation tree shape (any parent assignment — paths,
+    stars, branched chains), random weighted ops, and a random batch
+    split; the factored engine must equal the per-term twin exactly.
+    Relation 0 is the root carrying the measure; relation i joins its
+    parent on the parent's dedicated child-key column."""
+    n = 5
+    # rel i (i>0) joins parent p via p's column c{p}{i} == own column j{i};
+    # root rows carry one child-key column per possible child plus v
+    kid_cols = {p: [i for i in range(1, n) if parents[i - 1] == p] for p in range(n)}
+
+    def schema_of(rel):
+        cols = [f"c_{rel}_{k} int" for k in kid_cols[rel]]
+        if rel == 0:
+            return ", ".join(["j_0 int, v int"] + cols + ["weight int"])
+        return ", ".join([f"j_{rel} int"] + cols + ["weight int"])
+
+    relspecs = [RelSpec("r0")]
+    for i in range(1, n):
+        relspecs.append(
+            RelSpec(f"r{i}", join_on=(f"j_{i}", f"c_{parents[i - 1]}_{i}"))
+        )
+    spec = AcyclicQuerySpec(
+        relations=tuple(relspecs),
+        group_by=("j_0",),
+        measures={"total": lambda: F.col("v")},
+    )
+
+    def row_of(rel, key, payload, w):
+        # child-key columns are derived deterministically from (rel, key)
+        # so matching rows exist across relations with high probability
+        kids = [((key + k) % 3) + 1 for k in kid_cols[rel]]
+        if rel == 0:
+            return tuple([key, payload] + kids + [w])
+        return tuple([key] + kids + [w])
+
+    split = min(split, len(ops))
+    batches = []
+    for half in (ops[:split], ops[split:]):
+        byrel = {f"r{i}": [] for i in range(n)}
+        for rel, key, payload, w in half:
+            byrel[f"r{rel}"].append(row_of(rel, key, payload, w))
+        batches.append(byrel)
+    tmp = tmp_path_factory.mktemp("ftree")
+    results = []
+    for factor in (True, False):
+        eng = _engine(spark, tmp, spec)
+        eng.factor_terms = factor
+        for b in batches:
+            eng.process_batch(
+                {
+                    rel: spark.createDataFrame(rows, schema_of(int(rel[1:])))
+                    for rel, rows in b.items()
+                }
+            )
+        results.append({r["j_0"]: r["total"] for r in eng.result().collect()})
+    assert results[0] == results[1]
+
+
 def test_auto_regime_switches_and_matches_merge(spark, tmp_path):
     """compact_every="auto" (round 11): merge-and-rewrite for the first
     AUTO_SWITCH_BATCHES committed batches, then the log-structured

@@ -551,3 +551,37 @@ def test_ttl_zone_spec_validation():
         RelSpec(
             "events", ttl=("e_day", lambda wm: wm - F.lit(4)), ttl_zone="0"
         )
+
+
+def test_ttl_with_auto_regime_matches_merge_and_recompute(spark, tmp_path):
+    """compact_every="auto" (round 11) composed with TTL eviction: the
+    merge -> log-structured switch at AUTO_SWITCH_BATCHES lands mid-stream
+    while the window is actively sliding, so post-switch eviction bands
+    must read APPENDED segments (manifest seg-ts ranges) and pre-switch
+    state must stay exact through the regime change. The auto engine must
+    equal both a merge-mode twin per-prefix and the from-scratch windowed
+    recompute at the end."""
+    n = IncrementalAcyclicQuery.AUTO_SWITCH_BATCHES + 4
+    batches = [
+        [(100 * b + i, 3 * b + i % 3, f"c{i % 3}", b + i, 1) for i in range(8)]
+        + ([(100 * (b - 2), 3 * (b - 2), f"c{(0) % 3}", b - 2, -1)] if b >= 2 else [])
+        for b in range(n)
+    ]
+    eng_a = _engine(spark, tmp_path, _events_spec(), compact_every="auto")
+    eng_m = _engine(spark, tmp_path, _events_spec())
+    switched = False
+    for i, rows in enumerate(batches):
+        eng_a.process_batch(
+            {"events": spark.createDataFrame(rows, EV_SCHEMA)}, batch_id=i
+        )
+        eng_m.process_batch(
+            {"events": spark.createDataFrame(rows, EV_SCHEMA)}, batch_id=i
+        )
+        assert sorted(tuple(r) for r in eng_a.result().collect()) == sorted(
+            tuple(r) for r in eng_m.result().collect()
+        )
+        switched = switched or eng_a.compact_every > 1
+    assert switched  # the regime change actually happened under TTL
+    got = sorted(tuple(r) for r in eng_a.result().collect())
+    want = _recompute([r for b in batches for r in b])
+    assert got == want and got  # exact and non-trivial
