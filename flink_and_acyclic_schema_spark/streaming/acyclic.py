@@ -101,6 +101,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 import uuid
 from collections.abc import Callable, Mapping
@@ -668,6 +669,22 @@ class IncrementalAcyclicQuery:
         self.instrument = False
         self.last_profile: dict[str, dict] = {}
         self._phase_seq = 0
+        self._profile_lock = threading.Lock()
+        # optimization round r11 (guide §2.6 "overlap independent jobs"):
+        # a batch's per-relation state commits (and the aggregate/histogram
+        # commits) are INDEPENDENT actions — each reads only pre-batch
+        # segments (deleted strictly post-manifest) plus its own delta and
+        # writes its own versioned path — so they run concurrently from a
+        # bounded driver thread pool instead of serializing their job
+        # latencies. At bench scale that overlaps the 4-6 write jobs of a
+        # Q10-shaped batch; on a cluster the same overlap back-fills
+        # executors idled by another write's straggler tail. Pool width is
+        # a conf knob (2-3 in flight is typically plenty — guide §2.6);
+        # SPARK_GRAFT_COMMIT_PARALLELISM=1 restores strictly sequential
+        # commits (the equivalence-test escape hatch).
+        self.commit_parallelism = int(
+            os.environ.get("SPARK_GRAFT_COMMIT_PARALLELISM", "4")
+        )
         # engine-unique job-group namespace: two instrumented engines in one
         # JVM (e.g. a profiler's repeat run) would otherwise reuse gids and
         # getJobIdsForGroup would attribute BOTH engines' jobs to each
@@ -1257,7 +1274,8 @@ class IncrementalAcyclicQuery:
                     # both the probe and the term reuse it instead of
                     # computing the delta-bounded join twice per term
                     acc = acc.localCheckpoint()
-                    self.last_checkpoints += 1
+                    with self._profile_lock:
+                        self.last_checkpoints += 1
                     pruning = self._probe_pruning(acc, r, probe)
             side = prep(r, pruning)
             if r.broadcast_state:
@@ -1394,6 +1412,56 @@ class IncrementalAcyclicQuery:
         def datacols(name: str) -> list[str]:
             return [c for c in columns[name] if c not in (WEIGHT, BUCKET)]
 
+        def build_branch_a(i: int) -> DataFrame | None:
+            ri = path[i]
+            suffix = path[i:]
+            if len(suffix) == 1:
+                d = term_delta[ri.name]
+                if BUCKET in d.columns:
+                    d = d.drop(BUCKET)
+                return d.withColumnRenamed(WEIGHT, "_w")
+            # the suffix must resolve as its own subtree — it always
+            # should (leaf-peeling keeps every suffix connected, and
+            # a connected subset of an unambiguous tree resolves
+            # unambiguously) — and the resolved steps are passed
+            # straight into _join_chain, so a reordered suffix can
+            # NEVER hit the sequential spec-order fallback (r10
+            # advice: the outer `columns` and _join_chain's own
+            # re-resolution can no longer diverge)
+            steps = self._delta_first_order(
+                suffix, ri.name, columns, any_order=True
+            )
+            if steps is None:
+                return None
+            versions = {ri.name: term_delta[ri.name]}
+            for rj in suffix[1:]:
+                versions[rj.name] = term_old[rj.name]
+            t = self._join_chain(
+                versions,
+                suffix,
+                delta_name=ri.name,
+                bucket_memo=bucket_memo,
+                apply_residual=False,
+                steps=steps,
+            )
+            keep = [c for rj in suffix for c in datacols(rj.name)]
+            return t.select(*keep, "_w")
+
+        # the Δ branches are mutually independent (each joins its own delta
+        # against OLD-state suffixes; memo keys are per delta relation), so
+        # their eager probe collects / partial-join materializations run
+        # concurrently from the commit pool (guide §2.6; optimization round
+        # r11) — the sequential B spine below consumes them ready-made. A
+        # branch whose suffix fails to resolve keeps the whole tree on the
+        # per-term fallback, exactly as the inline form did.
+        delta_is = [i for i in range(len(path)) if path[i].name in term_delta]
+        built = self._parallel_map(
+            [lambda i=i: build_branch_a(i) for i in delta_is]
+        )
+        branch_as: dict[int, DataFrame | None] = dict(zip(delta_is, built))
+        if any(b is None for b in built):
+            return None
+
         B: DataFrame | None = None
         # probe-side bookkeeping: when B is still the RAW bottom delta it is
         # already lazily localCheckpointed at ingest and its probe is the
@@ -1404,40 +1472,7 @@ class IncrementalAcyclicQuery:
         for i in range(len(path) - 1, -1, -1):
             ri = path[i]
             suffix = path[i:]
-            branch_a = None
-            if ri.name in term_delta:
-                if len(suffix) == 1:
-                    d = term_delta[ri.name]
-                    if BUCKET in d.columns:
-                        d = d.drop(BUCKET)
-                    branch_a = d.withColumnRenamed(WEIGHT, "_w")
-                else:
-                    # the suffix must resolve as its own subtree — it always
-                    # should (leaf-peeling keeps every suffix connected, and
-                    # a connected subset of an unambiguous tree resolves
-                    # unambiguously) — and the resolved steps are passed
-                    # straight into _join_chain, so a reordered suffix can
-                    # NEVER hit the sequential spec-order fallback (r10
-                    # advice: the outer `columns` and _join_chain's own
-                    # re-resolution can no longer diverge)
-                    steps = self._delta_first_order(
-                        suffix, ri.name, columns, any_order=True
-                    )
-                    if steps is None:
-                        return None
-                    versions = {ri.name: term_delta[ri.name]}
-                    for rj in suffix[1:]:
-                        versions[rj.name] = term_old[rj.name]
-                    t = self._join_chain(
-                        versions,
-                        suffix,
-                        delta_name=ri.name,
-                        bucket_memo=bucket_memo,
-                        apply_residual=False,
-                        steps=steps,
-                    )
-                    keep = [c for rj in suffix for c in datacols(rj.name)]
-                    branch_a = t.select(*keep, "_w")
+            branch_a = branch_as.get(i)
             branch_b = None
             if B is not None:
                 pairs, ri_cols, probe_cols = edges[i]
@@ -1467,7 +1502,8 @@ class IncrementalAcyclicQuery:
                         if not b_mat:
                             B = B.localCheckpoint()
                             b_mat = True
-                            self.last_checkpoints += 1
+                            with self._profile_lock:
+                                self.last_checkpoints += 1
                         pruning = self._probe_pruning(B, ri, probe)
                 side = term_new[ri.name].withColumnRenamed(WEIGHT, "_w_r")
                 if pruning is not None:
@@ -1553,9 +1589,11 @@ class IncrementalAcyclicQuery:
             yield
             return
         sc = self.spark.sparkContext
-        self._phase_seq += 1
+        with self._profile_lock:
+            self._phase_seq += 1
+            seq = self._phase_seq
         # unique per phase instance AND per engine (_phase_tag)
-        gid = f"ivm_{self._phase_tag}_{name}_{self._phase_seq}"
+        gid = f"ivm_{self._phase_tag}_{name}_{seq}"
         # save/RESTORE the thread's prior job group + description: inside a
         # foreachBatch thread Structured Streaming owns these properties, and
         # clearing them outright would strip the stream's attribution from
@@ -1583,12 +1621,82 @@ class IncrementalAcyclicQuery:
                 info = tracker.getJobInfo(j)
                 if info is not None:
                     stages += len(info.stageIds)
-            p = self.last_profile.setdefault(
-                name, {"jobs": 0, "stages": 0, "sec": 0.0}
-            )
-            p["jobs"] += len(jobs)
-            p["stages"] += stages
-            p["sec"] += sec
+            with self._profile_lock:
+                p = self.last_profile.setdefault(
+                    name, {"jobs": 0, "stages": 0, "sec": 0.0}
+                )
+                p["jobs"] += len(jobs)
+                p["stages"] += stages
+                p["sec"] += sec
+
+    def _parallel(self, tasks: list[tuple[str, Callable[[], None]]]) -> None:
+        """Run independent per-batch actions concurrently (guide §2.6):
+        each task is a (phase name, thunk) whose Spark jobs are submitted
+        from its own driver thread, so one write's scheduling/commit latency
+        overlaps another's instead of serializing. Thunks must be mutually
+        independent: they may only read pre-batch state files (two-phase
+        commit keeps those on disk until post-manifest cleanup) and write
+        their own versioned paths. ``inheritable_thread_target`` propagates
+        the calling thread's JVM-local properties (the stream's job group /
+        description), so attribution and cancellation behave exactly as in
+        the sequential form; ``_phase`` re-scopes per thread. Errors
+        propagate after all tasks settle — the caller's snapshot/restore
+        retry discipline is unchanged (versioned paths make a failed
+        batch's partial writes plain overwrites on retry)."""
+        if self.commit_parallelism <= 1 or len(tasks) <= 1:
+            for name, fn in tasks:
+                with self._phase(name):
+                    fn()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        def run(name: str, fn: Callable[[], None]) -> None:
+            with self._phase(name):
+                fn()
+
+        target = inheritable_thread_target(run)
+        with ThreadPoolExecutor(
+            max_workers=min(self.commit_parallelism, len(tasks))
+        ) as pool:
+            futures = [pool.submit(target, name, fn) for name, fn in tasks]
+        err = None
+        for f in futures:
+            e = f.exception()
+            if err is None and e is not None:
+                err = e
+        if err is not None:
+            raise err
+
+    def _parallel_map(self, fns: list) -> list:
+        """Ordered results of independent thunks, run concurrently from the
+        bounded commit pool (guide §2.6). Used for term construction, whose
+        eager probe-pruning collects / partial-join materializations are
+        independent across delta relations — submitted from worker threads
+        they overlap instead of serializing their driver round-trips.
+        ``inheritable_thread_target`` propagates the submitting thread's JVM
+        local properties, so jobs stay attributed to the enclosing phase.
+        Errors propagate after all thunks settle."""
+        if self.commit_parallelism <= 1 or len(fns) <= 1:
+            return [fn() for fn in fns]
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        targets = [inheritable_thread_target(fn) for fn in fns]
+        with ThreadPoolExecutor(
+            max_workers=min(self.commit_parallelism, len(fns))
+        ) as pool:
+            futures = [pool.submit(t) for t in targets]
+        err = None
+        for f in futures:
+            e = f.exception()
+            if err is None and e is not None:
+                err = e
+        if err is not None:
+            raise err
+        return [f.result() for f in futures]
 
     def process_batch(
         self,
@@ -1890,9 +1998,7 @@ class IncrementalAcyclicQuery:
                                 fact = fact.withColumn("_w", -F.col("_w"))
                             terms.append(self._term_project(fact))
                             continue
-                    for i, ri in enumerate(vlist):
-                        if ri.name not in term_delta:
-                            continue
+                    def build_term(i: int, ri: RelSpec, vlist=vlist, sign=sign):
                         versions = {}
                         for j, rj in enumerate(vlist):
                             if j < i:
@@ -1906,7 +2012,21 @@ class IncrementalAcyclicQuery:
                         )
                         if sign < 0:
                             t = t.withColumn("_w", -F.col("_w"))
-                        terms.append(self._term_project(t))
+                        return self._term_project(t)
+
+                    # per-term decomposition: the terms are independent
+                    # (distinct delta relations, distinct memo keys) — run
+                    # their eager probe collects concurrently, keeping the
+                    # union's term order deterministic (guide §2.6)
+                    terms.extend(
+                        self._parallel_map(
+                            [
+                                lambda i=i, ri=ri: build_term(i, ri)
+                                for i, ri in enumerate(vlist)
+                                if ri.name in term_delta
+                            ]
+                        )
+                    )
         if not terms:
             # empty batch: no state changes, but still record batch_id so
             # last_batch stays aligned with the stream's committed offsets
@@ -1945,7 +2065,8 @@ class IncrementalAcyclicQuery:
                 ),
             )
 
-        touched_groups = pre_view = None
+        touched_groups = None
+        pre_view_box: list = [None]
         if emit_delta:
             # materialize the delta-join once (it feeds the commit below and
             # the touched-group set), then snapshot the PRE-batch view rows
@@ -1962,8 +2083,6 @@ class IncrementalAcyclicQuery:
                     )
                 with self._phase("touched"):
                     touched_groups = touched_groups.distinct().localCheckpoint()
-            with self._phase("emit_pre"):
-                pre_view = self._emit(touched_groups).localCheckpoint()
 
         # two-phase commit: every write of this batch executes BEFORE any
         # superseded files are deleted — the agg write's lazy plan still scans
@@ -1975,13 +2094,22 @@ class IncrementalAcyclicQuery:
             # within the current window — (unbounded, wm] is a safe superset
             if r.ttl is not None and r.name in filt and r.name not in seg_range:
                 seg_range[r.name] = (None, self._watermarks.get(r.name))
+        # the per-relation, aggregate, and histogram commits are mutually
+        # independent (each reads pre-batch segments + its own delta, writes
+        # its own versioned path) — run them from a bounded thread pool so
+        # their job latencies overlap (guide §2.6; optimization round r11)
+        commit_tasks: list[tuple[str, Callable[[], None]]] = []
+
+        def _rel_task(rel: str) -> Callable[[], None]:
+            return lambda: self._commit_state(
+                rel, new[rel], filt[rel], cleanup, ts_range=seg_range.get(rel)
+            )
+
         for rel in changed:
-            with self._phase(f"state_write:{rel}"):
-                self._commit_state(
-                    rel, new[rel], filt[rel], cleanup, ts_range=seg_range.get(rel)
-                )
+            commit_tasks.append((f"state_write:{rel}", _rel_task(rel)))
         agg_old = self._read_paths("agg", self._segments.get("agg", []))
-        with self._phase("agg_write"):
+
+        def _agg_task() -> None:
             if self.compact_every == 1:
                 self._commit_state(
                     "agg",
@@ -1994,24 +2122,47 @@ class IncrementalAcyclicQuery:
                 self._commit_state(
                     "agg", None, agg_delta, cleanup, net_fn=self._agg_net
                 )
+
+        commit_tasks.append(("agg_write", _agg_task))
+
         # value-histogram state for non-invertible aggregates: same ΔJ,
         # grouped one level finer — (group key, value) -> net weight
-        for name in self.spec.hist_measures:
-            rel = f"hist::{name}"
-            hd = hist_deltas[name]
-            with self._phase(f"hist_write:{name}"):
+        def _hist_task(rel: str, hd: DataFrame) -> Callable[[], None]:
+            def run() -> None:
                 if self.compact_every == 1:
                     h_old = self._read_paths(rel, self._segments.get(rel, []))
                     self._commit_state(rel, h_old.unionByName(hd), hd, cleanup)
                 else:
                     self._commit_state(rel, None, hd, cleanup)
+
+            return run
+
+        for name in self.spec.hist_measures:
+            commit_tasks.append(
+                (f"hist_write:{name}", _hist_task(f"hist::{name}", hist_deltas[name]))
+            )
+        if emit_delta:
+            # the PRE-batch view snapshot reads only pre-batch state files,
+            # which two-phase commit keeps on disk until the post-manifest
+            # cleanup — so its EXECUTION is independent of every state write
+            # above and joins the same parallel wave (guide §2.6;
+            # optimization r11). The plan is built HERE on the main thread —
+            # _emit resolves segment paths at plan-build time, and the
+            # concurrent commits swap self._segments to the new versions —
+            # so the snapshot is pinned to the pre-batch files before any
+            # commit task can run.
+            pre_plan = self._emit(touched_groups)
+
+            def _pre_task() -> None:
+                pre_view_box[0] = pre_plan.localCheckpoint()
+
+            commit_tasks.append(("emit_pre", _pre_task))
+        self._parallel(commit_tasks)
+        pre_view = pre_view_box[0]
         if batch_id is not None:
             self._last_batch = batch_id
         changelog = None
         if emit_delta:
-            # post-batch view reads the freshly written (pre-manifest) state
-            with self._phase("emit_post"):
-                post_view = self._emit(touched_groups).localCheckpoint()
             # pre(−1) ∪ post(+1), un-netted: a touched group whose emitted
             # row did not actually change contributes an identical ± pair
             # that nets to zero in every consumer (downstream engines sum
@@ -2019,19 +2170,32 @@ class IncrementalAcyclicQuery:
             # Groups touched only through zero-net contributions (a delta
             # canceling against state rows inside the unmerged union) are
             # the round-9 source of such pairs — bounded by touched groups.
-            changelog = post_view.withColumn(WEIGHT, F.lit(1)).unionByName(
-                pre_view.withColumn(WEIGHT, F.lit(-1))
-            )
+            # The post-batch view reads the freshly written (pre-manifest)
+            # state; the pre side is the wave-materialized checkpoint.
+            changelog = self._emit(touched_groups).withColumn(
+                WEIGHT, F.lit(1)
+            ).unionByName(pre_view.withColumn(WEIGHT, F.lit(-1)))
             if batch_id is not None:
                 # persist the emitted changelog INSIDE this batch's atomic
                 # commit so a crash-replayed batch can still hand the exact
-                # view delta to downstream engines / sinks (see replay skip)
+                # view delta to downstream engines / sinks (see replay skip).
+                # The post-view plan executes INSIDE this write — fused into
+                # one action (optimization r11: the former emit_post
+                # localCheckpoint + emitted_write pair cost two sequential
+                # jobs per batch) — and downstream consumers get the written
+                # file read back, exactly the replay path's frame.
                 epath = os.path.join(self.state_dir, f"emitted_b{batch_id}")
                 with self._phase("emitted_write"):
                     changelog.write.mode("overwrite").parquet(epath)
+                changelog = self.spark.read.parquet(epath)
                 if self._emitted is not None:
                     cleanup.append(self._emitted["path"])
                 self._emitted = {"batch": batch_id, "path": epath}
+            else:
+                # no durable emission requested: materialize the post view so
+                # the returned changelog does not re-execute it per consumer
+                with self._phase("emit_post"):
+                    changelog = changelog.localCheckpoint()
         # count only state-writing batches (empty batches cost no IO in
         # either regime, so they don't advance the auto switch)
         self._committed_batches += 1
@@ -2068,14 +2232,14 @@ class IncrementalAcyclicQuery:
         if self.compact_every == 1:
             nxt = self._version[rel] + 1
             p = self._path(rel, nxt)
-            self._net_write(rel, merged, p, net_fn)
+            n_rows = self._net_write(rel, merged, p, net_fn)
             self._version[rel] = nxt
             cleanup.extend(self._segments.get(rel, []))
             self._segments[rel] = [p]
             if is_ttl:
                 prior = self._seg_ts.get(rel, {}).values()
                 self._seg_ts[rel] = {p: _range_union([*prior, ts_range])}
-            self._rebucket_written(rel, p, cleanup)
+            self._rebucket_written(rel, p, cleanup, n_rows=n_rows)
             return
         n = self._appends.get(rel, 0)
         seg = self._seg_path(rel, n)
@@ -2087,7 +2251,9 @@ class IncrementalAcyclicQuery:
         if len(self._segments[rel]) > self.compact_every:
             nxt = self._version[rel] + 1
             cp = self._path(rel, nxt)
-            self._net_write(rel, self._read_paths(rel, self._segments[rel]), cp, net_fn)
+            n_rows = self._net_write(
+                rel, self._read_paths(rel, self._segments[rel]), cp, net_fn
+            )
             self._version[rel] = nxt
             cleanup.extend(self._segments[rel])
             self._segments[rel] = [cp]
@@ -2095,9 +2261,9 @@ class IncrementalAcyclicQuery:
                 self._seg_ts[rel] = {
                     cp: _range_union(self._seg_ts.get(rel, {}).values())
                 }
-            self._rebucket_written(rel, cp, cleanup)
+            self._rebucket_written(rel, cp, cleanup, n_rows=n_rows)
 
-    def _net_write(self, rel: str, df: DataFrame, path: str, net_fn=None) -> None:
+    def _net_write(self, rel: str, df: DataFrame, path: str, net_fn=None) -> int | None:
         """Net a (possibly unmerged) weighted multiset and write it as one
         state version — in ONE full-state shuffle (round 9). A bucketed
         relation is repartitioned by ``_bucket`` FIRST; the net's groupBy
@@ -2116,11 +2282,10 @@ class IncrementalAcyclicQuery:
             df = df.repartition(self._buckets[rel], F.col(BUCKET))
             # re-conform: the net's SUM may widen/reorder columns; a plain
             # projection that preserves the child's partitioning
-            self._write_state(
+            return self._write_state(
                 rel, self._conform(rel, net(df)), path, pre_partitioned=True
             )
-        else:
-            self._write_state(rel, self._conform(rel, net(df)), path)
+        return self._write_state(rel, self._conform(rel, net(df)), path)
 
     def _zone_col(self, r: RelSpec) -> Column:
         """Coarse event-time zone of a row — floor(ts / ttl_zone width), with
@@ -2134,7 +2299,9 @@ class IncrementalAcyclicQuery:
             ts = ts.cast("timestamp").cast("long")
         return F.floor(ts / F.lit(w))
 
-    def _rebucket_written(self, rel: str, path: str, cleanup: list[str]) -> None:
+    def _rebucket_written(
+        self, rel: str, path: str, cleanup: list[str], n_rows: int | None = None
+    ) -> None:
         """Adaptive bucket-count growth, applied ONLY where state was just
         fully rewritten (merge-mode write / log-structured compaction), so
         every live segment always shares one layout. Grows in powers of two
@@ -2142,17 +2309,24 @@ class IncrementalAcyclicQuery:
         ``bucket_target_rows``; never shrinks (shrinking buys nothing —
         pruning selectivity only degrades when buckets are too COARSE).
 
-        The row count comes from the FRESHLY WRITTEN files' parquet footers
-        — a metadata-only job — instead of a ``df.count()`` that would
-        re-execute the whole merge/compaction plan a second time (the
-        round-6 form did exactly that, an extra O(state) compute job per
-        merge-mode batch). Growth itself then rewrites the materialized
-        files once — rare, amortized, and reading parquet beats re-running
-        the merge."""
+        The row count rides the state write itself (optimization round r11):
+        ``_write_state`` attaches a ``df.observe`` count to the write plan,
+        so the number of rows written costs ZERO extra jobs — the round-6
+        form re-executed the whole merge plan in a ``df.count()``, the
+        round-9 form replaced that with a footer-metadata read that was
+        cheap but still one scheduled job per bucketed relation per
+        merge-mode batch. ``n_rows=None`` (callers without an observed
+        write) falls back to the footer read. Growth itself then rewrites
+        the materialized files once — rare, amortized, and reading parquet
+        beats re-running the merge."""
         r = self._by_name.get(rel)
         if r is None or r.bucket_target_rows <= 0 or r.buckets == 0:
             return
-        n = self.spark.read.parquet(path).count()  # footer metadata only
+        n = (
+            n_rows
+            if n_rows is not None
+            else self.spark.read.parquet(path).count()  # footer metadata only
+        )
         want = r.buckets
         while n / want > r.bucket_target_rows:
             want *= 2
@@ -2174,7 +2348,7 @@ class IncrementalAcyclicQuery:
 
     def _write_state(
         self, rel: str, df: DataFrame, path: str, pre_partitioned: bool = False
-    ) -> None:
+    ) -> int | None:
         """Write one state file set. A bucketed relation is hash-partitioned
         on ``_bucket`` (parquet partition column, one writer task per bucket
         so the layout stays one-file-per-bucket locally; at cluster scale the
@@ -2199,6 +2373,16 @@ class IncrementalAcyclicQuery:
         band reads on bucketed state prune at segment granularity only —
         documented trade-off."""
         r = self._by_name.get(rel)
+        # adaptive-growth relations get their written-row count OBSERVED on
+        # the write plan itself (a map-side CollectMetrics — no partitioning
+        # change, no extra job), replacing _rebucket_written's former
+        # footer-count job (optimization round r11)
+        obs = None
+        if r is not None and r.buckets > 0 and r.bucket_target_rows > 0:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         if r is not None and r.buckets > 0:
             sort_cols: list = [F.col(BUCKET)]
             if r.ttl is not None and r.ttl_zone is not None:
@@ -2224,6 +2408,7 @@ class IncrementalAcyclicQuery:
             )
         else:
             df.write.mode("overwrite").parquet(path)
+        return int(obs.get["rows"]) if obs is not None else None
 
     # --- result -------------------------------------------------------------
     def result(self, touched: DataFrame | None = None) -> DataFrame:

@@ -88,14 +88,31 @@ def generate_delta_chunks(
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
+    # ONE job for all chunks (optimization round r11): the former per-chunk
+    # filter+coalesce(1) loop executed the whole union-of-selects plan once
+    # PER CHUNK — n_chunks full passes over the base tables before the
+    # stream even starts. Repartitioning by the chunk value instead lands
+    # each chunk in exactly one task and partitionBy splits the files by
+    # chunk dir, so one pass writes every chunk; the files are then moved to
+    # the same flat chunk{i}.parquet layout the streaming reader expects
+    # (partitionBy drops the chunk column from file contents, exactly like
+    # the old .drop("chunk")).
+    tmp = os.path.join(out_dir, "_tmp")
+    wide.repartition(n_chunks, F.col("chunk")).write.mode("overwrite").partitionBy(
+        "chunk"
+    ).parquet(tmp)
     for i in range(n_chunks):
-        tmp = os.path.join(out_dir, f"_tmp{i}")
-        wide.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        parts = glob.glob(os.path.join(tmp, f"chunk={i}", "part-*.parquet"))
+        if not parts:  # an empty chunk still needs a file for the stream
+            wide.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp, f"chunk={i}_empty"))
+            parts = glob.glob(
+                os.path.join(tmp, f"chunk={i}_empty", "part-*.parquet")
+            )
+        (part,) = parts
         shutil.move(part, os.path.join(out_dir, f"chunk{i}.parquet"))
-        shutil.rmtree(tmp)
+    shutil.rmtree(tmp)
     schema = wide.drop("chunk").schema
     return out_dir, schema
 

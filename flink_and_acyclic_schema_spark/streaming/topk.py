@@ -65,6 +65,12 @@ WEIGHT = "weight"
 BUCKET = "_bucket"  # reserved shard column, engine streaming/acyclic.py
 
 
+def _parallel_writes() -> bool:
+    """Shared knob with the engine's commit pool (guide §2.6):
+    SPARK_GRAFT_COMMIT_PARALLELISM=1 restores strictly sequential writes."""
+    return int(os.environ.get("SPARK_GRAFT_COMMIT_PARALLELISM", "4")) > 1
+
+
 def _publish_manifest(manifest_path: str, data: dict, adopt=None, gc=None) -> None:
     """The ONE staged-commit protocol both views (and the engine) rely on,
     extracted so the replay-safety invariants live in a single place — the
@@ -1006,11 +1012,12 @@ class GroupedTopKView:
         cand_map = dict(self._cand_map)
         bound_map = dict(self._bound_map)
         bucket_rows = dict(self._bucket_rows)
-        written = []
-        for df, name, mp in (
-            (cand, f"cand_v{v}", cand_map),
-            (bound, f"bound_v{v}", bound_map),
-        ):
+        # the candidate and boundary writes are independent actions into
+        # distinct paths — submit them from two driver threads so their job
+        # latencies overlap (guide §2.6; optimization round r11). They share
+        # the lazily-checkpointed candidate plan; concurrent first
+        # materialization is a benign block-store put race.
+        def _write_shards(df: DataFrame, name: str) -> str:
             path = os.path.join(self.state_dir, name)
             (
                 df.withColumn(BUCKET, self._bexpr())
@@ -1020,6 +1027,24 @@ class GroupedTopKView:
                 .partitionBy(BUCKET)
                 .parquet(path)
             )
+            return path
+
+        targets = ((cand, f"cand_v{v}", cand_map), (bound, f"bound_v{v}", bound_map))
+        if _parallel_writes():
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            target = inheritable_thread_target(_write_shards)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futures = [
+                    pool.submit(target, df, name) for df, name, _ in targets
+                ]
+            paths = [f.result() for f in futures]
+        else:
+            paths = [_write_shards(df, name) for df, name, _ in targets]
+        written = []
+        for path, (_, _, mp) in zip(paths, targets):
             present = {
                 d.split("=", 1)[1]
                 for d in os.listdir(path)
@@ -1215,40 +1240,60 @@ class GroupedTopKView:
             on=list(self.group_cols),
             how="left_anti",
         )
-        fresh = self._non_null_order(self._refill_fn(drained))
-        # the refill reads ENGINE state (drained-restricted semi-joins) and
-        # feeds both the candidate and the boundary writes — checkpoint it
-        # lazily so the state read runs once per batch, not per consumer
-        ranked_fresh = self._rank(fresh).localCheckpoint(eager=False)
-        cand = (
-            cand.join(drained, on=list(self.group_cols), how="left_anti")
-            .unionByName(
-                ranked_fresh.filter(F.col("_rn") <= self.k + self.slack)
-                .drop("_rn")
-                .select(*cand0.columns)
-            )
-        )
-        bound = bound0.join(
-            drained, on=list(self.group_cols), how="left_anti"
-        ).unionByName(self._bound_of(ranked_fresh))
-
         # trim groups past k+2*slack back to k+slack (disjoint from drained:
         # these hold > k rows under the same pre-refill counts)
         over = counts.filter(F.col("_n") > self.k + 2 * self.slack).select(
             *self.group_cols
         )
-        ranked_over = self._rank(
-            cand.join(over, on=list(self.group_cols), how="left_semi")
+        # ONE bounded probe job per batch (optimization round r11): at steady
+        # state most batches drain and overflow NOTHING, yet the refill
+        # branch used to read the whole ENGINE aggregate state every batch
+        # (the drained-restricted semi-join restricts rows, not the scan) and
+        # the trim branch bloated every write plan with a second rank. A
+        # limit-1 existence probe over each gate set (both derive from the
+        # already-checkpointed candidate set of the TOUCHED shards — a small
+        # bounded read) lets an empty gate skip its branch outright: the
+        # anti-join against an empty set and the union with an empty refill
+        # are exact identities, so the skipped plan computes the same state.
+        probes = (
+            drained.select(F.lit("d").alias("_p"))
+            .limit(1)
+            .unionByName(over.select(F.lit("o").alias("_p")).limit(1))
         )
-        cand = (
-            cand.join(over, on=list(self.group_cols), how="left_anti")
-            .unionByName(
-                ranked_over.filter(F.col("_rn") <= self.k + self.slack).drop("_rn")
+        hit = {r["_p"] for r in probes.collect()}
+        if "d" in hit:
+            fresh = self._non_null_order(self._refill_fn(drained))
+            # the refill reads ENGINE state (drained-restricted semi-joins)
+            # and feeds both the candidate and the boundary writes —
+            # checkpoint it lazily so the state read runs once per batch,
+            # not per consumer
+            ranked_fresh = self._rank(fresh).localCheckpoint(eager=False)
+            cand = (
+                cand.join(drained, on=list(self.group_cols), how="left_anti")
+                .unionByName(
+                    ranked_fresh.filter(F.col("_rn") <= self.k + self.slack)
+                    .drop("_rn")
+                    .select(*cand0.columns)
+                )
             )
-        )
-        bound = bound.join(
-            over, on=list(self.group_cols), how="left_anti"
-        ).unionByName(self._bound_of(ranked_over))
+            bound = bound0.join(
+                drained, on=list(self.group_cols), how="left_anti"
+            ).unionByName(self._bound_of(ranked_fresh))
+        else:
+            bound = bound0
+        if "o" in hit:
+            ranked_over = self._rank(
+                cand.join(over, on=list(self.group_cols), how="left_semi")
+            )
+            cand = (
+                cand.join(over, on=list(self.group_cols), how="left_anti")
+                .unionByName(
+                    ranked_over.filter(F.col("_rn") <= self.k + self.slack).drop("_rn")
+                )
+            )
+            bound = bound.join(
+                over, on=list(self.group_cols), how="left_anti"
+            ).unionByName(self._bound_of(ranked_over))
         if self.instrument:
             self.last_plan = cand._jdf.queryExecution().explainString(
                 self._spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
