@@ -657,6 +657,17 @@ class IncrementalAcyclicQuery:
         self._buckets: dict[str, int] = {
             r.name: r.buckets for r in spec.relations if r.buckets > 0
         }
+        # bucketed rel -> post-commit state row count (exact after every full
+        # rewrite/compaction, an UPPER BOUND while log-structured segments
+        # accumulate — appends add their row count, nets only shrink it).
+        # Rides the state write's observe() for free and feeds the
+        # cost-based probe-pruning gate (_prune_worthwhile, optimization
+        # r11): pruning a state whose full scan is cheaper than the probe's
+        # two driver round-trips is a net loss at any scale.
+        self._state_rows: dict[str, int] = {}
+        self.prune_min_state_rows = int(
+            os.environ.get("SPARK_GRAFT_PRUNE_MIN_STATE_ROWS", "65536")
+        )
         # last persisted emitted-changelog {"batch": id, "path": dir} — lets a
         # crash-replayed batch hand downstream engines the exact view delta
         self._emitted: dict | None = None
@@ -798,6 +809,7 @@ class IncrementalAcyclicQuery:
             "factor_terms": self.factor_terms,
             "emitted": self._emitted,
             "buckets": self._buckets,
+            "state_rows": self._state_rows,
             "watermarks": {r: _wm_dump(v) for r, v in self._watermarks.items()},
             "seg_ts": {
                 rel: {p: [_wm_dump(v[0]), _wm_dump(v[1])] for p, v in m.items()}
@@ -821,6 +833,11 @@ class IncrementalAcyclicQuery:
         self.factor_terms = data.get("factor_terms", True)
         self._emitted = data.get("emitted")
         self._buckets.update(data.get("buckets", {}))
+        # absent in pre-r11 manifests: pruning stays engaged until the next
+        # full rewrite re-establishes the count (the safe direction)
+        self._state_rows = {
+            k: int(v) for k, v in data.get("state_rows", {}).items()
+        }
         self._watermarks = {
             r: _wm_load(v) for r, v in data.get("watermarks", {}).items()
         }
@@ -1088,6 +1105,26 @@ class IncrementalAcyclicQuery:
     # pruning still applies); keeps the per-term driver read bounded
     KEY_PUSHDOWN_CAP = 1024
 
+    def _prune_worthwhile(self, rel: str) -> bool:
+        """Cost-based gate for probe pruning (optimization r11; guide §1.2
+        "don't compute things you throw away"): ``_probe_pruning`` spends two
+        bounded driver round-trips (a probe count and a distinct-limit
+        collect) to shrink the state scan — pure overhead when the state is
+        EMPTY (first batch: every prune collect learns nothing) or small
+        enough that the full bucket scan is cheaper than the round-trips
+        (dimension-sized relations: nation at any scale). The gate uses the
+        observe()-tracked post-commit row count (``_state_rows``, an upper
+        bound under log-structured appends); an unknown count keeps pruning
+        ENGAGED — at 100 TB every state worth pruning is far past the
+        threshold, so the skip can only fire where it wins. Skipping is
+        exact: pruning is a superset restriction and the unpruned scan is
+        the trivial superset. ``SPARK_GRAFT_PRUNE_MIN_STATE_ROWS=0`` restores
+        unconditional pruning (the A/B escape hatch)."""
+        if not self._segments.get(rel):
+            return False  # no committed state: nothing a probe could prune
+        n = self._state_rows.get(rel)
+        return n is None or n > self.prune_min_state_rows
+
     def _probe_pruning(
         self,
         probe_df: DataFrame,
@@ -1249,6 +1286,7 @@ class IncrementalAcyclicQuery:
                 and via is not None
                 and BUCKET in columns[r.name]
                 and tuple(r.bucket_key) == add_cols
+                and self._prune_worthwhile(r.name)
             ):
                 owns = tuple(o for o, _ in pairs)
                 probe = tuple(e for _, e in pairs) if add_cols == owns else owns
@@ -1481,6 +1519,7 @@ class IncrementalAcyclicQuery:
                     ri.buckets > 0
                     and BUCKET in columns[ri.name]
                     and tuple(ri.bucket_key) == ri_cols
+                    and self._prune_worthwhile(ri.name)
                 ):
                     probe = probe_cols
                     if b_is_delta_of is not None:
@@ -1565,6 +1604,7 @@ class IncrementalAcyclicQuery:
             "last_batch": self._last_batch,
             "buckets": dict(self._buckets),
             "committed_batches": self._committed_batches,
+            "state_rows": dict(self._state_rows),
         }
 
     def _restore(self, snap: dict) -> None:
@@ -1577,6 +1617,7 @@ class IncrementalAcyclicQuery:
         self._last_batch = snap["last_batch"]
         self._buckets = snap["buckets"]
         self._committed_batches = snap["committed_batches"]
+        self._state_rows = snap["state_rows"]
 
     @contextmanager
     def _phase(self, name: str):
@@ -2233,6 +2274,8 @@ class IncrementalAcyclicQuery:
             nxt = self._version[rel] + 1
             p = self._path(rel, nxt)
             n_rows = self._net_write(rel, merged, p, net_fn)
+            if n_rows is not None:
+                self._state_rows[rel] = n_rows  # exact: full rewrite
             self._version[rel] = nxt
             cleanup.extend(self._segments.get(rel, []))
             self._segments[rel] = [p]
@@ -2243,7 +2286,11 @@ class IncrementalAcyclicQuery:
             return
         n = self._appends.get(rel, 0)
         seg = self._seg_path(rel, n)
-        self._write_state(rel, delta, seg)
+        n_seg = self._write_state(rel, delta, seg)
+        if n_seg is not None:
+            # upper bound while segments accumulate: appends add rows, the
+            # net reduction at compaction can only shrink the true count
+            self._state_rows[rel] = self._state_rows.get(rel, 0) + n_seg
         self._appends[rel] = n + 1
         self._segments.setdefault(rel, []).append(seg)
         if is_ttl:
@@ -2254,6 +2301,8 @@ class IncrementalAcyclicQuery:
             n_rows = self._net_write(
                 rel, self._read_paths(rel, self._segments[rel]), cp, net_fn
             )
+            if n_rows is not None:
+                self._state_rows[rel] = n_rows  # exact again post-compaction
             self._version[rel] = nxt
             cleanup.extend(self._segments[rel])
             self._segments[rel] = [cp]
@@ -2373,12 +2422,13 @@ class IncrementalAcyclicQuery:
         band reads on bucketed state prune at segment granularity only —
         documented trade-off."""
         r = self._by_name.get(rel)
-        # adaptive-growth relations get their written-row count OBSERVED on
-        # the write plan itself (a map-side CollectMetrics — no partitioning
-        # change, no extra job), replacing _rebucket_written's former
-        # footer-count job (optimization round r11)
+        # every bucketed relation gets its written-row count OBSERVED on the
+        # write plan itself (a map-side CollectMetrics — no partitioning
+        # change, no extra job): it feeds adaptive bucket growth (replacing
+        # _rebucket_written's former footer-count job) AND the cost-based
+        # probe-pruning gate's _state_rows tracking (optimization round r11)
         obs = None
-        if r is not None and r.buckets > 0 and r.bucket_target_rows > 0:
+        if r is not None and r.buckets > 0:
             from pyspark.sql import Observation
 
             obs = Observation()

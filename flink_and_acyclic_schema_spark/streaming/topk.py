@@ -1012,10 +1012,14 @@ class GroupedTopKView:
         cand_map = dict(self._cand_map)
         bound_map = dict(self._bound_map)
         bucket_rows = dict(self._bucket_rows)
-        # the candidate and boundary writes are independent actions into
-        # distinct paths — submit them from two driver threads so their job
-        # latencies overlap (guide §2.6; optimization round r11). They share
-        # the lazily-checkpointed candidate plan; concurrent first
+        # the candidate write, the boundary write, AND the emitted-changelog
+        # write are mutually independent actions into distinct paths — the
+        # emit delta ranks the in-memory candidate frame (see below) against
+        # the PRE-batch files, never the freshly written ones — so all three
+        # run from driver threads and their job latencies overlap (guide
+        # §2.6; optimization round r11; the emit write joined the wave once
+        # it stopped reading the written shards back). They share the
+        # lazily-checkpointed candidate plan; concurrent first
         # materialization is a benign block-store put race.
         def _write_shards(df: DataFrame, name: str) -> str:
             path = os.path.join(self.state_dir, name)
@@ -1029,20 +1033,36 @@ class GroupedTopKView:
             )
             return path
 
+        epath = os.path.join(self.state_dir, f"emit_v{v}")
+
+        def _write_emit() -> str:
+            # post top-k ranks the candidate frame DIRECTLY: ``cand`` is the
+            # exact content of the freshly written touched shards (every
+            # candidate row hashes into a touched bucket), so this is the
+            # same rows with no plan recompute — the former read-back of the
+            # written files paid a listing job plus a disk scan AND had to
+            # wait for the shard writes to finish. Pre reads the superseded
+            # files, still on disk until the post-manifest GC.
+            delta = self._net_delta(pre_topk, self._topk_of(cand))
+            delta.coalesce(1).write.mode("overwrite").parquet(epath)
+            return epath
+
         targets = ((cand, f"cand_v{v}", cand_map), (bound, f"bound_v{v}", bound_map))
+        thunks = [lambda df=df, name=name: _write_shards(df, name) for df, name, _ in targets]
+        if pre_topk is not None:
+            thunks.append(_write_emit)
         if _parallel_writes():
             from concurrent.futures import ThreadPoolExecutor
 
             from pyspark import inheritable_thread_target
 
-            target = inheritable_thread_target(_write_shards)
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                futures = [
-                    pool.submit(target, df, name) for df, name, _ in targets
-                ]
-            paths = [f.result() for f in futures]
+            wrapped = [inheritable_thread_target(t) for t in thunks]
+            with ThreadPoolExecutor(max_workers=len(wrapped)) as pool:
+                futures = [pool.submit(t) for t in wrapped]
+            results = [f.result() for f in futures]
         else:
-            paths = [_write_shards(df, name) for df, name, _ in targets]
+            results = [t() for t in thunks]
+        paths = results[:2]
         written = []
         for path, (_, _, mp) in zip(paths, targets):
             present = {
@@ -1080,15 +1100,7 @@ class GroupedTopKView:
                     bucket_rows.pop(sb, None)
         last_batch = batch_id if batch_id is not None else self._last_batch
         emitted = self._emitted
-        delta = None
         if pre_topk is not None:
-            # post top-k reads the freshly WRITTEN shards (staged map) — no
-            # recompute of the candidate plan; pre reads the superseded
-            # files, still on disk until the post-manifest GC
-            epath = os.path.join(self.state_dir, f"emit_v{v}")
-            post = self._read(cand_map, self._schema, None, touched)
-            delta = self._net_delta(pre_topk, self._topk_of(post))
-            delta.coalesce(1).write.mode("overwrite").parquet(epath)
             emitted = {"batch": batch_id, "path": epath}
         def adopt():
             # committed: NOW swap the staged state in (_publish_manifest
@@ -1106,11 +1118,11 @@ class GroupedTopKView:
             rows=bucket_rows,
             emitted=emitted,
         )
-        if delta is not None:
-            # the emitted dir is manifest-held (self._emitted after adopt),
-            # so the GC above preserved it
-            delta = self._spark.read.parquet(epath)
-        return delta
+        if pre_topk is None:
+            return None
+        # the emitted dir is manifest-held (self._emitted after adopt),
+        # so the GC above preserved it
+        return self._spark.read.parquet(epath)
 
     def _maybe_grow(self) -> None:
         """Adaptive shard growth (durable + ``bucket_target_rows`` only):
@@ -1249,18 +1261,37 @@ class GroupedTopKView:
         # state most batches drain and overflow NOTHING, yet the refill
         # branch used to read the whole ENGINE aggregate state every batch
         # (the drained-restricted semi-join restricts rows, not the scan) and
-        # the trim branch bloated every write plan with a second rank. A
-        # limit-1 existence probe over each gate set (both derive from the
-        # already-checkpointed candidate set of the TOUCHED shards — a small
-        # bounded read) lets an empty gate skip its branch outright: the
-        # anti-join against an empty set and the union with an empty refill
-        # are exact identities, so the skipped plan computes the same state.
-        probes = (
-            drained.select(F.lit("d").alias("_p"))
-            .limit(1)
-            .unionByName(over.select(F.lit("o").alias("_p")).limit(1))
+        # the trim branch bloated every write plan with a second rank. An
+        # existence flag per gate set (both derive from the already-
+        # checkpointed candidate set of the TOUCHED shards — a small bounded
+        # read) lets an empty gate skip its branch outright: the anti-join
+        # against an empty set and the union with an empty refill are exact
+        # identities, so the skipped plan computes the same state. Both flags
+        # come from ONE aggregate job over the per-group counts (a
+        # union-of-limit(1) probe ran executeTake's incremental job cascade —
+        # ~7 scheduled jobs where this needs one): per group there is at most
+        # one boundary row and one counts row, so after a full outer join
+        # "drained" is a bounded group missing a count >= k and "over" is any
+        # count past k+2*slack — the same sets the gate branches consume.
+        gate = (
+            bound0.select(*self.group_cols)
+            .withColumn("_hb", F.lit(1))
+            .join(counts, on=list(self.group_cols), how="full_outer")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("_hb").isNotNull()
+                        & (F.col("_n").isNull() | (F.col("_n") < self.k)),
+                        1,
+                    )
+                ).alias("_d"),
+                F.max(
+                    F.when(F.col("_n") > self.k + 2 * self.slack, 1)
+                ).alias("_o"),
+            )
+            .first()
         )
-        hit = {r["_p"] for r in probes.collect()}
+        hit = {flag for flag, v in (("d", gate["_d"]), ("o", gate["_o"])) if v}
         if "d" in hit:
             fresh = self._non_null_order(self._refill_fn(drained))
             # the refill reads ENGINE state (drained-restricted semi-joins)

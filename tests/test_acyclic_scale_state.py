@@ -136,6 +136,9 @@ def test_bucket_pruning_reaches_the_state_scan(spark, tmp_path):
     READS strictly fewer files than the full bucketed state."""
     spec = _spec(li_extra={"buckets": 8, "bucket_key": ("l_key",)})
     eng = _engine(spark, tmp_path, spec)
+    # the r11 cost-based gate would (correctly) skip pruning a 40-row state;
+    # this test pins the pruning MACHINERY, so engage it unconditionally
+    eng.prune_min_state_rows = 0
     _feed(spark, eng, BATCHES[:1])  # seed 40-order state across buckets
     # one-order delta: its l_key probe set covers exactly one bucket
     delta = eng._conform(
@@ -186,6 +189,7 @@ def test_transitive_pruning_reaches_two_hop_state(spark, tmp_path):
         measures={"qty": lambda: F.col("l_qty")},
     )
     eng = _engine(spark, tmp_path, spec)
+    eng.prune_min_state_rows = 0  # pin the pruning machinery (r11 gate)
     eng.process_batch(
         {
             "customer": spark.createDataFrame(CUST, CUST_SCHEMA),
@@ -495,6 +499,7 @@ def test_multicolumn_probe_key_pushdown(spark, tmp_path):
 
     bucketed = {"buckets": 8, "bucket_key": ("l_key", "l_cust")}
     eng = _engine(spark, tmp_path, spec(bucketed))
+    eng.prune_min_state_rows = 0  # pin the pruning machinery (r11 gate)
     eng.process_batch(
         {
             "orders": spark.createDataFrame(
@@ -635,3 +640,68 @@ def test_adaptive_rebucket_log_structured_only_at_compaction(spark, tmp_path):
             batch_id=i,
         )
     assert got == sorted(tuple(r) for r in twin.result().collect())
+
+
+# --- round 11: cost-based probe-pruning gate ---------------------------------
+def test_prune_gate_skips_small_and_empty_state(spark, tmp_path, monkeypatch):
+    """The r11 cost-based gate: probe pruning (two bounded driver jobs per
+    probed state) is SKIPPED against empty state (batch 0 — nothing to
+    prune) and against state below ``prune_min_state_rows`` (the full scan
+    is cheaper than the round-trips), while a ``prune_min_state_rows=0``
+    twin prunes as before — and both produce identical results, because
+    skipping is the trivial superset restriction."""
+    import flink_and_acyclic_schema_spark.streaming.acyclic as am
+
+    spec = _spec(li_extra={"buckets": 8, "bucket_key": ("l_key",)})
+    calls = {"n": 0}
+    orig = am.IncrementalAcyclicQuery._probe_pruning
+
+    def spy(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(am.IncrementalAcyclicQuery, "_probe_pruning", spy)
+
+    gated = _engine(spark, tmp_path, spec)  # default threshold: 40 rows is small
+    assert not gated._prune_worthwhile("lineitem")  # no committed state yet
+    got = _feed(spark, gated, BATCHES)
+    assert calls["n"] == 0  # small state end to end: never probed
+    # exact post-merge count: 40 seeded, batch 1 deletes (3,4), nets (5,6)
+    # into its existing row, adds (40,7) -> 40 net rows
+    assert gated._state_rows["lineitem"] == 40
+    assert not gated._prune_worthwhile("lineitem")  # 41 <= threshold
+    # an unknown count with live segments keeps pruning ENGAGED (100 TB-safe)
+    del gated._state_rows["lineitem"]
+    assert gated._prune_worthwhile("lineitem")
+
+    calls["n"] = 0
+    pruning = _engine(spark, tmp_path, spec)
+    pruning.prune_min_state_rows = 0
+    want = _feed(spark, pruning, BATCHES)
+    assert calls["n"] > 0  # the unconditional twin probes
+    assert got == want and got  # identical, non-trivial results
+
+
+def test_state_rows_tracking_and_resume(spark, tmp_path):
+    """``_state_rows`` is exact after merge-mode rewrites and compactions, an
+    UPPER BOUND while log-structured segments accumulate, and rides the
+    atomic manifest across resume."""
+    spec = _spec(li_extra={"buckets": 4, "bucket_key": ("l_key",)})
+    state_dir = str(tmp_path / "rows_track")
+    eng = IncrementalAcyclicQuery(spark, state_dir, spec, compact_every=3)
+    _feed(spark, eng, BATCHES)  # 2 appended segments, no compaction yet
+    # appends accumulate an upper bound: 40 + 3 delta rows (one is a delete)
+    assert eng._state_rows["lineitem"] == 43
+    eng.process_batch(
+        {"lineitem": spark.createDataFrame([(9, 9, 1)], LI_SCHEMA)}, batch_id=2
+    )
+    eng.process_batch(  # 4th segment > compact_every=3 -> compaction, exact
+        {"lineitem": spark.createDataFrame([(10, 2, 1)], LI_SCHEMA)}, batch_id=3
+    )
+    assert len(eng._segments["lineitem"]) == 1
+    true_rows = eng._read_state("lineitem").count()
+    assert eng._state_rows["lineitem"] == true_rows
+    resumed = IncrementalAcyclicQuery(
+        spark, state_dir, spec, compact_every=3, resume=True
+    )
+    assert resumed._state_rows["lineitem"] == true_rows
