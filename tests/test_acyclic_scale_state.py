@@ -669,7 +669,7 @@ def test_prune_gate_skips_small_and_empty_state(spark, tmp_path, monkeypatch):
     # exact post-merge count: 40 seeded, batch 1 deletes (3,4), nets (5,6)
     # into its existing row, adds (40,7) -> 40 net rows
     assert gated._state_rows["lineitem"] == 40
-    assert not gated._prune_worthwhile("lineitem")  # 41 <= threshold
+    assert not gated._prune_worthwhile("lineitem")  # 40 <= threshold
     # an unknown count with live segments keeps pruning ENGAGED (100 TB-safe)
     del gated._state_rows["lineitem"]
     assert gated._prune_worthwhile("lineitem")
