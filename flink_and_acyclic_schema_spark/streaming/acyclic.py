@@ -1206,6 +1206,14 @@ class IncrementalAcyclicQuery:
                 for i in range(len(probe_cols))
             )
             out = (ids, vals)
+        elif not wide and len({row["_b"] for row in rows}) >= n_buckets:
+            # over-cap probe whose capped SAMPLE already covers every bucket
+            # (optimization r11, guide §1.2): the full bucket-distinct scan
+            # below could only return a subset of what the sample proved —
+            # all of them — so skip that scan-job outright. Exact: the
+            # sampled buckets are definitely probed, and "all buckets" is
+            # the trivial superset of the true footprint.
+            out = (list(range(n_buckets)), None)
         else:
             # wide probe set: still bucket-prune (distinct ids are bounded by
             # the bucket count however large the probe side is), skip key

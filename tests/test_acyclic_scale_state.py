@@ -705,3 +705,45 @@ def test_state_rows_tracking_and_resume(spark, tmp_path):
         spark, state_dir, spec, compact_every=3, resume=True
     )
     assert resumed._state_rows["lineitem"] == true_rows
+
+
+def test_wide_probe_sample_covering_all_buckets_skips_fallback_scan(
+    spark, tmp_path, monkeypatch
+):
+    """When the capped distinct sample of an over-cap probe already covers
+    EVERY bucket, the fallback full-scan bucket-distinct is provably useless
+    (it could only confirm what the sample proved) — r11 skips it: exactly
+    one distinct() runs, and the result is the all-buckets trivial superset
+    with no key pushdown."""
+    spec = _spec(li_extra={"buckets": 8, "bucket_key": ("l_key",)})
+    eng = _engine(spark, tmp_path, spec)
+    calls = {"n": 0}
+    # patch the RUNTIME DataFrame class (Spark 4's classic subclass
+    # overrides distinct, so patching the pyspark.sql.DataFrame parent
+    # would not intercept)
+    df_cls = type(spark.range(1))
+    orig_distinct = df_cls.distinct
+
+    def counting_distinct(self):
+        calls["n"] += 1
+        return orig_distinct(self)
+
+    monkeypatch.setattr(df_cls, "distinct", counting_distinct)
+    # > KEY_PUSHDOWN_CAP distinct keys spread across all 8 buckets
+    cap = IncrementalAcyclicQuery.KEY_PUSHDOWN_CAP
+    wide_delta = eng._conform(
+        "orders",
+        spark.createDataFrame([(o, o % 4, 1) for o in range(2 * cap)], ORD_SCHEMA),
+    ).localCheckpoint()
+    ids, key_vals = eng._probe_pruning(wide_delta, spec.relations[2], ("o_key",))
+    assert ids == list(range(8)) and key_vals is None
+    assert calls["n"] == 1  # the limit attempt only — no fallback scan
+    # an over-cap probe that does NOT cover all buckets still runs the
+    # fallback and prunes: keys chosen so every one hashes into the buckets
+    # of a 2-value seed is impractical — instead check the narrow direction:
+    calls["n"] = 0
+    narrow = eng._conform(
+        "orders", spark.createDataFrame([(7, 3, 1)], ORD_SCHEMA)
+    ).localCheckpoint()
+    ids2, key_vals2 = eng._probe_pruning(narrow, spec.relations[2], ("o_key",))
+    assert calls["n"] == 1 and key_vals2 == ([7],) and len(ids2) == 1
