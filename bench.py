@@ -90,24 +90,38 @@ def main() -> None:
     # Ingest cost is reported separately, not hidden.
     from flink_and_acyclic_schema_spark.sources.layout import optimize_layout
 
+    # ingest splits follow the session's core count (r12: the former fixed
+    # default of 8 capped scan parallelism at 8 tasks regardless of
+    # $SPARK_GRAFT_CPUS, so the driver's low-core/high-core scaling probe
+    # measured nothing — scale-adaptive layout is also the honest production
+    # policy). The env var still overrides for A/B.
+    splits_env = os.environ.get("SPARK_GRAFT_INGEST_SPLITS")
     t0 = time.perf_counter()
     bench_dir = optimize_layout(
         spark,
         sf_dir,
         os.path.join(REPO_ROOT, ".scratch", f"bench_opt_{os.path.basename(sf_dir.rstrip('/'))}"),
-        splits=int(os.environ.get("SPARK_GRAFT_INGEST_SPLITS", "8")),
+        splits=int(splits_env) if splits_env else None,
     )
     ingest_sec = round(time.perf_counter() - t0, 3)
     sf_dir = bench_dir
 
+    sc = spark.sparkContext
     timings: dict[str, float] = {}
+    jobs: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(N_ITER):
+        for it in range(N_ITER):
+            # job-group per (query, iteration): the scheduled-job count of the
+            # warm iteration is a host-drift-immune per-query signal next to
+            # the walltime (additive "jobs" key; timings methodology unchanged)
+            sc.setJobGroup(f"{name}#i{it}", f"bench {name} iter {it}")
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+        jobs[name] = len(sc.statusTracker().getJobIdsForGroup(f"{name}#i{N_ITER - 1}"))
+        sc.setJobGroup(None, None)
         timings[name] = round(best, 3)
         # drop this query's tracked persists so a long sweep doesn't
         # accumulate cached blocks (intra-query best-of-N reuse is preserved)
@@ -128,28 +142,40 @@ def main() -> None:
 
     continuous: dict[str, float] = {}
     for name in CONTINUOUS:
+        sc.setJobGroup(f"{name}#i0", f"bench {name}")
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         continuous[name] = round(time.perf_counter() - t0, 3)
+        jobs[name] = len(sc.statusTracker().getJobIdsForGroup(f"{name}#i0"))
+        sc.setJobGroup(None, None)
         release_persisted()
 
+    # the per-query plan-shape metrics are bulky; they go to a SIDE FILE so
+    # the one-line stdout contract can never outgrow the driver's capture
+    # buffer (round 10's line was truncated from the front and failed to
+    # parse — r11 verdict item 2). The side file is the same payload the
+    # line used to carry; tools/bench_diff.py reads either.
+    with open(os.path.join(REPO_ROOT, "BENCH_PLANS.json"), "w") as f:
+        json.dump({"sf": sf, "plans": plans}, f, indent=1, sort_keys=True)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "continuous": continuous,
-                "continuous_total": round(sum(continuous.values()), 3),
-                "ingest_sec": ingest_sec,
-                "plans": plans,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "continuous": continuous,
+            "continuous_total": round(sum(continuous.values()), 3),
+            "ingest_sec": ingest_sec,
+            "jobs": jobs,
+            "sf": sf,
+        }
     )
     spark.stop()
+    # the contract line prints LAST (post-stop), so no late JVM/log output
+    # can land after it in the driver's captured tail
+    print(line)
 
 
 if __name__ == "__main__":

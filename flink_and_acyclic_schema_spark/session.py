@@ -25,11 +25,21 @@ def get_spark(
     ``local[N]``, AQE is on so runtime stats fix partition counts and skew,
     and Arrow is enabled for the Pandas-UDF paths (similarity / multimodal).
     """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        if env is not None:
+            shuffle_partitions = int(env)
+        else:
+            # scale with the session's cores (2x, floor 16) instead of a
+            # constant tuned to either local mode or a cluster — AQE then
+            # coalesces small shuffles back down at runtime (r12: a fixed 32
+            # pinned shuffle parallelism regardless of $SPARK_GRAFT_CPUS, so
+            # the driver's core-scaling probe saw flat ratios)
+            n = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+            shuffle_partitions = max(2 * n, 16)
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -17,6 +17,8 @@ import uuid
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from .conftest import full_tier_only, prop_examples
 from pyspark.sql import functions as F
 
 from flink_and_acyclic_schema_spark.streaming.acyclic import (
@@ -78,7 +80,7 @@ FACT_OPS = st.lists(
 )
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=FACT_OPS, split=st.integers(0, 16))
 def test_prefix_closure_any_split(spark, tmp_path_factory, ops, split):
     """Engine state after feeding (prefix, suffix) == recompute over net rows,
@@ -447,7 +449,8 @@ def test_hist_count_distinct_multiplicity_aware(spark, tmp_path):
     assert _hist_result_map(eng.result()) == {("a0", "b0"): (7, 7, 7, 1)}
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@full_tier_only
+@settings(max_examples=prop_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=FACT_OPS, split=st.integers(0, 16))
 def test_hist_prefix_closure_any_split(spark, tmp_path_factory, ops, split):
     """Prefix-closure extends to the histogram measures: engine state after
@@ -466,6 +469,7 @@ def test_hist_prefix_closure_any_split(spark, tmp_path_factory, ops, split):
     assert _hist_result_map(eng.result()) == _hist_model(ops)
 
 
+@full_tier_only
 def test_hist_log_structured_equivalent(spark, tmp_path):
     """Histogram state obeys the same linearity: log-structured appends with
     compaction produce the identical min/max/distinct at every prefix."""
@@ -510,7 +514,8 @@ def _residual_model(fact_ops):
     }
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@full_tier_only
+@settings(max_examples=prop_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=FACT_OPS, split=st.integers(0, 16))
 def test_residual_prefix_closure_any_split(spark, tmp_path_factory, ops, split):
     """Prefix-closure holds with a residual (cycle) edge: σ over the non-tree
@@ -620,7 +625,7 @@ def test_semi_gate_child_arrives_after_parent(spark, tmp_path):
     assert _semi_map(eng.result()) == {"a1": 4}
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     fact_ops=FACT_OPS,
     gate_ops=st.lists(
@@ -630,6 +635,7 @@ def test_semi_gate_child_arrives_after_parent(spark, tmp_path):
     ),
     split=st.integers(0, 16),
 )
+@full_tier_only
 def test_semi_prefix_closure_any_split(spark, tmp_path_factory, fact_ops, gate_ops, split):
     """Prefix closure with an EXISTS gate: presence deltas telescope, so any
     batch split reproduces the from-scratch gated recompute."""
@@ -707,7 +713,7 @@ def test_anti_gate_flip_both_ways(spark, tmp_path):
     assert _semi_map(eng.result()) == {"a0": 10, "a1": 3}  # drained -> back
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     fact_ops=FACT_OPS,
     gate_ops=st.lists(
@@ -717,6 +723,7 @@ def test_anti_gate_flip_both_ways(spark, tmp_path):
     ),
     split=st.integers(0, 16),
 )
+@full_tier_only
 def test_anti_prefix_closure_any_split(spark, tmp_path_factory, fact_ops, gate_ops, split):
     """Prefix closure for NOT EXISTS: the inclusion-exclusion terms telescope
     like everything else, any batch split reproduces the gated recompute."""
@@ -1305,7 +1312,8 @@ CHAIN_OPS = st.lists(
 )
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@full_tier_only
+@settings(max_examples=prop_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=CHAIN_OPS, split=st.integers(0, 14))
 def test_factored_chain_prefix_closure_any_split(spark, tmp_path_factory, ops, split):
     """Factored engine == per-term engine for ANY batch split hypothesis
@@ -1397,6 +1405,7 @@ def _run_gated_chain(spark, tmp_path, anti: bool):
     return results
 
 
+@full_tier_only
 def test_factored_chain_semi_gate_matches_per_term(spark, tmp_path):
     (res_f, nf), (res_p, np_) = _run_gated_chain(spark, tmp_path, anti=False)
     assert nf >= 1 and np_ == 0
@@ -1404,6 +1413,7 @@ def test_factored_chain_semi_gate_matches_per_term(spark, tmp_path):
     assert res_f  # non-trivial
 
 
+@full_tier_only
 def test_factored_chain_anti_gate_matches_per_term(spark, tmp_path):
     """Anti gates expand by inclusion–exclusion: the factored path must
     telescope the sign-flipped semi-tree too (both vlists are chains)."""
@@ -1481,6 +1491,7 @@ STAR_SCHEMAS = {
 }
 
 
+@full_tier_only
 def test_factored_tree_engages_on_degree3_star(spark, tmp_path):
     """Three leaves off one root: no Hamiltonian path exists, but the
     leaf-peeling enumeration (round 11) still keeps every suffix connected,
@@ -1598,7 +1609,8 @@ STAR_OPS = st.lists(
 )
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@full_tier_only
+@settings(max_examples=prop_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=STAR_OPS, split=st.integers(0, 14))
 def test_factored_tree_star_prefix_closure_any_split(
     spark, tmp_path_factory, ops, split
@@ -1642,7 +1654,7 @@ def test_factored_tree_star_prefix_closure_any_split(
     assert got_f == got_p
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     # parents[i] ∈ [0, i] assigns relation i+1's tree parent among the
     # relations before it — every acyclic tree shape on 5 nodes arises,
@@ -1768,6 +1780,7 @@ def test_auto_regime_switches_and_matches_merge(spark, tmp_path):
     assert _chain_result(eng_a.result())  # non-trivial
 
 
+@full_tier_only
 def test_registered_degree3_shapes_engage_factored_path(spark):
     """The two registered shapes the r10 verdict named as declining —
     ``incremental_star_stream`` (lineitem–{orders,part,supplier}) and the

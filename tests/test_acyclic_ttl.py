@@ -314,6 +314,8 @@ def test_ttl_emit_delta_changelog_telescopes(spark, tmp_path):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from .conftest import full_tier_only, prop_examples
+
 _ROW = st.tuples(
     st.integers(0, 15),  # key
     st.integers(0, 30),  # event day
@@ -324,7 +326,7 @@ _ROW = st.tuples(
 _BATCHES = st.lists(st.lists(_ROW, max_size=12), min_size=1, max_size=4)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(batches=_BATCHES)
 def test_ttl_property_any_interleaving_matches_windowed_recompute(
     spark, tmp_path, batches
@@ -478,7 +480,8 @@ def test_ttl_delay_keeps_rows_within_allowed_lateness(spark, tmp_path):
 _DELAY = 4
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@full_tier_only
+@settings(max_examples=prop_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(batches=_BATCHES)
 def test_ttl_delay_property_bounded_disorder_matches_widened_recompute(
     spark, tmp_path, batches
@@ -553,6 +556,7 @@ def test_ttl_zone_spec_validation():
         )
 
 
+@full_tier_only
 def test_ttl_with_auto_regime_matches_merge_and_recompute(spark, tmp_path):
     """compact_every="auto" (round 11) composed with TTL eviction: the
     merge -> log-structured switch at AUTO_SWITCH_BATCHES lands mid-stream

@@ -14,6 +14,8 @@ from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from .conftest import prop_examples
 from pyspark.sql import functions as F
 
 from flink_and_acyclic_schema_spark.operators.changelog import apply_changelog
@@ -42,7 +44,7 @@ def _spark_net(spark, ops) -> dict[int, int]:
     }
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=OPS)
 def test_apply_changelog_matches_multiset_model(spark, ops):
     assert _spark_net(spark, ops) == _model(ops)
@@ -60,7 +62,7 @@ def _state_merge(spark, state_rows, delta_rows):
     return [(r["k"], r["weight"]) for r in net.collect()]
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     r_ops=st.lists(
         st.tuples(st.integers(0, 3), st.sampled_from([1, -1])), max_size=12
@@ -116,7 +118,7 @@ def test_delta_join_maintains_join_view(spark, r_ops, s_ops, r_split, s_split):
     assert maintained == recomputed
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=OPS, split=st.integers(min_value=0, max_value=30))
 def test_prefix_closure_two_batch_merge(spark, ops, split):
     """Folding the changelog through per-batch state merges must equal the

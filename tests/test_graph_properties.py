@@ -15,6 +15,8 @@ import pyarrow.parquet as pq
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from .conftest import prop_examples
+
 from flink_and_acyclic_schema_spark.registry import QUERIES
 
 # (orderkey, suppkey) memberships; suppkey range stays under the hub cap
@@ -63,7 +65,7 @@ def _triangle_model(pairs):
     return len(nodes), len(edges), tri
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(pairs=ORDER_SUPP)
 def test_triangle_count_matches_bruteforce(spark, tmp_path_factory, pairs):
     tmp = tmp_path_factory.mktemp("tri")
@@ -95,7 +97,7 @@ def _sweep_model(ships):
     return best
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(ships=SHIPMENTS)
 def test_interval_sweep_matches_bruteforce(spark, tmp_path_factory, ships):
     t0 = pd.Timestamp("1995-06-01")

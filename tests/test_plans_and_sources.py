@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from flink_and_acyclic_schema_spark.registry import QUERIES
 from flink_and_acyclic_schema_spark.tables import load
 
-from .conftest import SF_SMOKE
+from .conftest import SF_SMOKE, full_tier_only
 
 
 def _plan(spark, name: str) -> str:
@@ -100,6 +100,7 @@ def test_asof_single_shuffle(spark):
     assert plan.count("Exchange") <= 4  # click-dedup agg + window partitioning
 
 
+@full_tier_only
 def test_all_batch_plans_stay_sane(spark):
     """Sweep every batch query plan: no accidental cartesian product, no
     runaway plan growth (the dedup_clusters lineage-explosion class of bug),

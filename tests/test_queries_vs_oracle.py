@@ -7,19 +7,48 @@ import pytest
 
 from flink_and_acyclic_schema_spark.registry import ORACLES, QUERIES
 
-from .conftest import SF_SMOKE
+from .conftest import FULL_TESTS, SF_SMOKE
 from .oracle import assert_matches_oracle
+
+# Streaming entries the DEFAULT tier keeps under the oracle gate every run:
+# the four bench CONTINUOUS stacks (the engine surface optimization rounds
+# touch) plus one plain engine stream and one streaming-dedup shape. The
+# remaining ~40 streaming oracle tests each execute a full multi-batch
+# pipeline (10-25 s apiece) and moved to the SPARK_GRAFT_FULL_TESTS=1 tier
+# (r12: the default suite must finish inside the driver's pytest budget);
+# the per-round 419/419 verify.py sweep still covers every one of them.
+STREAMING_DEFAULT = {
+    "incremental_q10_topk_buffer_stream",
+    "incremental_grouped_topk_chained_stream",
+    "incremental_topk_chain_depth4_stream",
+    "incremental_trending_topk_stream",
+    "incremental_q10_stream",
+    "stream_minhash_dedup_index",
+}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_query_matches_oracle(spark, name):
+    if (
+        not FULL_TESTS
+        and name.startswith(("incremental_", "stream_"))
+        and name not in STREAMING_DEFAULT
+    ):
+        pytest.skip("long-tail streaming oracle tier: SPARK_GRAFT_FULL_TESTS=1")
     df = QUERIES[name](spark, SF_SMOKE)
     assert_matches_oracle(df, ORACLES[name], SF_SMOKE, name)
 
 
 def test_all_queries_return_rows(spark):
-    """Queries without oracles still must run and have a stable schema."""
+    """Queries WITHOUT oracles still must run and have a stable schema.
+    (Queries with oracles are built, executed and schema-checked by the
+    parametrized sweep above — re-building all 419 here re-executed every
+    streaming pipeline a second time for zero added coverage, 577 s of the
+    r11 suite's budget. Today every registered query has an oracle, so this
+    guards only future oracle-less additions.)"""
     for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
         df = fn(spark, SF_SMOKE)
         assert df.columns, f"{name}: no columns"
 

@@ -29,6 +29,8 @@ import uuid
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from .conftest import full_tier_only, prop_examples
 from pyspark.sql import functions as F
 
 from flink_and_acyclic_schema_spark.streaming.acyclic import (
@@ -174,7 +176,7 @@ _OPS = st.lists(
 _SPLITS = st.lists(_OPS, min_size=1, max_size=3)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(batched=_SPLITS)
 def test_topk_property_prefix_closure(spark, tmp_path_factory, batched):
     """After EVERY batch of an arbitrary interleaving (duplicates, deletes
@@ -341,7 +343,8 @@ _GOPS = st.lists(
 _GSPLITS = st.lists(_GOPS, min_size=1, max_size=3)
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@full_tier_only
+@settings(max_examples=prop_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(batched=_GSPLITS)
 def test_grouped_topk_property_prefix_closure(spark, tmp_path_factory, batched):
     """After EVERY batch of arbitrary interleavings, the maintained per-group
@@ -1547,7 +1550,7 @@ def test_topk_knob_full_stack_stream_kill_and_recover(spark, tmp_path):
     assert got == set(want)
 
 
-@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(4), deadline=None, suppress_health_check=list(HealthCheck))
 @given(batched=_SPLITS)
 def test_topk_durable_property_resume_every_batch(spark, tmp_path_factory, batched):
     """Prefix closure THROUGH restarts: after EVERY batch of an arbitrary
@@ -1582,7 +1585,8 @@ def test_topk_durable_property_resume_every_batch(spark, tmp_path_factory, batch
         assert _got(topk) == _model_topk(seen)
 
 
-@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@full_tier_only
+@settings(max_examples=prop_examples(4), deadline=None, suppress_health_check=list(HealthCheck))
 @given(batched=_GSPLITS)
 def test_grouped_topk_durable_property_resume_every_batch(
     spark, tmp_path_factory, batched
@@ -1793,7 +1797,8 @@ def test_topk_chained_engine_crash_replay(spark, tmp_path):
     assert _chain_got(down2) == _chain_model(ops0 + ops1 + ops2 + ops3)
 
 
-@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@full_tier_only
+@settings(max_examples=prop_examples(4), deadline=None, suppress_health_check=list(HealthCheck))
 @given(batched=_SPLITS)
 def test_topk_chained_engine_property_prefix_closure(
     spark, tmp_path_factory, batched
@@ -2004,7 +2009,7 @@ def test_grouped_topk_failed_growth_commit_restores_layout(spark, tmp_path):
     assert re.buckets == 8 and _ggot(re) == _gmodel(ops0 + ops1)
 
 
-@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(4), deadline=None, suppress_health_check=list(HealthCheck))
 @given(batched=_GSPLITS)
 def test_grouped_topk_multi_key_property_prefix_closure(
     spark, tmp_path_factory, batched
@@ -2058,7 +2063,7 @@ def test_grouped_topk_multi_key_property_prefix_closure(
         assert got == model(seen)
 
 
-@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(4), deadline=None, suppress_health_check=list(HealthCheck))
 @given(batched=_SPLITS)
 def test_topk_multi_key_property_prefix_closure(spark, tmp_path_factory, batched):
     """Prefix closure for the MULTI-KEY order: after every batch of an
@@ -2179,7 +2184,8 @@ def test_topk_chain_depth4_crash_replay(spark, tmp_path):
     assert _d4_got(down2) == _d4_model(ops0 + ops1 + ops2 + ops3)
 
 
-@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@full_tier_only
+@settings(max_examples=prop_examples(4), deadline=None, suppress_health_check=list(HealthCheck))
 @given(batched=_GSPLITS)
 def test_topk_chain_depth4_property_prefix_closure(
     spark, tmp_path_factory, batched
