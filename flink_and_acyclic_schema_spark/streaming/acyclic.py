@@ -668,9 +668,40 @@ class IncrementalAcyclicQuery:
         self.prune_min_state_rows = int(
             os.environ.get("SPARK_GRAFT_PRUNE_MIN_STATE_ROWS", "65536")
         )
+        # optimization r12 (guide §2.3/§2.4): merge-mode commits of a bucketed
+        # relation route around the full-state shuffle when the tracked state
+        # is large and the batch's netted delta is provably small — see
+        # _merge_write. min_state_rows gates engagement (below it a full-state
+        # exchange is one tiny task set and the extra delta-checkpoint job
+        # costs more than it saves — same reasoning as the prune gate);
+        # max_rows bounds the broadcast of the netted delta's keys.
+        # SPARK_GRAFT_MERGE_DELTA_MIN_STATE_ROWS=0 forces the delta path
+        # wherever state is nonempty (the A/B + plan-evidence escape hatch).
+        self.merge_delta_min_state_rows = int(
+            os.environ.get("SPARK_GRAFT_MERGE_DELTA_MIN_STATE_ROWS", "65536")
+        )
+        self.merge_delta_max_rows = int(
+            os.environ.get("SPARK_GRAFT_MERGE_DELTA_MAX_ROWS", str(1 << 20))
+        )
+        # rel -> (last netted-delta row count, state rows at that probe) —
+        # in-memory only. The delta path must materialize the netted delta
+        # BEFORE it can size-gate the broadcast, so a stream whose deltas are
+        # persistently too big would pay that probe every batch just to fall
+        # back; the remembered size skips the probe while it stays hopeless,
+        # and a ≥2x growth of the state since the probe re-engages it (the
+        # ratio can only have improved). The exact post-materialization count
+        # still decides the broadcast, so a stale "small" can never admit an
+        # oversized one. Resume re-probes once.
+        self._delta_rows: dict[str, tuple[int, int]] = {}
         # last persisted emitted-changelog {"batch": id, "path": dir} — lets a
         # crash-replayed batch hand downstream engines the exact view delta
         self._emitted: dict | None = None
+        # the last batch's HANDOFF frame (r12): the emitted changelog as a
+        # persist()ed DataFrame filled by the emitted write itself, handed to
+        # same-batch downstream consumers so they read cached blocks, not the
+        # file; unpersisted when the next batch's emit supersedes it. Never
+        # part of the durable contract — replay/resume read the file.
+        self._emitted_frame: DataFrame | None = None
         # fold observability (round 9): instrument=True scopes every action
         # point of a batch in a phase-tagged job group; after process_batch,
         # ``last_profile`` maps phase -> {"jobs", "stages", "sec"} — the
@@ -2231,12 +2262,21 @@ class IncrementalAcyclicQuery:
                 # The post-view plan executes INSIDE this write — fused into
                 # one action (optimization r11: the former emit_post
                 # localCheckpoint + emitted_write pair cost two sequential
-                # jobs per batch) — and downstream consumers get the written
-                # file read back, exactly the replay path's frame.
+                # jobs per batch). r12 (guide §6 / verdict item 6): the SAME
+                # write action also fills a persist() of the frame, so the
+                # downstream consumers of this batch (chained engines run
+                # a dozen actions over the delta) read cached blocks instead
+                # of re-listing + re-scanning the file per action; the file
+                # stays the durable replay/resume frame. The PREVIOUS
+                # batch's handoff frame is unpersisted here — its one-batch
+                # consumption window is over.
                 epath = os.path.join(self.state_dir, f"emitted_b{batch_id}")
                 with self._phase("emitted_write"):
+                    changelog = changelog.persist()
                     changelog.write.mode("overwrite").parquet(epath)
-                changelog = self.spark.read.parquet(epath)
+                if self._emitted_frame is not None:
+                    self._emitted_frame.unpersist(False)
+                self._emitted_frame = changelog
                 if self._emitted is not None:
                     cleanup.append(self._emitted["path"])
                 self._emitted = {"batch": batch_id, "path": epath}
@@ -2281,7 +2321,12 @@ class IncrementalAcyclicQuery:
         if self.compact_every == 1:
             nxt = self._version[rel] + 1
             p = self._path(rel, nxt)
-            n_rows = self._net_write(rel, merged, p, net_fn)
+            n_rows, wrote = self._merge_write(rel, merged, delta, p, net_fn)
+            if not wrote:
+                # the batch's netted delta was EMPTY: the post-batch net
+                # multiset IS the pre-batch one — keep the live segments
+                # (no write, no version bump, no cleanup; r12)
+                return
             if n_rows is not None:
                 self._state_rows[rel] = n_rows  # exact: full rewrite
             self._version[rel] = nxt
@@ -2297,8 +2342,18 @@ class IncrementalAcyclicQuery:
         n_seg = self._write_state(rel, delta, seg)
         if n_seg is not None:
             # upper bound while segments accumulate: appends add rows, the
-            # net reduction at compaction can only shrink the true count
-            self._state_rows[rel] = self._state_rows.get(rel, 0) + n_seg
+            # net reduction at compaction can only shrink the true count.
+            # Accumulate only onto a KNOWN base: a resume from a pre-r11
+            # manifest (no state_rows entry) with live segments would
+            # otherwise seed the count from 0 — a severe undercount that
+            # disengages the probe-pruning gate on arbitrarily large state.
+            # A relation with no prior segments genuinely starts from 0.
+            if rel in self._state_rows:
+                self._state_rows[rel] += n_seg
+            elif not self._segments.get(rel):
+                self._state_rows[rel] = n_seg  # first segment ever: exact base
+            # else: unknown base — leave absent so pruning stays engaged
+            # until the next full rewrite/compaction re-pins the exact count
         self._appends[rel] = n + 1
         self._segments.setdefault(rel, []).append(seg)
         if is_ttl:
@@ -2319,6 +2374,104 @@ class IncrementalAcyclicQuery:
                     cp: _range_union(self._seg_ts.get(rel, {}).values())
                 }
             self._rebucket_written(rel, cp, cleanup, n_rows=n_rows)
+
+    # delta path only when the netted delta is at most 1/RATIO of the
+    # tracked state rows: at parity the two extra map-side state scans and
+    # the checkpoint job cost about what the full-union shuffle saves
+    MERGE_DELTA_STATE_RATIO = 4
+
+    def _merge_write(
+        self, rel: str, merged: DataFrame | None, delta: DataFrame, path: str, net_fn=None
+    ) -> tuple[int | None, bool]:
+        """Write one merge-mode state version. Optimization r12 (guide
+        §2.3 "shuffle keys/metadata instead of payloads" + §3.1): the
+        classic form shuffles the FULL pre-batch state through the fused
+        net+write exchange every batch — the last known full-state shuffle
+        per batch at scale. When the tracked state is large
+        (``merge_delta_min_state_rows``) and the batch's netted delta is
+        small enough to broadcast (``merge_delta_max_rows``, and at most
+        state/RATIO), route rows instead of shuffling them:
+
+        1. net the delta alone — the commit's ONE delta-sized exchange
+           (repartitioned by ``_bucket`` so the groupBy's own exchange is
+           elided, exactly like the full-union form);
+        2. split the old state MAP-SIDE on key membership in the broadcast
+           delta keys (null-safe: the net's groupBy treats NULL keys as
+           equal, so the join must too): untouched rows flow scan→write
+           with no exchange, touched rows (≤ one netted row per delta key)
+           join the delta in a second delta-sized net.
+
+        Exact by linearity: every pre-batch state row lands in exactly one
+        branch, and net(touched ∪ Δnet) = the merged rows the full-union
+        form would produce for those keys. The write itself (O(state) IO)
+        is merge mode's defining cost — the log-structured regime, not this
+        path, is the O(Δ)-IO answer; this removes the full-state NETWORK
+        pass. An empty netted delta skips the rewrite outright
+        (``wrote=False``: the post-batch state is the pre-batch state).
+
+        Falls back to the classic full-union net+write (reusing the already
+        -netted delta) when the gate disengages; non-bucketed relations
+        (agg, hist) and custom ``net_fn`` reductions always take the
+        classic path. Returns (observed written rows | None, wrote)."""
+        n_state = self._state_rows.get(rel)
+        r = self._by_name.get(rel)
+        if (
+            r is None
+            or r.buckets == 0
+            or delta is None
+            or net_fn is not None
+            or n_state is None
+            or n_state == 0
+            or n_state < max(self.merge_delta_min_state_rows, 1)
+            # a cross-regime resume (log-structured manifest reopened with
+            # compact_every=1) leaves MULTIPLE raw segments: merge-mode reads
+            # skip the lazy net, so the first commit must net everything —
+            # the delta path's untouched branch would pass raw rows through
+            or len(self._segments.get(rel, ())) != 1
+        ):
+            return self._net_write(rel, merged, path, net_fn), True
+        force = self.merge_delta_min_state_rows == 0  # A/B escape hatch
+        last = self._delta_rows.get(rel)
+        if (
+            not force
+            and last is not None
+            and n_state < 2 * last[1]  # state hasn't doubled since the probe
+            and (
+                last[0] > self.merge_delta_max_rows
+                or last[0] * self.MERGE_DELTA_STATE_RATIO > n_state
+            )
+        ):
+            # the last probed delta was hopeless for this state size — skip
+            # the probe outright this batch (classic write, no extra jobs)
+            return self._net_write(rel, merged, path, net_fn), True
+        dnet = self._conform(
+            rel,
+            self._net(
+                self._conform(rel, delta).repartition(
+                    self._buckets[rel], F.col(BUCKET)
+                )
+            ),
+        ).localCheckpoint()
+        n_delta = dnet.count()  # over the checkpoint's cached blocks
+        self._delta_rows[rel] = (n_delta, n_state)
+        if n_delta == 0:
+            return None, False
+        old = self._read_paths(rel, self._segments.get(rel, []))
+        if n_delta > self.merge_delta_max_rows or (
+            not force and n_delta * self.MERGE_DELTA_STATE_RATIO > n_state
+        ):
+            return self._net_write(rel, old.unionByName(dnet), path, net_fn), True
+        keys = [c for c in dnet.columns if c != WEIGHT]
+        st, ck = old.alias("_st"), F.broadcast(dnet.select(*keys).alias("_ck"))
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(f"_st.{k}").eqNullSafe(F.col(f"_ck.{k}"))
+        untouched = st.join(ck, cond, "left_anti")
+        touched = st.join(ck, cond, "left_semi")
+        out = self._conform(rel, untouched).unionByName(
+            self._conform(rel, self._net(touched.unionByName(dnet)))
+        )
+        return self._write_state(rel, out, path, pre_partitioned=True), True
 
     def _net_write(self, rel: str, df: DataFrame, path: str, net_fn=None) -> int | None:
         """Net a (possibly unmerged) weighted multiset and write it as one

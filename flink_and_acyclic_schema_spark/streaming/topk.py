@@ -771,6 +771,11 @@ class GroupedTopKView:
         # rewrites, which bump versions without emitting)
         self._emitted: dict | None = None
         self._last_emitted: DataFrame | None = None  # ephemeral mode
+        # durable mode's live HANDOFF frame (r12): the emitted delta as a
+        # persist()ed DataFrame filled by the emit write itself — same-batch
+        # downstream consumers read cached blocks, not the file; unpersisted
+        # when the next emit supersedes it. Replay/resume read the file.
+        self._emit_frame: DataFrame | None = None
         # observability: tools assert the touched-restriction cost model
         self.instrument = False
         self.last_touched_buckets = 0
@@ -1035,6 +1040,8 @@ class GroupedTopKView:
 
         epath = os.path.join(self.state_dir, f"emit_v{v}")
 
+        emit_box: list = [None]
+
         def _write_emit() -> str:
             # post top-k ranks the candidate frame DIRECTLY: ``cand`` is the
             # exact content of the freshly written touched shards (every
@@ -1043,8 +1050,17 @@ class GroupedTopKView:
             # written files paid a listing job plus a disk scan AND had to
             # wait for the shard writes to finish. Pre reads the superseded
             # files, still on disk until the post-manifest GC.
-            delta = self._net_delta(pre_topk, self._topk_of(cand))
-            delta.coalesce(1).write.mode("overwrite").parquet(epath)
+            # r12: the write action also fills a persist() of the delta —
+            # the same-batch downstream consumer (a chained engine runs a
+            # dozen actions over it) then reads cached blocks instead of
+            # re-listing + re-scanning the file per action; the file stays
+            # the durable replay frame. No coalesce(1): it merged the whole
+            # rank/net plan into ONE task — AQE already coalesces the
+            # delta's post-aggregate partitions, without serializing the
+            # upstream computation at scale.
+            delta = self._net_delta(pre_topk, self._topk_of(cand)).persist()
+            delta.write.mode("overwrite").parquet(epath)
+            emit_box[0] = delta
             return epath
 
         targets = ((cand, f"cand_v{v}", cand_map), (bound, f"bound_v{v}", bound_map))
@@ -1120,9 +1136,15 @@ class GroupedTopKView:
         )
         if pre_topk is None:
             return None
-        # the emitted dir is manifest-held (self._emitted after adopt),
-        # so the GC above preserved it
-        return self._spark.read.parquet(epath)
+        # the emitted dir is manifest-held (self._emitted after adopt), so
+        # the GC above preserved it — replay/resume read it via emitted_df().
+        # The live return is the persist()ed frame the write just filled
+        # (r12); the previous batch's handoff frame is past its consumption
+        # window and unpersisted here.
+        if self._emit_frame is not None:
+            self._emit_frame.unpersist(False)
+        self._emit_frame = emit_box[0]
+        return emit_box[0]
 
     def _maybe_grow(self) -> None:
         """Adaptive shard growth (durable + ``bucket_target_rows`` only):
@@ -1326,11 +1348,23 @@ class GroupedTopKView:
                 over, on=list(self.group_cols), how="left_anti"
             ).unionByName(self._bound_of(ranked_over))
         if self.instrument:
+            # captured BEFORE the gate-branch checkpoint below, so the
+            # recorded plan shows the maintenance joins, not a block scan
             self.last_plan = cand._jdf.queryExecution().explainString(
                 self._spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )
             )
+        if hit:
+            # the gate-branch result is a NEW lazy plan over the checkpointed
+            # base (refill/trim joins, and on drains the refill's whole
+            # engine-state read) consumed by all three parallel write threads
+            # in _commit — without materialization each thread re-executes it
+            # (the lazy ranked_fresh/ranked_over checkpoints race instead of
+            # sharing on concurrent first use). ONE eager checkpoint here
+            # runs the branch once; steady-state no-hit batches keep the
+            # already-checkpointed candidate frame and pay nothing (r12).
+            cand = cand.localCheckpoint()
         delta = self._commit(cand, bound, tb, batch_id, pre_topk=pre_topk)
         self._maybe_grow()
         return delta

@@ -707,6 +707,74 @@ def test_state_rows_tracking_and_resume(spark, tmp_path):
     assert resumed._state_rows["lineitem"] == true_rows
 
 
+def test_merge_delta_path_equivalent_and_engaged(spark, tmp_path):
+    """Merge-mode commits of a bucketed relation route around the full-state
+    shuffle once state exists (r12 ``_merge_write``). Forced on via the =0
+    escape hatch, the delta path must (a) produce results identical to the
+    classic full-union engine — updates, deletes and cancellations included,
+    (b) actually bypass ``_net_write`` for the bucketed relation after the
+    first commit, (c) keep the written state NETTED (merge-mode reads skip
+    the lazy net, so a delete must physically cancel its state row), and
+    (d) skip the rewrite outright when the batch's delta nets to zero."""
+    spec = _spec(li_extra={"buckets": 4, "bucket_key": ("l_key",)})
+    classic = _feed(spark, _engine(spark, tmp_path, spec), BATCHES)
+    eng = _engine(spark, tmp_path, spec)
+    eng.merge_delta_min_state_rows = 0  # force wherever state is nonempty
+    calls: list[str] = []
+    orig = eng._net_write
+
+    def spy(rel, df, path, net_fn=None):
+        calls.append(rel)
+        return orig(rel, df, path, net_fn)
+
+    eng._net_write = spy
+    got = _feed(spark, eng, BATCHES)
+    assert got == classic and got
+    # batch 0 (no state yet) takes the classic path; batch 1's lineitem
+    # commit takes the delta path — no second classic call. Non-bucketed
+    # relations (orders, agg) stay classic every batch.
+    assert calls.count("lineitem") == 1
+    assert calls.count("orders") == 2
+    st = eng._read_state("lineitem")
+    key_cols = [c for c in st.columns if c != "weight"]
+    assert st.count() == st.dropDuplicates(key_cols).count()  # netted
+    # the batch-1 delete (3, 4, -1) must have canceled batch 0's (3, 4, 1)
+    assert st.filter("l_key = 3 AND l_qty = 4").count() == 0
+    assert eng._state_rows["lineitem"] == st.count()  # observe stays exact
+    # (d) zero-net delta: no write, no version bump, segments untouched
+    v0, segs0 = eng._version["lineitem"], list(eng._segments["lineitem"])
+    eng.process_batch(
+        {"lineitem": spark.createDataFrame([(50, 1, 1), (50, 1, -1)], LI_SCHEMA)},
+        batch_id=2,
+    )
+    assert eng._version["lineitem"] == v0
+    assert eng._segments["lineitem"] == segs0
+    assert sorted(tuple(r) for r in eng.result().collect()) == classic
+
+
+def test_state_rows_unknown_base_stays_unknown_across_appends(spark, tmp_path):
+    """A resume from a pre-r11 manifest (live segments but no state_rows
+    entry) must NOT seed the count from 0 on the next append — that would be
+    a severe undercount that disengages the probe-pruning gate on
+    arbitrarily large state (r11 ADVICE). The entry stays absent (pruning
+    stays ENGAGED) until the next compaction re-pins the exact count."""
+    spec = _spec(li_extra={"buckets": 4, "bucket_key": ("l_key",)})
+    state_dir = str(tmp_path / "rows_unknown")
+    eng = IncrementalAcyclicQuery(spark, state_dir, spec, compact_every=3)
+    _feed(spark, eng, BATCHES)  # 2 appended segments
+    # simulate the pre-r11 manifest: live segments, count unknown
+    eng._state_rows.pop("lineitem")
+    eng.process_batch(
+        {"lineitem": spark.createDataFrame([(9, 9, 1)], LI_SCHEMA)}, batch_id=2
+    )
+    assert "lineitem" not in eng._state_rows  # unknown base stays unknown
+    assert eng._prune_worthwhile("lineitem")  # gate stays engaged
+    eng.process_batch(  # 4th segment > compact_every=3 -> compaction, exact
+        {"lineitem": spark.createDataFrame([(10, 2, 1)], LI_SCHEMA)}, batch_id=3
+    )
+    assert eng._state_rows["lineitem"] == eng._read_state("lineitem").count()
+
+
 def test_wide_probe_sample_covering_all_buckets_skips_fallback_scan(
     spark, tmp_path, monkeypatch
 ):
