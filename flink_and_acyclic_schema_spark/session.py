@@ -33,13 +33,17 @@ def get_spark(
         if env is not None:
             shuffle_partitions = int(env)
         else:
-            # scale with the session's cores (2x, floor 16) instead of a
+            # scale with the session's cores (1x, floor 16) instead of a
             # constant tuned to either local mode or a cluster — AQE then
             # coalesces small shuffles back down at runtime (r12: a fixed 32
-            # pinned shuffle parallelism regardless of $SPARK_GRAFT_CPUS, so
-            # the driver's core-scaling probe saw flat ratios)
+            # pinned shuffle parallelism regardless of $SPARK_GRAFT_CPUS).
+            # 2x cores was measured first and REVERTED: at 32 cores it took
+            # the continuous stacks from 98 to 146 s (hundreds of tiny
+            # micro-batch exchanges each paying double the task overhead)
+            # and the headline from 19.8 to 22.4 s — AQE coalescing does not
+            # refund scheduling latency on sub-second stages.
             n = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
-            shuffle_partitions = max(2 * n, 16)
+            shuffle_partitions = max(n, 16)
 
     builder = (
         SparkSession.builder.appName(app_name)

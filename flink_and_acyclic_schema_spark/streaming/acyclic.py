@@ -671,14 +671,17 @@ class IncrementalAcyclicQuery:
         # optimization r12 (guide §2.3/§2.4): merge-mode commits of a bucketed
         # relation route around the full-state shuffle when the tracked state
         # is large and the batch's netted delta is provably small — see
-        # _merge_write. min_state_rows gates engagement (below it a full-state
-        # exchange is one tiny task set and the extra delta-checkpoint job
-        # costs more than it saves — same reasoning as the prune gate);
+        # _merge_write. min_state_rows gates engagement: the delta path costs
+        # two extra bounded jobs (the netted-delta checkpoint and its count),
+        # which a full-state exchange only outweighs once the state is
+        # multi-million rows (measured at sf0.1: probing 100-600 k-row states
+        # cost ~3 s across the bench stacks for shuffles that cost less); at
+        # 100 TB every bucketed state worth the detour is far past 4M rows.
         # max_rows bounds the broadcast of the netted delta's keys.
         # SPARK_GRAFT_MERGE_DELTA_MIN_STATE_ROWS=0 forces the delta path
         # wherever state is nonempty (the A/B + plan-evidence escape hatch).
         self.merge_delta_min_state_rows = int(
-            os.environ.get("SPARK_GRAFT_MERGE_DELTA_MIN_STATE_ROWS", "65536")
+            os.environ.get("SPARK_GRAFT_MERGE_DELTA_MIN_STATE_ROWS", str(1 << 22))
         )
         self.merge_delta_max_rows = int(
             os.environ.get("SPARK_GRAFT_MERGE_DELTA_MAX_ROWS", str(1 << 20))
@@ -696,12 +699,6 @@ class IncrementalAcyclicQuery:
         # last persisted emitted-changelog {"batch": id, "path": dir} — lets a
         # crash-replayed batch hand downstream engines the exact view delta
         self._emitted: dict | None = None
-        # the last batch's HANDOFF frame (r12): the emitted changelog as a
-        # persist()ed DataFrame filled by the emitted write itself, handed to
-        # same-batch downstream consumers so they read cached blocks, not the
-        # file; unpersisted when the next batch's emit supersedes it. Never
-        # part of the durable contract — replay/resume read the file.
-        self._emitted_frame: DataFrame | None = None
         # fold observability (round 9): instrument=True scopes every action
         # point of a batch in a phase-tagged job group; after process_batch,
         # ``last_profile`` maps phase -> {"jobs", "stages", "sec"} — the
@@ -2262,21 +2259,18 @@ class IncrementalAcyclicQuery:
                 # The post-view plan executes INSIDE this write — fused into
                 # one action (optimization r11: the former emit_post
                 # localCheckpoint + emitted_write pair cost two sequential
-                # jobs per batch). r12 (guide §6 / verdict item 6): the SAME
-                # write action also fills a persist() of the frame, so the
-                # downstream consumers of this batch (chained engines run
-                # a dozen actions over the delta) read cached blocks instead
-                # of re-listing + re-scanning the file per action; the file
-                # stays the durable replay/resume frame. The PREVIOUS
-                # batch's handoff frame is unpersisted here — its one-batch
-                # consumption window is over.
+                # jobs per batch). Downstream consumers get the written file
+                # read back, exactly the replay path's frame. r12 measured an
+                # in-memory handoff alternative (persist() filled by this
+                # same write) and REVERTED it: caching materializes the plan
+                # WITHOUT AQE's partition coalescing (grouped stack 36→46 s
+                # at sf0.1), and even with canChangeCachedPlanOutputPartitioning
+                # =true it only broke even with this read-back — the tiny
+                # emitted file re-scans are already at the floor.
                 epath = os.path.join(self.state_dir, f"emitted_b{batch_id}")
                 with self._phase("emitted_write"):
-                    changelog = changelog.persist()
                     changelog.write.mode("overwrite").parquet(epath)
-                if self._emitted_frame is not None:
-                    self._emitted_frame.unpersist(False)
-                self._emitted_frame = changelog
+                changelog = self.spark.read.parquet(epath)
                 if self._emitted is not None:
                     cleanup.append(self._emitted["path"])
                 self._emitted = {"batch": batch_id, "path": epath}

@@ -771,11 +771,6 @@ class GroupedTopKView:
         # rewrites, which bump versions without emitting)
         self._emitted: dict | None = None
         self._last_emitted: DataFrame | None = None  # ephemeral mode
-        # durable mode's live HANDOFF frame (r12): the emitted delta as a
-        # persist()ed DataFrame filled by the emit write itself — same-batch
-        # downstream consumers read cached blocks, not the file; unpersisted
-        # when the next emit supersedes it. Replay/resume read the file.
-        self._emit_frame: DataFrame | None = None
         # observability: tools assert the touched-restriction cost model
         self.instrument = False
         self.last_touched_buckets = 0
@@ -1040,8 +1035,6 @@ class GroupedTopKView:
 
         epath = os.path.join(self.state_dir, f"emit_v{v}")
 
-        emit_box: list = [None]
-
         def _write_emit() -> str:
             # post top-k ranks the candidate frame DIRECTLY: ``cand`` is the
             # exact content of the freshly written touched shards (every
@@ -1050,17 +1043,16 @@ class GroupedTopKView:
             # written files paid a listing job plus a disk scan AND had to
             # wait for the shard writes to finish. Pre reads the superseded
             # files, still on disk until the post-manifest GC.
-            # r12: the write action also fills a persist() of the delta —
-            # the same-batch downstream consumer (a chained engine runs a
-            # dozen actions over it) then reads cached blocks instead of
-            # re-listing + re-scanning the file per action; the file stays
-            # the durable replay frame. No coalesce(1): it merged the whole
-            # rank/net plan into ONE task — AQE already coalesces the
-            # delta's post-aggregate partitions, without serializing the
-            # upstream computation at scale.
-            delta = self._net_delta(pre_topk, self._topk_of(cand)).persist()
+            # r12: no coalesce(1) — it merged the whole rank/net plan into
+            # ONE task; AQE already coalesces the delta's post-aggregate
+            # partitions without serializing the upstream computation at
+            # scale. (A persist()-based in-memory handoff of the delta was
+            # tried and REVERTED: caching materializes the plan without
+            # AQE's partition coalescing — 2 s/stack slower at sf0.1 — and
+            # even with canChangeCachedPlanOutputPartitioning=true it only
+            # broke even with this read-back, which stays the replay frame.)
+            delta = self._net_delta(pre_topk, self._topk_of(cand))
             delta.write.mode("overwrite").parquet(epath)
-            emit_box[0] = delta
             return epath
 
         targets = ((cand, f"cand_v{v}", cand_map), (bound, f"bound_v{v}", bound_map))
@@ -1141,10 +1133,7 @@ class GroupedTopKView:
         # The live return is the persist()ed frame the write just filled
         # (r12); the previous batch's handoff frame is past its consumption
         # window and unpersisted here.
-        if self._emit_frame is not None:
-            self._emit_frame.unpersist(False)
-        self._emit_frame = emit_box[0]
-        return emit_box[0]
+        return self._spark.read.parquet(epath)
 
     def _maybe_grow(self) -> None:
         """Adaptive shard growth (durable + ``bucket_target_rows`` only):
