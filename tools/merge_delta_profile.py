@@ -43,8 +43,21 @@ from flink_and_acyclic_schema_spark.streaming.acyclic import (  # noqa: E402
 N_BATCHES = 4
 DELTA_ROWS = 2000
 
+# --table lineitem: single-relation spec over the widest/biggest table (6M
+# rows at sf1) — the regime where the full-state shuffle dominates the
+# commit and the delta path's fixed probe jobs amortize
+BIG_TABLE = "lineitem"
 
-def _spec() -> AcyclicQuerySpec:
+
+def _spec(table: str = "orders") -> AcyclicQuerySpec:
+    if table == "lineitem":
+        return AcyclicQuerySpec(
+            relations=(
+                RelSpec("lineitem", buckets=16, bucket_key=("l_orderkey",)),
+            ),
+            group_by=("l_returnflag",),
+            measures={"revenue": lambda: F.col("l_extendedprice")},
+        )
     return AcyclicQuerySpec(
         relations=(
             RelSpec("customer"),
@@ -64,14 +77,16 @@ def _load(spark, sf_dir, name, cols):
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).select(*cols)
 
 
-def run_variant(spark, sf_dir, scratch, tag, min_state_rows):
+def run_variant(spark, sf_dir, scratch, tag, min_state_rows, table="orders"):
     os.environ["SPARK_GRAFT_MERGE_DELTA_MIN_STATE_ROWS"] = str(min_state_rows)
-    eng = IncrementalAcyclicQuery(spark, f"{scratch}/{tag}", _spec(), compact_every=1)
+    eng = IncrementalAcyclicQuery(
+        spark, f"{scratch}/{tag}", _spec(table), compact_every=1
+    )
     plans: dict[str, str] = {}
     orig = IncrementalAcyclicQuery._write_state
 
     def capture(self, rel, df, path, pre_partitioned=False):
-        if rel == "orders" and self is eng:
+        if rel == table and self is eng:
             plans[os.path.basename(path)] = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
@@ -82,44 +97,50 @@ def run_variant(spark, sf_dir, scratch, tag, min_state_rows):
     IncrementalAcyclicQuery._write_state = capture
     sc = spark.sparkContext
     try:
-        cust = _load(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        orders = _load(
-            spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
-        )
-        base = orders.withColumn("weight", F.lit(1))
+        if table == "lineitem":
+            key = "l_orderkey"
+            big = _load(
+                spark, sf_dir, "lineitem",
+                ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"],
+            )
+            batch0 = {"lineitem": big.withColumn("weight", F.lit(1))}
+        else:
+            key = "o_orderkey"
+            cust = _load(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            big = _load(
+                spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+            )
+            batch0 = {
+                "customer": cust.withColumn("weight", F.lit(1)),
+                "orders": big.withColumn("weight", F.lit(1)),
+            }
         t0 = time.perf_counter()
-        eng.process_batch(
-            {"customer": cust.withColumn("weight", F.lit(1)), "orders": base},
-            batch_id=0,
-        )
+        eng.process_batch(batch0, batch_id=0)
         load_sec = round(time.perf_counter() - t0, 3)
         batch_secs, batch_jobs = [], []
         for b in range(1, N_BATCHES + 1):
             # churn: re-insert a slice (weight +1) and delete another (−1)
             lo = b * DELTA_ROWS
             delta = (
-                orders.filter(
-                    (F.col("o_orderkey") >= lo)
-                    & (F.col("o_orderkey") < lo + DELTA_ROWS)
+                big.filter(
+                    (F.col(key) >= lo) & (F.col(key) < lo + DELTA_ROWS)
                 )
                 .withColumn(
                     "weight",
-                    F.when(F.col("o_orderkey") % 2 == 0, F.lit(1)).otherwise(
-                        F.lit(-1)
-                    ),
+                    F.when(F.col(key) % 2 == 0, F.lit(1)).otherwise(F.lit(-1)),
                 )
             )
             gid = f"{tag}_b{b}"
             sc.setJobGroup(gid, f"merge_delta_profile {tag} batch {b}")
             t0 = time.perf_counter()
-            eng.process_batch({"orders": delta}, batch_id=b)
+            eng.process_batch({table: delta}, batch_id=b)
             batch_secs.append(round(time.perf_counter() - t0, 3))
             batch_jobs.append(len(sc.statusTracker().getJobIdsForGroup(gid)))
             sc.setJobGroup(None, None)
         result = sorted(tuple(r) for r in eng.result().collect())
         return {
             "tag": tag,
-            "state_rows": eng._state_rows.get("orders"),
+            "state_rows": eng._state_rows.get(table),
             "load_sec": load_sec,
             "batch_secs": batch_secs,
             "batch_jobs": batch_jobs,
@@ -134,12 +155,13 @@ def run_variant(spark, sf_dir, scratch, tag, min_state_rows):
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO_ROOT, "plans", "r12")
+    table = sys.argv[3] if len(sys.argv) > 3 else "orders"
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="merge_delta_profile")
     spark.sparkContext.setLogLevel("ERROR")
     scratch = os.path.join(REPO_ROOT, ".scratch", "merge_delta_profile")
-    delta = run_variant(spark, sf_dir, scratch, "delta", 65536)
-    classic = run_variant(spark, sf_dir, scratch, "classic", 1 << 40)
+    delta = run_variant(spark, sf_dir, scratch, "delta", 65536, table)
+    classic = run_variant(spark, sf_dir, scratch, "classic", 1 << 40, table)
     assert delta["result"] == classic["result"], "variant results diverge!"
     # commit the LAST small-batch write plan of each variant
     for rec, fname in (
@@ -152,6 +174,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "table": table,
                 "state_rows": classic["state_rows"],
                 "delta_rows_per_batch": DELTA_ROWS,
                 "results_match": True,
